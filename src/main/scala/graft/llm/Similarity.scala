@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors).
+  *
+  * Two paths, as a real pipeline would ship them:
+  *  - `bruteForceTopK`: exact top-k cosine for a (small) query set — a
+  *    broadcast of the queries against a full corpus scan. The per-pair dot
+  *    product is a codegen'd higher-order function (`zip_with` + `aggregate`),
+  *    never a UDF. Linear in corpus × queries; this is the correctness oracle.
+  *  - `lshTopK`: sign-random-projection LSH — corpus is bucketed by the sign
+  *    bits of seed-fixed hyperplane projections, and search touches only the
+  *    query's bucket. At 100 TB the bucket join replaces the full scan:
+  *    candidates shrink by ~2^bits, and the bucket column can be a parquet
+  *    partition/sort key so bucket probes prune at the file level.
+  *
+  * All double arithmetic folds arrays sequentially (deterministic per pair,
+  * independent of partitioning — no cross-row float accumulation).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sum-fold of an arbitrary per-element product, in double. */
+  private def fold(c: Column): Column =
+    aggregate(c, lit(0.0).cast("double"), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column =
+    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (query set must be
+    * small — it is broadcast). Output: (qid, vec_id, sim) with rank <= k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(corpus.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Seed-fixed random hyperplanes (driver-side constants, shipped as a
+    * literal array-of-arrays — no data dependence, no nondeterminism).
+    */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    array((0 until bits).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** LSH bucket id: integer of sign bits of the hyperplane projections. */
+  def lshBucket(embedding: Column, bits: Int = 8, dim: Int = 64, seed: Long = 7L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    aggregate(
+      zip_with(
+        transform(planes, p => when(dot(p, embedding) > 0, 1L).otherwise(0L)),
+        sequence(lit(0), lit(bits - 1)),
+        (bit, i) => call_function("shiftleft", bit, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), bits, dim).as("bucket"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), bits, dim).as("bucket"))
+    q.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact ANN baseline, DuckDB-checked (bitwise-identical fold order)
+    "emb_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
+    }),
+
+    // Per-vector L2 norm — per-row, deterministic, DuckDB-checked
+    "emb_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), round(norm(col("embedding")), 6).as("l2"))
+        .orderBy("vec_id")
+        .limit(200)),
+
+    // LSH ANN — approximate by construction → deterministic rows-only check
+    "emb_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+    }),
+
+    // Bucket-occupancy profile of the LSH index (skew check) — rows-only
+    "emb_lsh_buckets" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy(lshBucket(col("embedding")).as("bucket"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "emb_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         pairs AS (
+           SELECT q.qid, e.vec_id,
+                  list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM pairs)
+         SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
+         WHERE rn <= 10 ORDER BY qid, vec_id""",
+    "emb_norms" ->
+      """SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+         FROM embeddings ORDER BY vec_id LIMIT 200"""
+  )
+}

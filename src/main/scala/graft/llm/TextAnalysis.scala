@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, language ID (marker-word heuristic),
+  * and document fingerprinting.
+  *
+  * Everything is a per-row codegen'd projection — no shuffle, no UDF — so these
+  * scale linearly with input splits: at 100 TB each operator is a map-only pass
+  * that parquet column pruning reduces to reading the `text` column alone.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count (trim first so leading blanks don't add a token). */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: split on word boundaries and punctuation runs. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => trim(t) =!= ""))
+
+  /** Normalized fingerprint: md5 of the text with everything but [a-z0-9]
+    * stripped — detects near-identical docs differing only in
+    * whitespace/punctuation/case.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Occurrences of `marker` in `text` via length arithmetic (replace is
+    * left-to-right non-overlapping in both Spark and DuckDB, so the oracle
+    * agrees exactly).
+    */
+  private def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+
+  /** Marker-word language heuristic. Ties resolve in fixed priority order
+    * en > fr > de > es > zh so the result is deterministic.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val en = occurrences(padded, " the ")
+    val fr = occurrences(padded, " le ")
+    val de = occurrences(padded, " der ")
+    val es = occurrences(padded, " el ")
+    val zh = occurrences(padded, "的")
+    when(en >= fr && en >= de && en >= es && en >= zh, "en")
+      .when(fr >= de && fr >= es && fr >= zh, "fr")
+      .when(de >= es && de >= zh, "de")
+      .when(es >= zh, "es")
+      .otherwise("zh")
+  }
+
+  /** Rolling-hash-style content fingerprint over word 4-grams: min of the
+    * 4-gram hashes (a 1-permutation MinHash, usable as a cheap doc signature).
+    */
+  def ngramMinHash(text: Column, n: Int = 4): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n)))))
+    array_min(grams)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(split(col("text"), " ")).as("n_words"),
+          round(length(col("text")) / size(split(col("text"), " ")).cast("double"), 5)
+            .as("avg_word_len"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // xxhash64 has no DuckDB twin → deterministic rows-only check
+    "text_ngram_minhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ngramMinHash(col("text")).as("sig"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      raw"""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 5) AS avg_word_len
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "text_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+         sc AS (
+           SELECT doc_id,
+             (length(t) - length(replace(t, ' the ', ''))) / 5 AS en,
+             (length(t) - length(replace(t, ' le ', ''))) / 4 AS fr,
+             (length(t) - length(replace(t, ' der ', ''))) / 5 AS de,
+             (length(t) - length(replace(t, ' el ', ''))) / 4 AS es,
+             (length(t) - length(replace(t, '的', ''))) / 1 AS zh
+           FROM s)
+         SELECT doc_id,
+           CASE
+             WHEN en >= fr AND en >= de AND en >= es AND en >= zh THEN 'en'
+             WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+             WHEN de >= es AND de >= zh THEN 'de'
+             WHEN es >= zh THEN 'es'
+             ELSE 'zh'
+           END AS lang_pred
+         FROM sc ORDER BY doc_id"""
+  )
+}

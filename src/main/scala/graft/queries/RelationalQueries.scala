@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's read-query surface (SURVEY.md §2.1-§2.6, §2.11) re-expressed
+  * as declarative DataFrame plans. Every entry has a DuckDB oracle; aggregates
+  * over doubles are cast to DECIMAL before summing so the result is exact and
+  * order-independent (a distributed sum must not depend on partial-aggregation
+  * order), and the final value is cast back to a fixed DECIMAL(18,2) so Spark
+  * and DuckDB agree on the output type.
+  *
+  * Scale notes: all aggregations are partial (map-side combine) by
+  * construction; filters and projections sit directly on the scan so parquet
+  * pushdown/pruning applies; the one dimension join broadcasts the small side.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // S1/P1/O1 — projection + global sort + limit
+    // (ref sql/spark/open_catalog/read_sales_events.sql:3-8)
+    "s1_scan_projection" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)),
+
+    // P2 — equality predicate point read (ref update_sales_events.sql:5)
+    "p2_point_lookup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") === 42L)
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // P3 + A3 — partition-pruned 2-day window group-by count
+    // (ref blob_dfs/blob-dfs_bench.py:117-122)
+    "p3_pruned_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // P4 — IN-list point lookup (ref blob_dfs/blob-dfs_bench.py:132-136)
+    "p4_inlist_lookup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isin(17L, 41L, 89L))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // P5 — string equality predicate (ref snowflake.sql:399-401)
+    "p5_string_predicate" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+        .limit(200)),
+
+    // A1 — COUNT(*) scalar (ref read_sales_events.sql:3-4)
+    "a1_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("row_count"))),
+
+    // A2 — checksum aggregates (ref read_checksums.sql:3-7): exact decimal sums
+    "a2_checksums" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("row_count"),
+        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dec(sum(dec(col("l_extendedprice")) * dec(col("l_quantity")))).as("revenue"))),
+
+    // A4 — group-by percentile; exact `percentile` so the oracle can match
+    // (ref blob_dfs/blob-dfs_bench.py:125-129 uses approx_percentile — that
+    // variant is registered rows-only as a4_approx_percentile below)
+    "a4_percentile_value" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // A4' — the reference's literal operator; approximate, so rows-only check
+    "a4_approx_percentile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(percentile_approx(col("value"), lit(0.95), lit(10000)), 4).as("p95"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // A5 — re-aggregation of a grouped result (ref blob-dfs_bench.py:112)
+    "a5_reaggregation" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("total_events"))),
+
+    // O2 — top-1 by timestamp (ref bulk_insert_sales_events.sql:14-17);
+    // o_orderkey tiebreak keeps it deterministic under date collisions
+    "o2_top1_latest" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)),
+
+    // O3 — plain limit made deterministic by key order (ref snowflake.sql:229)
+    "o3_limit" -> ((s, dir) =>
+      Tables.orders(s, dir).orderBy("o_orderkey").limit(10)),
+
+    // F5 — arithmetic inside aggregation (ref read_checksums.sql:6). The
+    // product of two scale-2 decimals has scale 4; the output keeps scale 4 so
+    // no engine-dependent rounding (half-up vs half-even) ever applies.
+    "f5_arithmetic_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DecimalType(18, 4)).as("net_revenue"))
+        .orderBy("l_orderkey")
+        .limit(100)),
+
+    // F6 — timestamp → date cast (ref bulk_insert_sales_events.sql:4-11)
+    "f6_date_cast" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").cast("date").as("ds"))
+        .orderBy("event_id")
+        .limit(200)),
+
+    // F7 — CURRENT_TIMESTAMP, used deterministically: all test data predates now
+    // (ref sql/databricks/unity_catalog/bulk_insert_sales_events.sql:16-18)
+    "f7_current_timestamp" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") < current_timestamp())
+        .agg(count(lit(1)).as("n_past"))),
+
+    // F8 — typed NULL column (ref sql/snowflake/open_catalog/bulk_insert_sales_events.sql:17)
+    "f8_typed_null" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"),
+          lit(null).cast("string").as("channel"))
+        .orderBy("n_nationkey")
+        .limit(5)),
+
+    // Join + agg over dims — revenue by nation; nation/customer broadcast
+    // (beyond-reference coverage; the scale-correct shape for dim joins)
+    "j3_join_agg_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dec(sum(dec(col("o_totalprice")))).as("total_revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")),
+
+    // Anti join — customers with no orders
+    "j4_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+    }),
+
+    // S2 — deterministic synthetic range source, rand-free columns
+    // (ref blob_dfs/blob-dfs_bench.py:48-65); the rand(42) `amount` column is
+    // Spark-specific so it is exercised rows-only in s2_synth_full
+    "s2_synth_range" -> ((s, _) =>
+      graft.gen.Synthesize.txEvents(s, 1000)
+        .select("user_id", "ts", "city", "category")
+        .orderBy("user_id")),
+
+    "s2_synth_full" -> ((s, _) =>
+      graft.gen.Synthesize.txEvents(s, 1000).orderBy("user_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+    "p2_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 42""",
+    "p3_pruned_window_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+    "p4_inlist_lookup" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id IN (17, 41, 89) ORDER BY event_id""",
+    "p5_string_predicate" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey LIMIT 200""",
+    "a1_count" -> "SELECT COUNT(*) AS row_count FROM lineitem",
+    "a2_checksums" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         FROM lineitem""",
+    "a4_percentile_value" ->
+      """SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a5_reaggregation" ->
+      """SELECT CAST(SUM(cnt) AS BIGINT) AS total_events FROM
+         (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)""",
+    "o2_top1_latest" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
+    "o3_limit" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
+    "f5_arithmetic_agg" ->
+      """SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS net_revenue
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""",
+    "f6_date_cast" ->
+      """SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id LIMIT 200""",
+    "f7_current_timestamp" ->
+      "SELECT COUNT(*) AS n_past FROM events WHERE ts < current_timestamp",
+    "f8_typed_null" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS channel
+         FROM nation ORDER BY n_nationkey LIMIT 5""",
+    "j3_join_agg_revenue" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "j4_anti_join" ->
+      """SELECT COUNT(*) AS n_customers_no_orders FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "s2_synth_range" ->
+      """SELECT i AS user_id,
+           make_timestamp((1735689600 + i % 2592000) * 1000000) AS ts,
+           (['Paris','Seoul','Tokyo','Lyon','Lille','Marseille','Nantes','Bordeaux'])[CAST(i % 8 AS INT) + 1] AS city,
+           (['A','B','C','D','E'])[CAST(i % 5 AS INT) + 1] AS category
+         FROM range(1000) t(i) ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated testdata tables (see TESTDATA.md).
+  *
+  * One quirk: `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS),
+  * which Spark's TimestampType (microseconds) cannot represent natively — the
+  * vectorized reader rejects it outright. We read nanos as a plain long
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every session builder in
+  * this project) and reconstruct a microsecond timestamp with integer division,
+  * which truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so the
+  * oracle agrees on boundary rows.
+  *
+  * Scale note: these are plain parquet scans — predicate pushdown, column
+  * pruning and partition pruning all apply unchanged on a real cluster; nothing
+  * here collects to the driver.
+  */
+object Tables {
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** `events` with `ts` normalized from nanosecond longs to TimestampType (µs,
+    * truncated — matches DuckDB's ns→µs cast bit-for-bit).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Config every SparkSession in this project needs. */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}
