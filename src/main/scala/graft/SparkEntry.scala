@@ -28,6 +28,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
+      graft.queries.TableQueries.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries
@@ -37,6 +38,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
+      graft.queries.TableQueries.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle

@@ -1,0 +1,79 @@
+package graft.maintenance
+
+import org.apache.hadoop.fs.Path
+
+import graft.table.{GraftTable, SnapshotLog}
+
+/** Table maintenance procedures (SURVEY.md §2.10, M1-M4) — the analogs of
+  * Iceberg's `rewrite_data_files`, `rewrite_manifests`, `expire_snapshots`,
+  * and orphan-file removal (ref blob_dfs/blob-dfs_bench.py:140-155).
+  */
+object Maintenance {
+
+  /** M1 — compaction: coalesce the current snapshot into ~`targetFileSizeBytes`
+    * files (ref `rewrite_data_files(..., max-file-size-bytes)`,
+    * blob-dfs_bench.py:140-143). Only runs when at least `minInputFiles` are
+    * smaller than the target (the reference's `min-input-files=50` guard).
+    * Rewrite is a full read → repartition → write; untouched-partition
+    * optimization would slot in here for partitioned tables at scale.
+    */
+  def rewriteDataFiles(t: GraftTable, targetFileSizeBytes: Long = 512L * 1024 * 1024,
+      minInputFiles: Int = 2): Option[graft.table.Snapshot] = {
+    val files = t.latest.files
+    val small = files.count(_.sizeBytes < targetFileSizeBytes)
+    if (small < minInputFiles) return None
+    val totalBytes = files.map(_.sizeBytes).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val df = t.readLatest().repartition(targetFiles)
+    Some(t.overwrite(df, operation = "rewrite-data-files"))
+  }
+
+  /** M2 — manifest rewrite: consolidate the snapshot log
+    * (ref `rewrite_manifests`, blob-dfs_bench.py:146-149).
+    */
+  def rewriteManifests(t: GraftTable): Int =
+    SnapshotLog.rewriteManifests(t.spark.sessionState.newHadoopConf(), t.tableDir)
+
+  /** M3 — snapshot expiry, retain-last-N (ref `expire_snapshots(retain_last=2)`,
+    * blob-dfs_bench.py:152-155). Publishes the trimmed log FIRST, then deletes
+    * data files referenced only by expired snapshots.
+    */
+  def expireSnapshots(t: GraftTable, retainLast: Int = 2): Int = {
+    val conf = t.spark.sessionState.newHadoopConf()
+    val snaps = SnapshotLog.load(conf, t.tableDir)
+    if (snaps.size <= retainLast) return 0
+    val (expired, retained) = snaps.splitAt(snaps.size - retainLast)
+    if (!SnapshotLog.replaceAll(conf, t.tableDir, retained)) return 0
+    val live = retained.flatMap(_.files.map(_.path)).toSet
+    val fs = SnapshotLog.fs(conf, t.tableDir)
+    val dataRoot = SnapshotLog.dataPath(t.tableDir)
+    val dead = expired.flatMap(_.files.map(_.path)).toSet -- live
+    dead.foreach(p => fs.delete(new Path(dataRoot, p), false))
+    expired.size
+  }
+
+  /** M4 — orphan-file removal (spec ICEBERG-Interoperability-Test-Spec.md:85,104):
+    * delete files under data/ that no live snapshot references. Returns the
+    * orphans removed.
+    */
+  def removeOrphanFiles(t: GraftTable): Seq[String] = {
+    val conf = t.spark.sessionState.newHadoopConf()
+    val fs = SnapshotLog.fs(conf, t.tableDir)
+    val dataRoot = SnapshotLog.dataPath(t.tableDir)
+    if (!fs.exists(dataRoot)) return Nil
+    val live = SnapshotLog.load(conf, t.tableDir).flatMap(_.files.map(_.path)).toSet
+    val it = fs.listFiles(dataRoot, true)
+    val rootStr = fs.makeQualified(dataRoot).toString
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) {
+        val rel = fs.makeQualified(s.getPath).toString.stripPrefix(rootStr).stripPrefix("/")
+        // _SUCCESS markers and other non-data artifacts count as orphans too,
+        // but only parquet files threaten correctness; remove both.
+        if (!live.contains(rel)) { orphans += rel; fs.delete(s.getPath, false) }
+      }
+    }
+    orphans.toSeq
+  }
+}

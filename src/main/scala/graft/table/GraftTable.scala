@@ -1,0 +1,290 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A snapshot-versioned parquet table: immutable data files + the
+  * `SnapshotLog` metadata log. This is the engine's analog of an Iceberg v2
+  * table (SURVEY.md §7.1.3): every mutation — append, copy-on-write DML,
+  * schema evolution, compaction — is a new snapshot that references immutable
+  * files; reads resolve a snapshot (latest, by id, or by timestamp) to a file
+  * list and never see in-flight writers.
+  *
+  * Layout: parquet part-files under `<dir>/data/<commit-uuid>/`
+  * (hive-partitioned under the commit dir when partition columns are set),
+  * JSON snapshot docs under `<dir>/_graft_log/`.
+  *
+  * Scale design:
+  *  - commits are metadata-only for untouched files (append = parent list +
+  *    new entries; DML rewrites only files that contain matching rows);
+  *  - reads hand Spark the resolved file list under a `basePath`, so
+  *    partition values come from directory structure and Catalyst prunes
+  *    partitions statically before any file is opened;
+  *  - per-file rowCount/size feed maintenance policies (compaction picks
+  *    small files without opening them).
+  *
+  * Schema evolution (SURVEY §7.4.1): each file entry records the snapshot that
+  * wrote it (`writtenAt`); a read at snapshot T groups files by write-time
+  * schema and replays the evolution ops committed in (writtenAt, T] — so old
+  * snapshots read with their *own* schema and evolved reads see renamed /
+  * added / widened columns without rewriting data.
+  */
+class GraftTable(val spark: SparkSession, val tableDir: String) {
+  import GraftTable._
+
+  private def conf = spark.sessionState.newHadoopConf()
+  private def hfs = SnapshotLog.fs(conf, tableDir)
+
+  def snapshotsList: Seq[Snapshot] = SnapshotLog.load(conf, tableDir)
+
+  def latest: Snapshot = {
+    val s = snapshotsList
+    require(s.nonEmpty, s"table $tableDir has no snapshots")
+    s.last
+  }
+
+  def schema: StructType = DataType.fromJson(latest.schemaJson).asInstanceOf[StructType]
+
+  /** S8/S9 — the snapshots metadata table as a DataFrame. */
+  def snapshots(): DataFrame = {
+    import spark.implicits._
+    snapshotsList.map(s => (s.snapshotId, s.parentId, new java.sql.Timestamp(s.committedAt),
+      s.operation, s.files.size.toLong, s.files.map(_.rowCount).sum))
+      .toDF("snapshot_id", "parent_id", "committed_at", "operation", "n_files", "total_rows")
+  }
+
+  /** S9 — file-listing metadata table (ref snowflake.sql:364-378). */
+  def files(): DataFrame = {
+    import spark.implicits._
+    val snap = latest
+    snap.files.map(f => (f.path, f.rowCount, f.sizeBytes, f.writtenAt))
+      .toDF("file_path", "row_count", "size_bytes", "written_at_snapshot")
+  }
+
+  def readLatest(): DataFrame = readSnapshot(latest)
+
+  /** T1 — `VERSION AS OF <id>` (ref time_travel_validate.sql:6-12). */
+  def readVersionAsOf(snapshotId: Long): DataFrame = {
+    val snap = snapshotsList.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId in $tableDir"))
+    readSnapshot(snap)
+  }
+
+  /** T2 — timestamp travel: newest snapshot committed at or before `tsMillis`
+    * (ref snowflake.sql:359-361 `AT(TIMESTAMP => ...)`).
+    */
+  def readTimestampAsOf(tsMillis: Long): DataFrame = {
+    val candidates = snapshotsList.filter(_.committedAt <= tsMillis)
+    require(candidates.nonEmpty, s"no snapshot at or before $tsMillis in $tableDir")
+    readSnapshot(candidates.last)
+  }
+
+  /** Resolve a snapshot to a DataFrame: group files by write-time schema,
+    * read each group with that physical schema, replay evolution ops up to
+    * the target snapshot, union.
+    */
+  def readSnapshot(snap: Snapshot): DataFrame = {
+    val all = snapshotsList
+    val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    val dataRoot = SnapshotLog.dataPath(tableDir).toString
+    val groups = snap.files.groupBy(_.writtenAt)
+    val parts = groups.toSeq.sortBy(_._1).map { case (writtenAt, entries) =>
+      val physSchema = all.find(_.snapshotId == writtenAt)
+        .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+        .getOrElse(logical)
+      val paths = entries.map(e => s"$dataRoot/${e.path}")
+      val raw = spark.read
+        .option("basePath", dataRoot)
+        .schema(physSchema)
+        .parquet(paths: _*)
+      // Replay evolution committed after this file group was written.
+      val ops = all.filter(s => s.snapshotId > writtenAt && s.snapshotId <= snap.snapshotId)
+        .flatMap(_.evolution)
+      ops.foldLeft(raw)(applyEvolution)
+    }
+    val unified = parts.reduce(_.unionByName(_))
+    // Present columns in the target snapshot's declared order.
+    unified.select(logical.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Evolution-aware read of a subset of the latest snapshot's files
+    * (copy-on-write DML reads only the files it will rewrite).
+    */
+  def readFiles(entries: Seq[FileEntry]): DataFrame =
+    readSnapshot(latest.copy(files = entries.toList))
+
+  /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
+  def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
+    evolveSchema(GraftTable.addColumnOp(name, dataType, default),
+      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, DataType.fromDDL(dataType), nullable = true)), "add-column")
+
+  /** D5 — rename column (ref schema_evolution_sales_events.sql:6-7). */
+  def renameColumn(from: String, to: String): Snapshot =
+    evolveSchema(GraftTable.renameColumnOp(from, to),
+      StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f)),
+      "rename-column")
+
+  /** D6 — type widening (ref schema_evolution_sales_events.sql:9-10). */
+  def widenColumn(name: String, newType: String): Snapshot =
+    evolveSchema(GraftTable.widenColumnOp(name, newType),
+      StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = DataType.fromDDL(newType)) else f)),
+      "widen-column")
+
+  /** S3 — bulk append (ref blob-dfs_bench.py:104-106). Metadata-only for
+    * existing files. `sortWithinPartitionsCols` implements WRITE ORDERED BY
+    * (O5, ref create_sales_events.sql:21-24).
+    */
+  def append(df: DataFrame, sortWithinPartitionsCols: Seq[String] = Nil): Snapshot =
+    commitData(df, "append", parentFiles = true, sortWithinPartitionsCols)
+
+  /** Replace all data with `df` (used by compaction and full rewrites). */
+  def overwrite(df: DataFrame, operation: String = "overwrite"): Snapshot =
+    commitData(df, operation, parentFiles = false)
+
+  /** Commit a snapshot that keeps `keepFiles` from the parent and adds the
+    * files produced by writing `df` (copy-on-write DML's primitive).
+    */
+  def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String): Snapshot = {
+    val parent = latest
+    val written = writeDataFiles(df, parent.snapshotId + 1)
+    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), operation,
+      parent.schemaJson, parent.partitionCols, (keepFiles ++ written).toList, Nil)
+  }
+
+  /** Schema-evolution commit: no data movement, new logical schema + replay op. */
+  def evolveSchema(op: String, newSchema: StructType, operation: String): Snapshot = {
+    val parent = latest
+    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), operation,
+      newSchema.json, parent.partitionCols, parent.files, List(op))
+  }
+
+  private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
+      sortCols: Seq[String] = Nil): Snapshot = {
+    val parents = snapshotsList
+    val parent = parents.lastOption
+    val id = parent.map(_.snapshotId + 1).getOrElse(1L)
+    val partCols = parent.map(_.partitionCols).getOrElse(Nil)
+    val written = writeDataFiles(df, id, sortCols)
+    val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
+    val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)
+    commitSnapshot(id, parent.map(_.snapshotId), operation, schemaJson, partCols,
+      (keep ++ written).toList, Nil)
+  }
+
+  /** Write df under data/<uuid>/ (hive-partitioned if the table is), return
+    * the new file entries with per-file row counts from the parquet footers.
+    */
+  private def writeDataFiles(df: DataFrame, snapshotId: Long,
+      sortCols: Seq[String] = Nil): Seq[FileEntry] = {
+    val parent = snapshotsList.lastOption
+    val partCols = parent.map(_.partitionCols).getOrElse(Nil)
+    val commitDirName = f"c$snapshotId%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataRoot = SnapshotLog.dataPath(tableDir)
+    val commitDir = new org.apache.hadoop.fs.Path(dataRoot, commitDirName)
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    val writer = sorted.write.mode("errorifexists")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(commitDir.toString)
+    val rootStr = hfs.makeQualified(dataRoot).toString
+    listParquetFiles(commitDir).map { p =>
+      val rel = hfs.makeQualified(p).toString.stripPrefix(rootStr).stripPrefix("/")
+      val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      val status = hfs.getFileStatus(p)
+      FileEntry(rel, partVals, rowCountOf(p), status.getLen, snapshotId)
+    }
+  }
+
+  private def listParquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val it = hfs.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) out += s.getPath
+    }
+    out.toSeq
+  }
+
+  private def rowCountOf(p: org.apache.hadoop.fs.Path): Long = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    } catch { case _: Throwable => -1L }
+  }
+
+  private def commitSnapshot(id: Long, parentId: Option[Long], operation: String,
+      schemaJson: String, partitionCols: List[String], files: List[FileEntry],
+      evolution: List[String]): Snapshot = {
+    var snapshotId = id
+    var snap = Snapshot(snapshotId, parentId, clock(), operation, schemaJson,
+      partitionCols, files, Map("added-files" -> files.count(_.writtenAt == id).toString),
+      evolution)
+    var attempts = 0
+    while (!SnapshotLog.commit(conf, tableDir, snap) && attempts < 20) {
+      attempts += 1
+      snapshotId += 1
+      snap = snap.copy(snapshotId = snapshotId, parentId = Some(snapshotId - 1))
+    }
+    require(attempts < 20, s"could not commit snapshot after $attempts retries in $tableDir")
+    snap
+  }
+
+  /** Injectable commit clock (tests pin it for deterministic time travel). */
+  var clock: () => Long = () => System.currentTimeMillis()
+}
+
+object GraftTable {
+
+  /** S5 — CREATE TABLE with partition columns (ref create_sales_events.sql:1-19).
+    * Partition transforms map to derived columns the caller adds before append.
+    */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+      partitionCols: Seq[String] = Nil): GraftTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(SnapshotLog.load(conf, dir).isEmpty, s"table already exists at $dir")
+    val t = new GraftTable(spark, dir)
+    t.commitSnapshot(1L, None, "create", schema.json, partitionCols.toList, Nil, Nil)
+    t
+  }
+
+  def load(spark: SparkSession, dir: String): GraftTable = {
+    val t = new GraftTable(spark, dir)
+    require(t.snapshotsList.nonEmpty, s"no table at $dir")
+    t
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    SnapshotLog.load(spark.sessionState.newHadoopConf(), dir).nonEmpty
+
+  /** D7 — DESCRIBE TABLE as a DataFrame (ref schema_evolution_sales_events.sql:12). */
+  def describe(spark: SparkSession, t: GraftTable): DataFrame = {
+    import spark.implicits._
+    t.schema.fields.map(f => (f.name, f.dataType.simpleString))
+      .toSeq.toDF("col_name", "data_type")
+  }
+
+  /** Evolution-op encoding shared with SnapshotLog docs. */
+  def addColumnOp(name: String, dataType: String, default: String) = s"add:$name:$dataType:$default"
+  def renameColumnOp(from: String, to: String) = s"rename:$from:$to"
+  def widenColumnOp(name: String, newType: String) = s"widen:$name:$newType"
+
+  /** Replay one evolution op over a DataFrame read with an older schema. */
+  private[table] def applyEvolution(df: DataFrame, op: String): DataFrame =
+    op.split(":", -1) match {
+      case Array("add", name, dt, default) =>
+        if (df.columns.contains(name)) df
+        else df.withColumn(name,
+          (if (default.isEmpty) lit(null) else lit(default)).cast(dt))
+      case Array("rename", from, to) =>
+        if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+      case Array("widen", name, dt) =>
+        if (df.columns.contains(name)) df.withColumn(name, col(name).cast(dt)) else df
+      case other => throw new IllegalArgumentException(s"bad evolution op: ${other.mkString(":")}")
+    }
+}

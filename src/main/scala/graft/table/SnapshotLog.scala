@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
@@ -12,24 +12,36 @@ import java.nio.charset.StandardCharsets
   * @param path            path relative to the table's `data/` root
   * @param partitionValues hive-style partition values parsed from the path
   *                        (string-encoded; cast to the partition schema on use)
-  * @param rowCount        rows in the file (from the parquet footer; -1 unknown)
+  * @param rowCount        rows in the file (-1 unknown)
   * @param sizeBytes       file length
+  * @param writtenAt       snapshot id whose commit wrote the file — the file's
+  *                        physical schema is that snapshot's schema (drives
+  *                        schema-evolution reads)
   */
 case class FileEntry(
     path: String,
     partitionValues: Map[String, String],
     rowCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    writtenAt: Long = 0L)
 
 /** One committed table version — the analog of an Iceberg snapshot + manifest
   * list (reference surface: `SELECT snapshot_id, committed_at FROM t.snapshots`,
   * `iceberg-tests/sql/spark/open_catalog/bulk_insert_sales_events.sql:14-17`).
   *
   * The full data-file list is embedded per snapshot. Commits are therefore
-  * metadata-only for untouched files: an append stores references to the parent's
-  * files plus the new ones, never rewriting data. At 100 TB the file list itself
-  * gets large — `rewriteManifests` consolidates, and the list lives in one JSON
-  * doc per snapshot rather than per-file objects in a database.
+  * metadata-only for untouched files: an append stores references to the
+  * parent's files plus the new ones, never rewriting data.
+  *
+  * 100 TB note: an embedded list is O(total files) per commit. The mitigation
+  * here is `rewriteManifests` (consolidation) and file counts bounded by
+  * compaction; the full Iceberg answer is per-snapshot delta manifests, which
+  * `evolution`-style ops would layer on without changing this interface.
+  *
+  * @param evolution schema-evolution ops applied by this commit, in order,
+  *                  encoded as `add:name:type:default`, `rename:old:new`,
+  *                  `widen:name:newType` (empty for data commits). Reading a
+  *                  file written at snapshot s replays all ops in (s, target].
   */
 case class Snapshot(
     snapshotId: Long,
@@ -39,14 +51,20 @@ case class Snapshot(
     schemaJson: String,
     partitionCols: List[String],
     files: List[FileEntry],
-    summary: Map[String, String])
+    summary: Map[String, String],
+    evolution: List[String] = Nil)
 
-/** Persistence for the snapshot log: `<table>/_graft_log/v%08d.json`, one doc per
-  * snapshot, committed by atomic rename (write `.tmp`, rename to final name — the
-  * rename fails if a concurrent writer got there first, giving optimistic
-  * concurrency like Iceberg's catalog swap). `manifest-%08d.json` holds a
-  * consolidated array of all snapshots ≤ N (written by `rewriteManifests`), so a
-  * reader loads one consolidated doc plus any newer deltas instead of N files.
+/** Persistence for the snapshot log: `<table>/_graft_log/v<N>.json`, one doc per
+  * snapshot, committed by atomic create-if-absent (optimistic concurrency —
+  * Hadoop rename silently overwrites on RawLocalFileSystem, so existence is
+  * enforced with `create(overwrite=false)`, which is atomic on HDFS/local and
+  * raises FileAlreadyExistsException for the loser). `manifest-<N>.json` holds
+  * a consolidated array of all snapshots ≤ N (written by `rewriteManifests`),
+  * so a reader loads one consolidated doc plus newer deltas instead of N files.
+  *
+  * Crash-safety invariant everywhere: PUBLISH the replacement doc first, verify
+  * the publish succeeded, and only then delete superseded files — a crash
+  * between the two steps leaves harmless duplicates, never data loss.
   */
 object SnapshotLog {
   implicit val formats: Formats = DefaultFormats
@@ -58,13 +76,19 @@ object SnapshotLog {
   def dataPath(tableDir: String) = new Path(tableDir, DataDir)
 
   private def snapFileName(id: Long) = f"v$id%08d.json"
-  private val SnapRe = "v(\\d{8})\\.json".r
-  private val ManifestRe = "manifest-(\\d{8})\\.json".r
+  private def manifestFileName(seq: Long) = f"manifest-$seq%08d.json"
+  // (\d+), not (\d{8}): ids beyond 8 digits must stay visible to load()
+  private val SnapRe = "v(\\d+)\\.json".r
+  // Manifests carry their own sequence counter (NOT a snapshot id): every
+  // publish gets a fresh, create-if-absent name, so a re-publish for the same
+  // snapshot set (e.g. rewriteManifests after expireSnapshots) never renames
+  // over an existing doc — the failure mode that silently kept stale content.
+  private val ManifestRe = "manifest-(\\d+)\\.json".r
 
   def fs(conf: Configuration, dir: String): FileSystem = new Path(dir).getFileSystem(conf)
 
-  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+  private def writeString(fs: FileSystem, p: Path, s: String, overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
@@ -79,18 +103,22 @@ object SnapshotLog {
     } finally in.close()
   }
 
-  /** Atomically publish a snapshot doc. Returns false if the version already
-    * exists (concurrent commit) — callers retry with a fresh id.
+  /** Atomically publish a snapshot doc via create-if-absent. Returns false if
+    * the version already exists (a concurrent commit won) — callers retry with
+    * a fresh id.
     */
   def commit(conf: Configuration, tableDir: String, snap: Snapshot): Boolean = {
     val f = fs(conf, tableDir)
     val dir = logPath(tableDir)
     f.mkdirs(dir)
     val finalPath = new Path(dir, snapFileName(snap.snapshotId))
-    if (f.exists(finalPath)) return false
-    val tmp = new Path(dir, snapFileName(snap.snapshotId) + s".tmp-${java.util.UUID.randomUUID()}")
-    writeString(f, tmp, Serialization.write(snap))
-    f.rename(tmp, finalPath) && { f.delete(tmp, false); true } || { f.delete(tmp, false); false }
+    try {
+      writeString(f, finalPath, Serialization.write(snap), overwrite = false)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.PathExistsException => false
+    }
   }
 
   /** All live snapshots, ascending by id: newest consolidated manifest plus any
@@ -101,53 +129,67 @@ object SnapshotLog {
     val dir = logPath(tableDir)
     if (!f.exists(dir)) return Seq.empty
     val names = f.listStatus(dir).map(_.getPath.getName)
-    val manifests = names.collect { case ManifestRe(n) => n.toLong }
-    val upTo = if (manifests.isEmpty) -1L else manifests.max
+    val manifestSeqs = names.collect { case ManifestRe(n) => n.toLong }
     val base: Seq[Snapshot] =
-      if (upTo < 0) Seq.empty
-      else Serialization.read[List[Snapshot]](readString(f, new Path(dir, f"manifest-$upTo%08d.json")))
+      if (manifestSeqs.isEmpty) Seq.empty
+      else Serialization.read[List[Snapshot]](
+        readString(f, new Path(dir, manifestFileName(manifestSeqs.max))))
+    val upTo = if (base.isEmpty) -1L else base.map(_.snapshotId).max
     val deltas = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
       .map(id => Serialization.read[Snapshot](readString(f, new Path(dir, snapFileName(id)))))
     (base ++ deltas).sortBy(_.snapshotId)
   }
 
-  /** Consolidate the log into one manifest doc and drop the per-snapshot files it
-    * covers (our analog of `rewrite_manifests`, reference
-    * `blob_dfs/blob-dfs_bench.py:146-149`).
+  /** Publish a consolidated manifest doc under a fresh sequence number
+    * (create-if-absent; retries on a concurrent publisher), and only after a
+    * verified publish delete the superseded per-snapshot docs and older
+    * manifests. On publish failure nothing is deleted.
+    */
+  private def publishManifest(f: FileSystem, dir: Path, snaps: Seq[Snapshot]): Boolean = {
+    val maxId = snaps.map(_.snapshotId).max
+    val existing = f.listStatus(dir).map(_.getPath.getName).collect { case ManifestRe(n) => n.toLong }
+    var seq = (if (existing.isEmpty) 0L else existing.max) + 1
+    var published = false
+    var attempts = 0
+    while (!published && attempts < 10) {
+      attempts += 1
+      try {
+        writeString(f, new Path(dir, manifestFileName(seq)), Serialization.write(snaps.toList),
+          overwrite = false)
+        published = true
+      } catch {
+        case _: FileAlreadyExistsException => seq += 1
+        case _: org.apache.hadoop.fs.PathExistsException => seq += 1
+      }
+    }
+    if (!published) return false
+    f.listStatus(dir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case SnapRe(n) if n.toLong <= maxId => f.delete(p, false)
+        case ManifestRe(n) if n.toLong < seq => f.delete(p, false)
+        case _ =>
+      }
+    }
+    true
+  }
+
+  /** Consolidate the log into one manifest doc and drop the per-snapshot files
+    * it covers (our analog of `rewrite_manifests`, reference
+    * `blob_dfs/blob-dfs_bench.py:146-149`). Returns snapshots consolidated,
+    * 0 if the log is empty or the publish failed.
     */
   def rewriteManifests(conf: Configuration, tableDir: String): Int = {
     val snaps = load(conf, tableDir)
     if (snaps.isEmpty) return 0
-    val f = fs(conf, tableDir)
-    val dir = logPath(tableDir)
-    val maxId = snaps.map(_.snapshotId).max
-    val tmp = new Path(dir, f"manifest-$maxId%08d.json.tmp")
-    writeString(f, tmp, Serialization.write(snaps.toList))
-    f.rename(tmp, new Path(dir, f"manifest-$maxId%08d.json"))
-    // Remove superseded per-snapshot docs and older manifests.
-    f.listStatus(dir).map(_.getPath).foreach { p =>
-      p.getName match {
-        case SnapRe(n) if n.toLong <= maxId => f.delete(p, false)
-        case ManifestRe(n) if n.toLong < maxId => f.delete(p, false)
-        case _ =>
-      }
-    }
-    snaps.size
+    if (publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)) snaps.size else 0
   }
 
-  /** Replace the whole log (used by expireSnapshots). */
-  def replaceAll(conf: Configuration, tableDir: String, snaps: Seq[Snapshot]): Unit = {
-    val f = fs(conf, tableDir)
-    val dir = logPath(tableDir)
-    val maxId = snaps.map(_.snapshotId).max
-    val tmp = new Path(dir, f"manifest-$maxId%08d.json.tmp")
-    writeString(f, tmp, Serialization.write(snaps.toList))
-    f.listStatus(dir).map(_.getPath).foreach { p =>
-      p.getName match {
-        case SnapRe(_) | ManifestRe(_) => f.delete(p, false)
-        case _ =>
-      }
-    }
-    f.rename(tmp, new Path(dir, f"manifest-$maxId%08d.json"))
+  /** Replace the whole log with `snaps` (used by expireSnapshots). Publishes
+    * the new manifest first; only after a verified publish are superseded docs
+    * removed (publishManifest's ordering). No-op on empty input.
+    */
+  def replaceAll(conf: Configuration, tableDir: String, snaps: Seq[Snapshot]): Boolean = {
+    if (snaps.isEmpty) return false
+    publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)
   }
 }

@@ -1,0 +1,181 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.dml.Dml
+import graft.gen.Synthesize
+import graft.maintenance.Maintenance
+
+/** End-to-end table-layer spec mirroring the reference's `spark_open_crud`
+  * plan (iceberg-tests/config/framework.yaml:367-452): create → insert →
+  * read → update → delete → merge → evolve → time-travel → maintain.
+  */
+class GraftTableSpec extends SparkSpec {
+
+  private def newSalesTable(): GraftTable = {
+    val dir = scratchDir("sales-")
+    val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents)
+    t.append(Synthesize.salesEvents8(spark))
+    t
+  }
+
+  test("create + append + readLatest round-trips the 8-row interop dataset") {
+    val t = newSalesTable()
+    assert(t.readLatest().count() === 8)
+    val sums = t.readLatest().agg(sum("qty")).collect()(0).getLong(0)
+    assert(sums === 39) // 3+5+2+8+1+10+4+6
+  }
+
+  test("snapshots() metadata table exposes ids and operations (S8)") {
+    val t = newSalesTable()
+    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getString(3)).toSeq === Seq("create", "append"))
+    assert(snaps.last.getLong(5) === 8) // total_rows
+  }
+
+  test("UPDATE rewrites only files containing matches (D1)") {
+    val t = newSalesTable()
+    Dml.update(t, col("event_id") === 1,
+      Map("price" -> (col("price") * 1.1).cast(DecimalType(18, 2))))
+    val updated = t.readLatest().filter(col("event_id") === 1)
+      .select("price").collect()(0).getDecimal(0)
+    assert(updated === new java.math.BigDecimal("21.99")) // 19.99 * 1.1 = 21.989 → 21.99
+    assert(t.readLatest().count() === 8)
+    assert(t.latest.operation === "update")
+  }
+
+  test("DELETE removes matching rows, count drops to 7 (D2)") {
+    val t = newSalesTable()
+    Dml.delete(t, col("event_id") === 8)
+    assert(t.readLatest().count() === 7)
+    assert(t.readLatest().filter(col("event_id") === 8).count() === 0)
+  }
+
+  test("MERGE upsert: matched update + not-matched insert (J1/D3)") {
+    val t = newSalesTable()
+    import spark.implicits._
+    val source = Seq(
+      (1L, 10, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "sku-0001", 30,
+        new java.math.BigDecimal("19.99"), "US", java.sql.Date.valueOf("2024-01-01")),
+      (9L, 14, java.sql.Timestamp.valueOf("2024-01-06 09:00:00"), "sku-0009", 2,
+        new java.math.BigDecimal("42.00"), "DE", java.sql.Date.valueOf("2024-01-06")))
+      .toDF("event_id", "tenant_id", "event_ts", "sku", "qty", "price", "country", "ds")
+      .withColumn("price", col("price").cast(DecimalType(18, 2)))
+    Dml.merge(t, source, "event_id",
+      Map("qty" -> col("src.qty"), "price" -> col("src.price")),
+      insertNotMatched = true)
+    val rows = t.readLatest()
+    assert(rows.count() === 9)
+    assert(rows.filter(col("event_id") === 1).select("qty").collect()(0).getInt(0) === 30)
+    assert(rows.filter(col("event_id") === 9).select("country").collect()(0).getString(0) === "DE")
+  }
+
+  test("MERGE update-only leaves non-matching keys alone (J2)") {
+    val t = newSalesTable()
+    import spark.implicits._
+    val source = Seq((2L, 99)).toDF("event_id", "qty")
+    Dml.merge(t, source, "event_id", Map("qty" -> col("src.qty")), insertNotMatched = false)
+    assert(t.readLatest().count() === 8)
+    assert(t.readLatest().filter(col("event_id") === 2).select("qty").collect()(0).getInt(0) === 99)
+  }
+
+  test("schema evolution: add with default + rename + widen, old files still read (D4-D6)") {
+    val t = newSalesTable()
+    t.addColumn("channel", "string", "web")
+    t.renameColumn("sku", "product_sku")
+    t.widenColumn("qty", "bigint")
+    val df = t.readLatest()
+    assert(df.columns.contains("channel") && df.columns.contains("product_sku"))
+    assert(!df.columns.contains("sku"))
+    assert(df.schema("qty").dataType === LongType)
+    // pre-evolution rows surface the default
+    assert(df.filter(col("channel") === "web").count() === 8)
+    // data written AFTER evolution carries its own schema; both generations read
+    t.append(df.limit(1).withColumn("event_id", lit(100L)))
+    assert(t.readLatest().count() === 9)
+  }
+
+  test("VERSION AS OF reads an old snapshot with its own schema (T1)") {
+    val t = newSalesTable()
+    val baseline = t.latest.snapshotId
+    Dml.delete(t, col("event_id") === 8)
+    t.addColumn("channel", "string", "web")
+    assert(t.readVersionAsOf(baseline).count() === 8)
+    assert(!t.readVersionAsOf(baseline).columns.contains("channel"))
+    assert(t.readLatest().count() === 7)
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time (T2)") {
+    val t = newSalesTable()
+    var fake = 1000L
+    t.clock = () => { fake += 1000; fake }
+    Dml.delete(t, col("event_id") === 8) // committed at some fake time
+    val afterDelete = t.latest.committedAt
+    Dml.delete(t, col("event_id") === 7)
+    assert(t.readTimestampAsOf(afterDelete).count() === 7)
+    assert(t.readLatest().count() === 6)
+  }
+
+  test("expire_snapshots retains last N and deletes dead files (M3)") {
+    val t = newSalesTable()
+    Dml.delete(t, col("event_id") === 8)
+    Dml.delete(t, col("event_id") === 7)
+    val expired = Maintenance.expireSnapshots(t, retainLast = 2)
+    assert(expired === 2)
+    assert(t.snapshotsList.size === 2)
+    assert(t.readLatest().count() === 6) // data intact
+    intercept[IllegalArgumentException](t.readVersionAsOf(1L))
+  }
+
+  test("rewrite_data_files compacts to fewer files, data unchanged (M1)") {
+    val dir = scratchDir("compact-")
+    val t = GraftTable.create(spark, dir, Synthesize.txEvents(spark, 10).schema)
+    (1 to 4).foreach(_ => t.append(Synthesize.txEvents(spark, 100, partitions = 4)))
+    val before = t.latest.files.size
+    val sumBefore = t.readLatest().agg(sum("user_id")).collect()(0).getLong(0)
+    Maintenance.rewriteDataFiles(t, targetFileSizeBytes = 512L * 1024 * 1024)
+    assert(t.latest.files.size < before)
+    assert(t.readLatest().count() === 400)
+    assert(t.readLatest().agg(sum("user_id")).collect()(0).getLong(0) === sumBefore)
+  }
+
+  test("rewrite_manifests consolidates the log (M2) and orphan cleanup is safe (M4)") {
+    val t = newSalesTable()
+    Dml.delete(t, col("event_id") === 8)
+    val n = Maintenance.rewriteManifests(t)
+    assert(n === 3)
+    assert(t.snapshotsList.size === 3) // same content, consolidated
+    // drop an orphan into data/ and ensure only it is removed
+    val orphan = new java.io.File(s"${t.tableDir}/data/orphan.parquet")
+    java.nio.file.Files.writeString(orphan.toPath, "junk")
+    val removed = Maintenance.removeOrphanFiles(t)
+    assert(removed.exists(_.contains("orphan.parquet")))
+    assert(t.readLatest().count() === 7)
+  }
+
+  test("partitioned table prunes partitions on read (S5 partitioning)") {
+    val dir = scratchDir("part-")
+    val events = Synthesize.txEvents(spark, 200).withColumn("ds", col("ts").cast("date"))
+    val t = GraftTable.create(spark, dir, events.schema, partitionCols = Seq("category"))
+    t.append(events)
+    val plan = t.readLatest().filter(col("category") === "A").queryExecution
+      .executedPlan.toString
+    assert(t.readLatest().filter(col("category") === "A").count() === 40)
+    // partition filter reached the scan (no full-table read)
+    assert(plan.contains("PartitionFilters") || !plan.contains("category = A"))
+  }
+
+  test("concurrent commit loser retries onto a fresh id (optimistic concurrency)") {
+    val t = newSalesTable()
+    val conf = spark.sessionState.newHadoopConf()
+    val id = t.latest.snapshotId + 1
+    // simulate a racing writer that claimed the next id
+    val racer = t.latest.copy(snapshotId = id, parentId = Some(t.latest.snapshotId))
+    assert(SnapshotLog.commit(conf, t.tableDir, racer))
+    assert(!SnapshotLog.commit(conf, t.tableDir, racer)) // same id loses
+    t.append(Synthesize.salesEvents8(spark)) // retries past the conflict
+    assert(t.latest.snapshotId > id)
+  }
+}
