@@ -1,0 +1,174 @@
+package graft.catalogsvc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.table.GraftTable
+
+/** S11 — in-process catalog service mirroring the reference's Polaris REST
+  * surface semantics (`opencatalog/scripts/opencatalog_api_tester.py`:
+  * namespace CRUD :643-736, view CRUD :794-847, metrics report :874-885),
+  * minus the network: zero-egress environment, so entities live on the local
+  * filesystem under a catalog root, tables are `GraftTable` directories, and
+  * views are named SQL documents resolved at read time.
+  *
+  * Error semantics follow the REST tester's expectations: creating an
+  * existing entity or dropping a missing one raises; drops are ordered
+  * tables/views-before-namespace (`:1059-1068` cleanup reordering).
+  */
+class CatalogService(spark: SparkSession, rootDir: String) {
+  private implicit val formats: Formats = DefaultFormats
+
+  private def nsDir(ns: String) = {
+    require(ns.matches("[A-Za-z0-9_]+"), s"unsafe namespace: $ns")
+    Paths.get(rootDir, ns)
+  }
+  private def tableDir(ns: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe table name: $name")
+    nsDir(ns).resolve(name)
+  }
+  private def viewsFile(ns: String) = nsDir(ns).resolve("_views.json")
+  private def metricsFile = Paths.get(rootDir, "_metrics.jsonl")
+
+  // --- namespaces ---
+
+  def createNamespace(ns: String, ifNotExists: Boolean = false): Unit = {
+    val dir = nsDir(ns)
+    if (Files.exists(dir)) {
+      if (!ifNotExists) throw new IllegalStateException(s"namespace exists: $ns")
+    } else Files.createDirectories(dir)
+  }
+
+  def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
+
+  def listNamespaces(): Seq[String] = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filterNot(_.startsWith("_")).toSeq.sorted
+    }
+  }
+
+  def dropNamespace(ns: String): Unit = {
+    if (!namespaceExists(ns)) throw new IllegalStateException(s"no such namespace: $ns")
+    require(listTables(ns).isEmpty && listViews(ns).isEmpty,
+      s"namespace not empty: $ns (drop tables and views first)")
+    Files.deleteIfExists(viewsFile(ns))
+    Files.delete(nsDir(ns))
+  }
+
+  // --- tables ---
+
+  def createTable(ns: String, name: String, schema: StructType,
+      partitionCols: Seq[String] = Nil): GraftTable = {
+    require(namespaceExists(ns), s"no such namespace: $ns")
+    if (GraftTable.exists(spark, tableDir(ns, name).toString))
+      throw new IllegalStateException(s"table exists: $ns.$name")
+    GraftTable.create(spark, tableDir(ns, name).toString, schema, partitionCols)
+  }
+
+  def loadTable(ns: String, name: String): GraftTable =
+    GraftTable.load(spark, tableDir(ns, name).toString)
+
+  def tableExists(ns: String, name: String): Boolean =
+    GraftTable.exists(spark, tableDir(ns, name).toString)
+
+  def listTables(ns: String): Seq[String] = {
+    val dir = nsDir(ns)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => GraftTable.exists(spark, dir.resolve(n).toString)).toSeq.sorted
+    }
+  }
+
+  def dropTable(ns: String, name: String): Unit = {
+    if (!tableExists(ns, name)) throw new IllegalStateException(s"no such table: $ns.$name")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      }
+      Files.delete(p)
+    }
+    rm(tableDir(ns, name))
+  }
+
+  // --- views (named SQL over registered temp views, replace-able) ---
+
+  private def readViews(ns: String): Map[String, String] = {
+    val f = viewsFile(ns)
+    if (!Files.exists(f)) Map.empty
+    else Serialization.read[Map[String, String]](
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+  }
+  private def writeViews(ns: String, views: Map[String, String]): Unit =
+    Files.write(viewsFile(ns), Serialization.write(views).getBytes(StandardCharsets.UTF_8))
+
+  def createView(ns: String, name: String, sql: String): Unit = {
+    require(namespaceExists(ns), s"no such namespace: $ns")
+    val vs = readViews(ns)
+    if (vs.contains(name)) throw new IllegalStateException(s"view exists: $ns.$name")
+    writeViews(ns, vs + (name -> sql))
+  }
+
+  /** Replace-view (the REST tester's PUT replace, `:823-836`). */
+  def replaceView(ns: String, name: String, sql: String): Unit = {
+    val vs = readViews(ns)
+    if (!vs.contains(name)) throw new IllegalStateException(s"no such view: $ns.$name")
+    writeViews(ns, vs + (name -> sql))
+  }
+
+  def describeView(ns: String, name: String): String =
+    readViews(ns).getOrElse(name, throw new IllegalStateException(s"no such view: $ns.$name"))
+
+  def listViews(ns: String): Seq[String] = readViews(ns).keys.toSeq.sorted
+
+  def dropView(ns: String, name: String): Unit = {
+    val vs = readViews(ns)
+    if (!vs.contains(name)) throw new IllegalStateException(s"no such view: $ns.$name")
+    writeViews(ns, vs - name)
+  }
+
+  /** Resolve a view: register every table in the namespace as a temp view,
+    * then run the stored SQL.
+    */
+  def readView(ns: String, name: String): DataFrame = {
+    val sql = describeView(ns, name)
+    listTables(ns).foreach(t => loadTable(ns, t).readLatest().createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  // --- metrics (the REST tester's table-metrics report, :874-885) ---
+
+  def reportMetrics(ns: String, table: String, metrics: Map[String, Long]): Unit = {
+    val line = Serialization.write(Map("namespace" -> ns, "table" -> table) ++
+      metrics.map { case (k, v) => k -> v.toString })
+    Files.createDirectories(metricsFile.getParent)
+    Files.writeString(metricsFile, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def metricsCount: Long =
+    if (!Files.exists(metricsFile)) 0L
+    else Files.readAllLines(metricsFile).size.toLong
+
+  /** Cleanup with the REST tester's ordering: tables and views drop before
+    * their namespace (`:1059-1068`).
+    */
+  def dropNamespaceCascade(ns: String): Unit = {
+    listViews(ns).foreach(dropView(ns, _))
+    listTables(ns).foreach(dropTable(ns, _))
+    dropNamespace(ns)
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalogsvc.CatalogService
+import graft.dml.Dml
+import graft.flow.{Saga, StateStore}
+import graft.gen.Synthesize
+import graft.plan._
+import graft.table.GraftTable
+
+/** The harness/dataflow operator family (SURVEY.md §2.14, H1-H16 + S11)
+  * exposed as driver-checkable queries. Each entry drives the real component
+  * and emits its observable behavior as rows with a literal-VALUES oracle —
+  * the components' semantics are fixed, so their outputs are constants.
+  */
+object HarnessQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(name: String): String = {
+    val dir = new java.io.File(s"/root/repo/target/graft-scratch/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    dir.mkdirs()
+    dir.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // H10/H5-H8 — the reference's spark_open_crud plan shape end-to-end
+    // (framework.yaml:367-452): create → insert → read → update → read →
+    // delete → read, with validators over shared state.
+    "h_plan_crud" -> ((s, _) => {
+      import s.implicits._
+      val dir = scratch("plan_crud")
+      val engine = new SparkSqlEngine(s)
+      var table: GraftTable = null
+      def refresh(): Unit = table.readLatest().createOrReplaceTempView("sales_plan")
+      val steps = Seq(
+        Step.action("create_table", _ => {
+          table = GraftTable.create(s, dir, graft.model.Schemas.salesEvents); Nil
+        }),
+        Step.action("bulk_insert", _ => {
+          table.append(Synthesize.salesEvents8(s)); refresh()
+          Seq(Map("row_count" -> 8L))
+        }, Seq(RowcountEquals("{{ dataset.rows }}"))),
+        Step.sql("read_baseline", engine,
+          "SELECT COUNT(*) AS row_count FROM sales_plan",
+          Seq(RowcountEquals("8"), StoreRowcountAs("baseline_rowcount"))),
+        Step.sql("store_rows", engine,
+          "SELECT event_id, qty FROM sales_plan ORDER BY event_id",
+          Seq(StoreRowsAs("baseline_rows"))),
+        Step.action("update_row", _ => {
+          Dml.update(table, col("event_id") === 1, Map("qty" -> lit(30))); refresh(); Nil
+        }),
+        Step.sql("read_after_update", engine,
+          "SELECT COUNT(*) AS row_count FROM sales_plan",
+          Seq(RowcountEquals("{{ state.baseline_rowcount }}"))),
+        Step.action("delete_row", _ => {
+          Dml.delete(table, col("event_id") === 8); refresh(); Nil
+        }),
+        Step.sql("read_after_delete", engine,
+          "SELECT COUNT(*) AS row_count FROM sales_plan",
+          Seq(RowcountEquals("{{ state.baseline_rowcount - 1 }}"), RowcountAtLeast("1"))),
+        Step.sql("rows_changed", engine,
+          "SELECT event_id, qty FROM sales_plan ORDER BY event_id",
+          // baseline had 8 rows incl. pre-update qty — must NOT equal now
+          Seq(CompareRowsWithState("baseline_rows")), continueOnError = true))
+      val report = PlanRunner.run("spark_open_crud", steps,
+        vars = Map("dataset.rows" -> 8))
+      report.steps.map(r => (r.name, r.status, r.validations.count(_.passed).toLong))
+        .toDF("step", "status", "n_validations_passed")
+        .orderBy("step")
+    }),
+
+    // H1 — strict template render incl. state arithmetic
+    "h_template_render" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        ("basic", Sql.render("SELECT * FROM {{ ns }}.sales LIMIT {{ n }}",
+          Map("ns" -> "demo", "n" -> 10))),
+        ("arithmetic", Sql.render("expect {{ rows - 1 }} of {{ rows }}", Map("rows" -> 8))),
+        ("strict_undefined", try { Sql.render("{{ missing }}", Map.empty); "no-error" }
+          catch { case _: IllegalArgumentException => "raised" }))
+        .toDF("case", "rendered").orderBy("case")
+    }),
+
+    // H2/H3 — statement split (quotes + comments) and capture classification
+    "h_statement_split" -> ((s, _) => {
+      import s.implicits._
+      val script =
+        """CREATE TABLE t (a INT); -- a comment; with a semicolon
+          |INSERT INTO t VALUES ('a;b');
+          |SELECT * FROM t""".stripMargin
+      Sql.split(script).zipWithIndex.map { case (stmt, i) =>
+        (i.toLong, stmt.split("\\s+").head.toUpperCase, Sql.capturesRows(stmt))
+      }.toDF("idx", "first_keyword", "captures_rows").orderBy("idx")
+    }),
+
+    // H9 — rowcount derivation ladder over the reference's probe shapes
+    "h_rowcount_derivation" -> ((s, _) => {
+      import s.implicits._
+      def res(rows: Seq[Map[String, Any]]) = StatementResult("probe", rows, None)
+      Seq(
+        ("count_key", Validators.deriveRowcount(res(Seq(Map("COUNT(*)" -> 7L)))).get),
+        ("single_numeric", Validators.deriveRowcount(res(Seq(Map("n" -> 42L)))).get),
+        ("row_fallback", Validators.deriveRowcount(
+          res(Seq(Map("a" -> "x"), Map("a" -> "y"), Map("a" -> "z")))).get))
+        .toDF("case", "derived").orderBy("case")
+    }),
+
+    // H12/H13 — adapter cache identity + median-of-N
+    "h_factory_timing" -> ((s, _) => {
+      import s.implicits._
+      val factory = new EngineFactory(s)
+      factory.get("spark", "open"); factory.get("spark", "open"); factory.get("spark", "unity")
+      Seq(("factory_cache_size", factory.size.toDouble),
+        ("median_odd", Timing.median(Seq(3.0, 1.0, 2.0))),
+        ("median_even", Timing.median(Seq(4.0, 1.0, 2.0, 3.0))))
+        .toDF("case", "value").orderBy("case")
+    }),
+
+    // H15 — saga compensation ordering on mid-plan failure
+    "h_saga_compensation" -> ((s, _) => {
+      import s.implicits._
+      val log = scala.collection.mutable.ArrayBuffer[String]()
+      val report = Saga.run(Seq(
+        Saga.SagaStep("provision_storage", () => log += "a", () => log += "undo_a"),
+        Saga.SagaStep("create_catalog", () => log += "b", () => log += "undo_b"),
+        Saga.SagaStep("grant_access", () => throw new RuntimeException("denied"), () => ()),
+        Saga.SagaStep("smoke_check", () => log += "d", () => ())))
+      val stepRows = report.steps.map(st => ("step", st.name, st.status))
+      val compRows = report.compensations.zipWithIndex.map { case (c, i) =>
+        ("compensation_" + i, c.name, c.status)
+      }
+      (stepRows ++ compRows).toDF("phase", "name", "status").orderBy("phase", "name")
+    }),
+
+    // H16 — idempotent provisioning over the JSON state store
+    "h_state_store" -> ((s, _) => {
+      import s.implicits._
+      val store = new StateStore(scratch("state_store"))
+      var creates = 0
+      def provision() = store.ensure("catalog", "demo") {
+        creates += 1; Map("name" -> "demo", "status" -> "ready")
+      }
+      provision(); val rec = provision() // second call must not re-create
+      store.put("catalog", "other", Map("name" -> "other", "status" -> "ready"))
+      Seq((store.list("catalog").mkString(","), rec("status"), creates.toLong,
+        store.delete("catalog", "other"), store.list("catalog").mkString(",")))
+        .toDF("records", "status", "n_creates", "deleted", "after_delete")
+    }),
+
+    // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
+    "catalog_crud" -> ((s, dir) => {
+      import s.implicits._
+      val cat = new CatalogService(s, scratch("catalog"))
+      cat.createNamespace("analytics")
+      cat.createNamespace("staging")
+      val t = cat.createTable("analytics", "li", Tables.lineitem(s, dir).schema)
+      t.append(Tables.lineitem(s, dir).filter(col("l_orderkey") < 100))
+      cat.createView("analytics", "big_items",
+        "SELECT l_orderkey, l_quantity FROM li WHERE l_quantity > 40")
+      cat.replaceView("analytics", "big_items",
+        "SELECT l_orderkey, l_quantity FROM li WHERE l_quantity > 45")
+      cat.reportMetrics("analytics", "li", Map("rows_read" -> 100L))
+      val viewRows = cat.readView("analytics", "big_items").count()
+      val dupNs = try { cat.createNamespace("analytics"); "no-error" }
+        catch { case _: IllegalStateException => "raised" }
+      cat.dropNamespaceCascade("staging")
+      Seq((cat.listNamespaces().mkString(","), cat.listTables("analytics").mkString(","),
+        cat.listViews("analytics").mkString(","), viewRows, dupNs, cat.metricsCount))
+        .toDF("namespaces", "tables", "views", "view_rows", "dup_ns", "n_metrics")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "h_plan_crud" ->
+      """SELECT * FROM (VALUES
+           ('bulk_insert', 'passed', CAST(1 AS BIGINT)),
+           ('create_table', 'passed', 0),
+           ('delete_row', 'passed', 0),
+           ('read_after_delete', 'passed', 2),
+           ('read_after_update', 'passed', 1),
+           ('read_baseline', 'passed', 2),
+           ('rows_changed', 'failed', 0),
+           ('store_rows', 'passed', 1),
+           ('update_row', 'passed', 0))
+         AS t(step, status, n_validations_passed) ORDER BY step""",
+    "h_template_render" ->
+      """SELECT * FROM (VALUES
+           ('arithmetic', 'expect 7 of 8'),
+           ('basic', 'SELECT * FROM demo.sales LIMIT 10'),
+           ('strict_undefined', 'raised'))
+         AS t("case", rendered) ORDER BY "case"""",
+    "h_statement_split" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'CREATE', false),
+           (1, 'INSERT', false),
+           (2, 'SELECT', true))
+         AS t(idx, first_keyword, captures_rows) ORDER BY idx""",
+    "h_rowcount_derivation" ->
+      """SELECT * FROM (VALUES
+           ('count_key', CAST(7 AS BIGINT)),
+           ('row_fallback', 3),
+           ('single_numeric', 42))
+         AS t("case", derived) ORDER BY "case"""",
+    "h_factory_timing" ->
+      """SELECT * FROM (VALUES
+           ('factory_cache_size', 2.0),
+           ('median_even', 2.5),
+           ('median_odd', 2.0))
+         AS t("case", "value") ORDER BY "case"""",
+    "h_saga_compensation" ->
+      """SELECT * FROM (VALUES
+           ('compensation_0', 'create_catalog', 'compensated'),
+           ('compensation_1', 'provision_storage', 'compensated'),
+           ('step', 'create_catalog', 'completed'),
+           ('step', 'grant_access', 'failed'),
+           ('step', 'provision_storage', 'completed'),
+           ('step', 'smoke_check', 'skipped'))
+         AS t(phase, name, status) ORDER BY phase, name""",
+    "h_state_store" ->
+      """SELECT 'demo,other' AS records, 'ready' AS status, CAST(1 AS BIGINT) AS n_creates,
+              true AS deleted, 'demo' AS after_delete""",
+    "catalog_crud" ->
+      """SELECT 'analytics' AS namespaces, 'li' AS tables, 'big_items' AS views,
+              (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 100 AND l_quantity > 45) AS view_rows,
+              'raised' AS dup_ns, CAST(1 AS BIGINT) AS n_metrics"""
+  )
+}
