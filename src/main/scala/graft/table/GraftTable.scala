@@ -176,13 +176,28 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       (keep ++ written).toList, Nil)
   }
 
+  /** D8 — partition evolution (spec ICEBERG-Interoperability-Test-Spec.md:79):
+    * rewrite the current data under a new partition layout and record the new
+    * partition columns in the snapshot. Data content is unchanged.
+    */
+  def evolvePartitioning(newPartitionCols: Seq[String]): Snapshot = {
+    val parent = latest
+    val df = readLatest()
+    val written = writeDataFiles(df, parent.snapshotId + 1,
+      partColsOverride = Some(newPartitionCols))
+    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), "evolve-partitioning",
+      parent.schemaJson, newPartitionCols.toList, written.toList, Nil)
+  }
+
   /** Write df under data/<uuid>/ (hive-partitioned if the table is), return
     * the new file entries with per-file row counts from the parquet footers.
     */
   private def writeDataFiles(df: DataFrame, snapshotId: Long,
-      sortCols: Seq[String] = Nil): Seq[FileEntry] = {
+      sortCols: Seq[String] = Nil,
+      partColsOverride: Option[Seq[String]] = None): Seq[FileEntry] = {
     val parent = snapshotsList.lastOption
-    val partCols = parent.map(_.partitionCols).getOrElse(Nil)
+    val partCols = partColsOverride.map(_.toList)
+      .getOrElse(parent.map(_.partitionCols).getOrElse(Nil))
     val commitDirName = f"c$snapshotId%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataRoot = SnapshotLog.dataPath(tableDir)
     val commitDir = new org.apache.hadoop.fs.Path(dataRoot, commitDirName)
