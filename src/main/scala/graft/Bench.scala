@@ -53,7 +53,7 @@ object Bench {
       }
     }
 
-    // Reference protocol phases, median-of-N (blob-dfs_bench.py:109-136).
+    // Reference protocol read phases, median-of-N (blob-dfs_bench.py:109-136).
     val phaseQueries = Seq("p3_pruned_window_agg", "a4_approx_percentile", "p4_inlist_lookup")
       .map(n => n -> SparkEntry.queries(n))
     val phases = phaseQueries.flatMap { case (name, fn) =>
@@ -62,11 +62,45 @@ object Bench {
       catch { case _: Throwable => None }
     }
 
+    // Reference protocol write + maintenance phases (blob-dfs_bench.py:103-155):
+    // synthesize tx_events, bulk-append to a day-partitioned GraftTable, then
+    // time the three maintenance procedures on it.
+    val writeRows = sys.env.getOrElse("SPARK_GRAFT_WRITE_ROWS", "1000000").toLong
+    val refPhases = try {
+      val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (dir.exists()) rm(dir)
+      val data = graft.gen.Synthesize.txEvents(spark, writeRows, partitions = 64)
+        .withColumn("ds", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).cast("string"))
+      val t = graft.table.GraftTable.create(spark, dir.toString, data.schema,
+        partitionCols = Seq("ds"))
+      val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
+      // three more appends so compaction and expiry have work to do
+      (1 to 3).foreach(_ => t.append(
+        graft.gen.Synthesize.txEvents(spark, writeRows / 10, partitions = 8)
+          .withColumn("ds", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")).cast("string"))))
+      val c = timeOnce { graft.maintenance.Maintenance.rewriteDataFiles(
+        t, targetFileSizeBytes = 128L * 1024 * 1024, minInputFiles = 2) }
+      val m = timeOnce { graft.maintenance.Maintenance.rewriteManifests(t) }
+      val e = timeOnce { graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 2) }
+      Seq("write_append" -> w, "rewrite_data_files" -> c,
+        "rewrite_manifests" -> m, "expire_snapshots" -> e)
+    } catch {
+      case ex: Throwable =>
+        errors += "ref_phases" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
+        Nil
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ph = phases.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rp = refPhases.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val er = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases_median_of_$reps":$ph,"errors":$er,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases_median_of_$reps":$ph,"ref_phases":$rp,"write_rows":$writeRows,"errors":$er,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

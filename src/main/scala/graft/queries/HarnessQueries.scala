@@ -154,6 +154,35 @@ object HarnessQueries {
         .toDF("records", "status", "n_creates", "deleted", "after_delete")
     }),
 
+    // H14 — API test suite with PASS/EXP/FAIL classification and capture
+    // hooks, mirroring the reference tester's committed transcript shape
+    // (opencatalog/README.md:157-201: reads, writes, expected-failure cases,
+    // cleanup ordered tables-before-namespace)
+    "h_api_suite" -> ((s, dir) => {
+      import s.implicits._
+      import graft.catalogsvc.ApiTester._
+      val cat = new graft.catalogsvc.CatalogService(s, scratch("api_suite"))
+      val schema = Tables.nation(s, dir).schema
+      val report = run(Seq(
+        ApiTest("create_namespace", _ => cat.createNamespace("api_ns")),
+        ApiTest("create_namespace_dup", _ => cat.createNamespace("api_ns"), expectError = true),
+        ApiTest("list_namespaces", _ => cat.listNamespaces().mkString(","), captureAs = Some("ns_list")),
+        ApiTest("head_namespace", ctx => {
+          require(cat.namespaceExists("api_ns")); ctx("ns_list")
+        }),
+        ApiTest("create_table", _ => cat.createTable("api_ns", "nation_t", schema)),
+        ApiTest("describe_missing_table", _ => cat.loadTable("api_ns", "ghost"), expectError = true),
+        ApiTest("create_view", _ => cat.createView("api_ns", "v1", "SELECT 1 AS one")),
+        ApiTest("replace_view", _ => cat.replaceView("api_ns", "v1", "SELECT 2 AS two")),
+        ApiTest("replace_missing_view", _ => cat.replaceView("api_ns", "ghost", "SELECT 3"),
+          expectError = true),
+        ApiTest("report_metrics", _ => cat.reportMetrics("api_ns", "nation_t", Map("rows" -> 25L))),
+        ApiTest("drop_namespace_nonempty", _ => cat.dropNamespace("api_ns"), expectError = true),
+        ApiTest("cleanup_cascade", _ => cat.dropNamespaceCascade("api_ns"))))
+      report.outcomes.map(o => (o.name, o.status))
+        .toDF("test", "status").orderBy("test")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -226,6 +255,21 @@ object HarnessQueries {
     "h_state_store" ->
       """SELECT 'demo,other' AS records, 'ready' AS status, CAST(1 AS BIGINT) AS n_creates,
               true AS deleted, 'demo' AS after_delete""",
+    "h_api_suite" ->
+      """SELECT * FROM (VALUES
+           ('cleanup_cascade', 'PASS'),
+           ('create_namespace', 'PASS'),
+           ('create_namespace_dup', 'EXP'),
+           ('create_table', 'PASS'),
+           ('create_view', 'PASS'),
+           ('describe_missing_table', 'EXP'),
+           ('drop_namespace_nonempty', 'EXP'),
+           ('head_namespace', 'PASS'),
+           ('list_namespaces', 'PASS'),
+           ('replace_missing_view', 'EXP'),
+           ('replace_view', 'PASS'),
+           ('report_metrics', 'PASS'))
+         AS t(test, status) ORDER BY test""",
     "catalog_crud" ->
       """SELECT 'analytics' AS namespaces, 'li' AS tables, 'big_items' AS views,
               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 100 AND l_quantity > 45) AS view_rows,

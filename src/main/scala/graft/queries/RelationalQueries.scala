@@ -35,12 +35,10 @@ object RelationalQueries {
         .filter(col("event_id") === 42L)
         .select("event_id", "user_id", "event_type", "value")),
 
-    // P3 + A3 — partition-pruned 2-day window group-by count
-    // (ref blob_dfs/blob-dfs_bench.py:117-122)
+    // P3 + A3 — pruned 2-day window group-by count; the range predicate hits
+    // the raw ns column so it reaches the scan (ref blob-dfs_bench.py:117-122)
     "p3_pruned_window_agg" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+      Tables.eventsBetween(s, dir, "2024-01-05 00:00:00", "2024-01-07 00:00:00")
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 

@@ -39,6 +39,23 @@ object Tables {
     read(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** `events` restricted to `[startUtc, endUtc)` — the range predicate is
+    * applied to the RAW nanosecond long so it pushes into the parquet scan
+    * (row-group min/max skipping; partition pruning on a partitioned layout).
+    * Filtering the reconstructed timestamp instead would sit above a computed
+    * projection and scan everything — the difference between a pruned read
+    * and a full 100 TB pass.
+    */
+  def eventsBetween(spark: SparkSession, sfDir: String,
+      startUtc: String, endUtc: String): DataFrame = {
+    def ns(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    read(spark, sfDir, "events")
+      .filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Config every SparkSession in this project needs. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
