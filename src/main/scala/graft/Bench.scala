@@ -41,6 +41,14 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // Warm up the JVM/codegen paths so JIT cost doesn't land on whichever
+    // query happens to run first (it showed up as a1_count being "slow").
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
+
     // Every registered query, single-shot (full execution, result discarded).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

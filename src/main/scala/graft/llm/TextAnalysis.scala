@@ -95,6 +95,12 @@ object TextAnalysis {
     "text_ngram_minhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), ngramMinHash(col("text")).as("sig"))
+        .orderBy("doc_id")),
+
+    // BPE-ish subword counting (regex lookarounds — no RE2 twin → rows-only)
+    "text_subword_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id"))
   )
 
