@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.TableQueries.queries ++
       graft.queries.HarnessQueries.queries ++
+      graft.queries.ScaleQueries.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
       graft.queries.TableQueries.oracle ++
       graft.queries.HarnessQueries.oracle ++
+      graft.queries.ScaleQueries.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++

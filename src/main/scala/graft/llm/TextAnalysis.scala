@@ -55,14 +55,14 @@ object TextAnalysis {
   }
 
   /** Rolling-hash-style content fingerprint over word 4-grams: min of the
-    * 4-gram hashes (a 1-permutation MinHash, usable as a cheap doc signature).
+    * 4-gram hashes (a 1-permutation MinHash, usable as a cheap doc
+    * signature). Gram hashing runs through the native `ngram_hash`
+    * expression — no per-gram string allocation.
     */
   def ngramMinHash(text: Column, n: Int = 4): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n)))))
-    array_min(grams)
+    array_min(call_function("ngram_hash",
+      transform(words, w => xxhash64(w)), lit(n)))
   }
 
   val queries: Map[String, Q] = Map(
