@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.NGramHash
+import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, SimHash64}
 
 /** Session extensions: registers the engine's native functions so they are
   * usable from SQL and `expr(...)` in any session configured with
@@ -12,18 +12,54 @@ import graft.functions.NGramHash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn argument must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("ngram_hash"),
       new ExpressionInfo(classOf[NGramHash].getName, "ngram_hash"),
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "ngram_hash(array<bigint>, n) takes 2 arguments")
-        val n = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"ngram_hash window must be an integer literal, got $other")
-        }
-        NGramHash(exprs.head, n)
+        NGramHash(exprs.head, intLit(exprs(1), "ngram_hash window"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "simhash64(array<bigint>) takes 1 argument")
+        SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSim(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "minhash_sig(array<bigint>, numPerm, seed) takes 3 arguments")
+        MinHashSig(exprs.head, intLit(exprs(1), "minhash_sig numPerm"),
+          longLit(exprs(2), "minhash_sig seed"))
       }))
   }
 }

@@ -29,13 +29,16 @@ object Similarity {
   private def fold(c: Column): Column =
     aggregate(c, lit(0.0).cast("double"), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Native codegen'd expressions (graft.functions.VectorOps) — same
+    * sequential accumulation as the fold formulation, so values are
+    * bit-identical, but unboxed loops instead of interpreted HOF lambdas.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   def norm(a: Column): Column =
     sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact top-k cosine neighbors for each query vector (query set must be
     * small — it is broadcast). Output: (qid, vec_id, sim) with rank <= k.
@@ -73,6 +76,22 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Multi-table LSH: one row per (table_id, bucket) for each vector. A
+    * single b-bit table has recall (1−θ/π)^b per pair — hopeless for
+    * moderate-similarity pairs; L independent tables of fewer bits recover
+    * it (P = 1−(1−p^b)^L) while keeping every comparison bucket-local.
+    */
+  def lshTables(df: DataFrame, vecCol: String, tables: Int = 8, bits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("table_id"),
+        lshBucket(col(vecCol), bits, dim, seed = 7L + t).as("bucket"))): _*)
+    df.withColumn("_tb", explode(buckets))
+      .withColumn("table_id", col("_tb.table_id"))
+      .withColumn("bucket", col("_tb.bucket"))
+      .drop("_tb")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
@@ -89,7 +108,57 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine exceeds
+    * `threshold`. Exact variant compares all pairs (the correctness oracle);
+    * the LSH variant restricts comparisons to same-bucket pairs — the only
+    * shape that survives at corpus scale.
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** LSH-bucketed near-dup pairs: candidates share a bucket in at least one
+    * of the multi-table hashes; pairs dedupe across tables before the cosine
+    * verify so each candidate is scored once.
+    */
+  def embeddingNearDupsLsh(corpus: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = lshTables(corpus.select(col("vec_id"), col("embedding")),
+      "embedding", tables, bits, dim)
+    val a = bucketed.select(col("table_id"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("table_id"), col("bucket"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Exact embedding-cosine near-dup pairs (DuckDB-checked all-pairs oracle)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      embeddingNearDups(emb, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+    }),
+
+    // Scale path: same detection restricted to LSH buckets — rows-only
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      embeddingNearDupsLsh(emb, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+    }),
     // Exact ANN baseline, DuckDB-checked (bitwise-identical fold order)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -122,6 +191,16 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS sim
+           FROM embeddings a CROSS JOIN embeddings b
+           WHERE a.vec_id < b.vec_id)
+         SELECT COUNT(*) AS n_pairs,
+                COALESCE(round(SUM(round(sim, 6)), 4), 0.0) AS sim_sum
+         FROM pairs WHERE sim > 0.5""",
     "emb_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id < 5),

@@ -86,6 +86,18 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // A6 — exact + approximate distinct counting (beyond-reference: a
+    // training pipeline counts distinct users/docs constantly; HLL is the
+    // scale path, exact is the oracle)
+    "a6_count_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))),
+
+    "a6_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))),
+
     // A5 — re-aggregation of a grouped result (ref blob-dfs_bench.py:112)
     "a5_reaggregation" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -194,6 +206,9 @@ object RelationalQueries {
     "a4_percentile_value" ->
       """SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a6_count_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types FROM events""",
     "a5_reaggregation" ->
       """SELECT CAST(SUM(cnt) AS BIGINT) AS total_events FROM
          (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)""",

@@ -201,7 +201,15 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val commitDirName = f"c$snapshotId%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataRoot = SnapshotLog.dataPath(tableDir)
     val commitDir = new org.apache.hadoop.fs.Path(dataRoot, commitDirName)
-    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    // write.distribution-mode=hash (ref framework.yaml:139): cluster rows by
+    // partition columns before a partitioned write, else every task emits a
+    // file per partition value — task-count × partition-count tiny files.
+    // (At 100 TB this pairs with target-file-size splitting per partition.)
+    val distributed =
+      if (partCols.nonEmpty) df.repartition(partCols.map(col): _*) else df
+    val sorted =
+      if (sortCols.nonEmpty) distributed.sortWithinPartitions(sortCols.map(col): _*)
+      else distributed
     val writer = sorted.write.mode("errorifexists")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(commitDir.toString)
