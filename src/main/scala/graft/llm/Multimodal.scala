@@ -112,7 +112,8 @@ object Multimodal {
         .agg(count(lit(1)).as("n_sampled_frames"), sum(col("frame_bytes")).as("sampled_bytes"))
         .orderBy("doc_id")),
 
-    // Stubbed dimensions are deterministic but engine-internal → rows-only
+    // Stub decoder output — the stub formula is plain arithmetic over byte
+    // length, so even the fake dims are oracle-checkable
     "mm_decode_dims" -> ((s, dir) =>
       extractFeatures(asMedia(Tables.documents(s, dir)))
         .toDF().select("doc_id", "width", "height", "n_frames").orderBy("doc_id"))
@@ -122,6 +123,12 @@ object Multimodal {
     "mm_decode_features" ->
       """SELECT doc_id, 'image' AS media_type, CAST(strlen(text) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "mm_decode_dims" ->
+      """SELECT doc_id,
+           CAST(16 + strlen(text) % 64 AS INT) AS width,
+           CAST(16 + (strlen(text) // 64) % 64 AS INT) AS height,
+           CAST(1 + strlen(text) // 256 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (

@@ -48,6 +48,7 @@ object Similarity {
       .crossJoin(corpus.select(col("vec_id"), col("embedding")))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+      .filter(!isnan(col("sim"))) // zero vectors would rank first (NaN = greatest)
     pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
@@ -118,7 +119,9 @@ object Similarity {
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
-      .filter(col("sim") > threshold)
+      // Spark orders NaN above every number, so a zero-vector's NaN cosine
+      // would pass `> threshold` — exclude it explicitly
+      .filter(!isnan(col("sim")) && col("sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -139,7 +142,7 @@ object Similarity {
     val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     candidates.join(ea, "id_a").join(eb, "id_b")
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
-      .filter(col("sim") > threshold)
+      .filter(!isnan(col("sim")) && col("sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 

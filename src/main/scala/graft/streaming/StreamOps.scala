@@ -91,8 +91,10 @@ object StreamOps {
         .orderBy("day", "event_type")),
 
     // Custom stateful op: final per-user stats from update-mode stream.
-    // Update mode emits one row per user per batch; the last row per user is
-    // the final state (single input file → single batch here).
+    // Update mode emits one row per user per batch; the max per user is the
+    // final state. Event counts are exact → DuckDB-checked; the float
+    // total_value stays in a separate rows-only entry (stream accumulation
+    // order vs SQL sum order differ in the last ulp).
     "stream_user_stats" -> ((s, dir) => {
       import s.implicits._
       val result = runAvailableNow(s, dir, "stream_user_stats",
@@ -100,8 +102,19 @@ object StreamOps {
           .transform(userRunningStats).toDF(),
         outputMode = "update")
       result.groupBy("user_id")
-        .agg(max("n_events").as("n_events"),
-          round(max("total_value"), 4).as("total_value"))
+        .agg(max("n_events").as("n_events"))
+        .filter(col("user_id") < 20)
+        .orderBy("user_id")
+    }),
+
+    "stream_user_totals" -> ((s, dir) => {
+      import s.implicits._
+      runAvailableNow(s, dir, "stream_user_totals",
+        df => df.select(col("user_id"), col("value")).as[UserEvent]
+          .transform(userRunningStats).toDF(),
+        outputMode = "update")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), round(max("total_value"), 4).as("total_value"))
         .filter(col("user_id") < 20)
         .orderBy("user_id")
     })
@@ -111,6 +124,9 @@ object StreamOps {
     "stream_windowed_counts" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
               event_type, COUNT(*) AS cnt
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "stream_user_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+         WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""
   )
 }

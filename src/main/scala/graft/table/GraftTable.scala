@@ -116,6 +116,22 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   def readFiles(entries: Seq[FileEntry]): DataFrame =
     readSnapshot(latest.copy(files = entries.toList))
 
+  /** Metadata-level partition pruning (the manifest-pruning role in Iceberg):
+    * resolve the file list against equality predicates on partition columns
+    * BEFORE Spark sees any path. Catalyst would prune these partitions too,
+    * but only after listing and planning over every file — at 100 TB with
+    * ~800k files, skipping them in the snapshot metadata keeps scan planning
+    * O(selected partitions).
+    */
+  def readPartitions(partitionEquals: Map[String, String]): DataFrame = {
+    val snap = latest
+    val unknown = partitionEquals.keySet -- snap.partitionCols.toSet
+    require(unknown.isEmpty, s"not partition columns: ${unknown.mkString(", ")}")
+    val selected = snap.files.filter(f =>
+      partitionEquals.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    readSnapshot(snap.copy(files = selected))
+  }
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Edge-input hardening for the text/dedup/similarity operators: empty and
+  * degenerate documents must flow through every pipeline without nulls or
+  * exceptions (at corpus scale there is ALWAYS an empty doc somewhere).
+  */
+class LlmEdgeSpec extends SparkSpec {
+
+  private def degenerateDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, ""),                      // empty
+      (2L, "   "),                   // whitespace only
+      (3L, "word"),                  // single word < any shingle size
+      (4L, "!!! ??? ..."),           // punctuation only → zero words
+      (5L, "a b a b a b a b"))       // tiny but shingle-able
+      .toDF("doc_id", "text")
+  }
+
+  test("dedup pipelines survive empty and degenerate documents") {
+    val exact = Dedup.exactGroups(degenerateDocs).collect()
+    assert(exact.length === 5) // all contents distinct
+    val near = Dedup.minHashNearDups(degenerateDocs, threshold = 0.1).collect()
+    // docs 1/2/4 all have EMPTY shingle sets → identical minhash signatures;
+    // they become candidates but jaccard is 0/0 → NaN, filtered by threshold
+    assert(near.forall(r => !r.getDouble(2).isNaN))
+    val sim = degenerateDocs.select(col("doc_id"), Dedup.simHash(col("text")).as("s")).collect()
+    assert(sim.count(_.getLong(1) == 0L) >= 3) // wordless docs hash to 0
+  }
+
+  test("text analysis yields sane values on degenerate documents") {
+    val stats = degenerateDocs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tok"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    assert(stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)))
+    // empty and whitespace-only normalize to the same fingerprint
+    val fps = stats.map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) === fps(4L)) // punctuation strips to empty too
+  }
+
+  test("similarity handles zero vectors without exceptions") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 2f, 3f, 4f), 0),
+      (3L, Array(1f, 2f, 3f, 4f), 1)).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.5).collect()
+    // zero-vector cosine is NaN → excluded by the threshold filter, and the
+    // identical pair (2,3) survives at sim 1.0
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 3L)))
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+}

@@ -167,6 +167,20 @@ class GraftTableSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("category = A"))
   }
 
+  test("readPartitions prunes the file list in metadata before Spark plans (manifest pruning)") {
+    val dir = scratchDir("metaprune-")
+    val events = Synthesize.txEvents(spark, 200)
+    val t = GraftTable.create(spark, dir, events.schema, partitionCols = Seq("category"))
+    t.append(events)
+    val pruned = t.readPartitions(Map("category" -> "A"))
+    // only files of the A partition are handed to Spark at all
+    val prunedFiles = t.latest.files.filter(_.partitionValues.get("category").contains("A"))
+    assert(prunedFiles.nonEmpty && prunedFiles.size < t.latest.files.size)
+    assert(pruned.count() === 40)
+    assert(pruned.inputFiles.length === prunedFiles.size)
+    intercept[IllegalArgumentException](t.readPartitions(Map("user_id" -> "1")))
+  }
+
   test("concurrent commit loser retries onto a fresh id (optimistic concurrency)") {
     val t = newSalesTable()
     val conf = spark.sessionState.newHadoopConf()
