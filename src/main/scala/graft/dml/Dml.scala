@@ -18,34 +18,35 @@ import graft.table.{FileEntry, GraftTable, Snapshot}
   */
 object Dml {
 
-  /** Split the latest snapshot's files into (files containing rows matching
-    * pred, files provably untouched).
+  /** Split a snapshot's files into (files containing rows matching pred,
+    * files provably untouched), remembering the snapshot the plan is based
+    * on — commitRewrite validates nothing advanced past it.
     */
-  private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry]) = {
-    val files = t.latest.files
-    val withFile = t.readLatest().withColumn("_file", input_file_name())
+  private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
+    val planned = t.latest
+    val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
     val touched = withFile.filter(pred).select("_file").distinct().collect()
       .map(_.getString(0)).toSet
-    val (m, u) = files.partition(e => touched.exists(_.endsWith("/" + e.path)))
-    (m, u)
+    val (m, u) = planned.files.partition(e => touched.exists(_.endsWith("/" + e.path)))
+    (m, u, planned)
   }
 
   /** D1 — `UPDATE t SET ... WHERE pred` (ref update_sales_events.sql:3-5). */
   def update(t: GraftTable, pred: Column, assignments: Map[String, Column]): Snapshot = {
-    val (matched, untouched) = planFiles(t, pred)
+    val (matched, untouched, planned) = planFiles(t, pred)
     if (matched.isEmpty) return t.latest
     val rewritten = assignments.foldLeft(t.readFiles(matched)) { case (df, (c, e)) =>
       df.withColumn(c, when(pred, e).otherwise(col(c)))
     }
-    t.commitRewrite(rewritten, untouched, "update")
+    t.commitRewrite(rewritten, untouched, "update", basedOn = Some(planned))
   }
 
   /** D2 — `DELETE FROM t WHERE pred` (ref delete_sales_events.sql:3-4). */
   def delete(t: GraftTable, pred: Column): Snapshot = {
-    val (matched, untouched) = planFiles(t, pred)
+    val (matched, untouched, planned) = planFiles(t, pred)
     if (matched.isEmpty) return t.latest
     val rewritten = t.readFiles(matched).filter(!pred)
-    t.commitRewrite(rewritten, untouched, "delete")
+    t.commitRewrite(rewritten, untouched, "delete", basedOn = Some(planned))
   }
 
   /** D3/J1/J2 — `MERGE INTO t USING source ON t.key = source.key`
@@ -60,9 +61,16 @@ object Dml {
   def merge(t: GraftTable, source: DataFrame, key: String,
       updateSet: Map[String, Column], insertNotMatched: Boolean): Snapshot = {
     val src = source.alias("src")
-    val keyPred = col(key).isInCollection(
-      source.select(key).distinct().collect().map(_.get(0)).toSeq)
-    val (matched, untouched) = planFiles(t, keyPred)
+    // Plan matched files via a broadcast semi-join against the source keys —
+    // the source never collects to the driver (a VALUES-sized source
+    // broadcasts trivially; a large source still only ships its key column).
+    val planned = t.latest
+    val srcKeys = broadcast(source.select(col(key)).distinct())
+    val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
+    val touched = withFile.join(srcKeys, Seq(key), "left_semi")
+      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    val (matched, untouched) = planned.files.partition(e =>
+      touched.exists(_.endsWith("/" + e.path)))
     // Rewrite matched files: left-join to source, apply updates where joined.
     val tgt = t.readFiles(matched).alias("tgt")
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "left")
@@ -84,6 +92,6 @@ object Dml {
           .select(t.schema.fieldNames.map(col).toSeq: _*)
         rewritten.unionByName(inserts)
       }
-    t.commitRewrite(result, untouched, "merge")
+    t.commitRewrite(result, untouched, "merge", basedOn = Some(planned))
   }
 }

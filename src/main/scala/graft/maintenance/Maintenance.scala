@@ -19,13 +19,16 @@ object Maintenance {
     */
   def rewriteDataFiles(t: GraftTable, targetFileSizeBytes: Long = 512L * 1024 * 1024,
       minInputFiles: Int = 2): Option[graft.table.Snapshot] = {
-    val files = t.latest.files
+    val planned = t.latest
+    val files = planned.files
     val small = files.count(_.sizeBytes < targetFileSizeBytes)
     if (small < minInputFiles) return None
     val totalBytes = files.map(_.sizeBytes).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val df = t.readLatest().repartition(targetFiles)
-    Some(t.overwrite(df, operation = "rewrite-data-files"))
+    val df = t.readSnapshot(planned).repartition(targetFiles)
+    // basedOn-validated: a concurrent append between plan and commit aborts
+    // the compaction instead of being silently dropped by an overwrite
+    Some(t.commitRewrite(df, Nil, "rewrite-data-files", basedOn = Some(planned)))
   }
 
   /** M2 — manifest rewrite: consolidate the snapshot log

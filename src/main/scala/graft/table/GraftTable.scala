@@ -135,19 +135,19 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
-      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+      s => StructType(s.fields :+ org.apache.spark.sql.types.StructField(
         name, DataType.fromDDL(dataType), nullable = true)), "add-column")
 
   /** D5 — rename column (ref schema_evolution_sales_events.sql:6-7). */
   def renameColumn(from: String, to: String): Snapshot =
     evolveSchema(GraftTable.renameColumnOp(from, to),
-      StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f)),
+      s => StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f)),
       "rename-column")
 
   /** D6 — type widening (ref schema_evolution_sales_events.sql:9-10). */
   def widenColumn(name: String, newType: String): Snapshot =
     evolveSchema(GraftTable.widenColumnOp(name, newType),
-      StructType(schema.fields.map(f =>
+      s => StructType(s.fields.map(f =>
         if (f.name == name) f.copy(dataType = DataType.fromDDL(newType)) else f)),
       "widen-column")
 
@@ -162,34 +162,71 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   def overwrite(df: DataFrame, operation: String = "overwrite"): Snapshot =
     commitData(df, operation, parentFiles = false)
 
-  /** Commit a snapshot that keeps `keepFiles` from the parent and adds the
-    * files produced by writing `df` (copy-on-write DML's primitive).
+  /** Optimistic-commit loop: rebuild the snapshot against the CURRENT parent
+    * on every attempt, so a loser retries with the winner's state instead of
+    * silently dropping it (blind id-bumping would lose a concurrent append's
+    * files). `build` may throw to abort (rewrite conflict validation).
     */
-  def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String): Snapshot = {
-    val parent = latest
-    val written = writeDataFiles(df, parent.snapshotId + 1)
-    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), operation,
-      parent.schemaJson, parent.partitionCols, (keepFiles ++ written).toList, Nil)
+  private def commitWithRetry(build: Option[Snapshot] => Snapshot): Snapshot = {
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = build(snapshotsList.lastOption)
+      if (SnapshotLog.commit(conf, tableDir, snap)) return snap
+      attempts += 1
+    }
+    throw new IllegalStateException(s"could not commit after $attempts retries in $tableDir")
   }
 
-  /** Schema-evolution commit: no data movement, new logical schema + replay op. */
-  def evolveSchema(op: String, newSchema: StructType, operation: String): Snapshot = {
-    val parent = latest
-    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), operation,
-      newSchema.json, parent.partitionCols, parent.files, List(op))
+  /** Commit a snapshot that keeps `keepFiles` from the snapshot the rewrite
+    * was planned against and adds the files produced by writing `df`
+    * (copy-on-write DML's primitive). Conflict rule (Iceberg's serializable
+    * validation): any commit that landed after `basedOn` aborts the rewrite —
+    * a concurrent append could hold rows matching the DML predicate, and a
+    * concurrent rewrite may have replaced files this plan kept.
+    */
+  def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String,
+      basedOn: Option[Snapshot] = None): Snapshot = {
+    val planned = basedOn.getOrElse(latest)
+    val written = writeDataFiles(df, planned.snapshotId + 1)
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("rewrite on empty table"))
+      if (p.snapshotId != planned.snapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table advanced to ${p.snapshotId} since rewrite planned at ${planned.snapshotId}")
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, p.schemaJson,
+        p.partitionCols, (keepFiles ++ written).toList,
+        Map("added-files" -> written.size.toString), Nil)
+    }
   }
+
+  /** Schema-evolution commit: no data movement; the new schema is recomputed
+    * from the current parent on every retry so evolution composes with
+    * concurrent appends.
+    */
+  def evolveSchema(op: String, schemaFn: StructType => StructType, operation: String): Snapshot =
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("evolve on empty table"))
+      val newSchema = schemaFn(DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, newSchema.json,
+        p.partitionCols, p.files, Map.empty, List(op))
+    }
 
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
       sortCols: Seq[String] = Nil): Snapshot = {
-    val parents = snapshotsList
-    val parent = parents.lastOption
-    val id = parent.map(_.snapshotId + 1).getOrElse(1L)
-    val partCols = parent.map(_.partitionCols).getOrElse(Nil)
-    val written = writeDataFiles(df, id, sortCols)
-    val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
-    val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)
-    commitSnapshot(id, parent.map(_.snapshotId), operation, schemaJson, partCols,
-      (keep ++ written).toList, Nil)
+    val written = writeDataFiles(df,
+      snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
+    commitWithRetry { parent =>
+      val id = parent.map(_.snapshotId + 1).getOrElse(1L)
+      val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
+      val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)
+      // writtenAt follows the final id so evolution replay resolves the right
+      // write-time schema (concurrent evolution + append is rejected upstream
+      // by evolution being a parent-chained commit)
+      Snapshot(id, parent.map(_.snapshotId), clock(), operation, schemaJson,
+        parent.map(_.partitionCols).getOrElse(Nil),
+        (keep ++ written.map(_.copy(writtenAt = id))).toList,
+        Map("added-files" -> written.size.toString), Nil)
+    }
   }
 
   /** D8 — partition evolution (spec ICEBERG-Interoperability-Test-Spec.md:79):
@@ -197,12 +234,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * partition columns in the snapshot. Data content is unchanged.
     */
   def evolvePartitioning(newPartitionCols: Seq[String]): Snapshot = {
-    val parent = latest
-    val df = readLatest()
-    val written = writeDataFiles(df, parent.snapshotId + 1,
+    val planned = latest
+    val written = writeDataFiles(readLatest(), planned.snapshotId + 1,
       partColsOverride = Some(newPartitionCols))
-    commitSnapshot(parent.snapshotId + 1, Some(parent.snapshotId), "evolve-partitioning",
-      parent.schemaJson, newPartitionCols.toList, written.toList, Nil)
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("evolve on empty table"))
+      if (p.snapshotId != planned.snapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table advanced to ${p.snapshotId} since partition evolution planned at ${planned.snapshotId}")
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "evolve-partitioning",
+        p.schemaJson, newPartitionCols.toList, written.toList,
+        Map("added-files" -> written.size.toString), Nil)
+    }
   }
 
   /** Write df under data/<uuid>/ (hive-partitioned if the table is), return
@@ -257,20 +300,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     } catch { case _: Throwable => -1L }
   }
 
-  private def commitSnapshot(id: Long, parentId: Option[Long], operation: String,
-      schemaJson: String, partitionCols: List[String], files: List[FileEntry],
-      evolution: List[String]): Snapshot = {
-    var snapshotId = id
-    var snap = Snapshot(snapshotId, parentId, clock(), operation, schemaJson,
-      partitionCols, files, Map("added-files" -> files.count(_.writtenAt == id).toString),
-      evolution)
-    var attempts = 0
-    while (!SnapshotLog.commit(conf, tableDir, snap) && attempts < 20) {
-      attempts += 1
-      snapshotId += 1
-      snap = snap.copy(snapshotId = snapshotId, parentId = Some(snapshotId - 1))
-    }
-    require(attempts < 20, s"could not commit snapshot after $attempts retries in $tableDir")
+  /** Create-only commit: the v1 doc must not exist; a conflict means the
+    * table was created concurrently and is an error, never a retry.
+    */
+  private[table] def commitCreate(schemaJson: String, partitionCols: List[String]): Snapshot = {
+    val snap = Snapshot(1L, None, clock(), "create", schemaJson, partitionCols,
+      Nil, Map.empty, Nil)
+    require(SnapshotLog.commit(conf, tableDir, snap), s"table already exists at $tableDir")
     snap
   }
 
@@ -288,7 +324,7 @@ object GraftTable {
     val conf = spark.sessionState.newHadoopConf()
     require(SnapshotLog.load(conf, dir).isEmpty, s"table already exists at $dir")
     val t = new GraftTable(spark, dir)
-    t.commitSnapshot(1L, None, "create", schema.json, partitionCols.toList, Nil, Nil)
+    t.commitCreate(schema.json, partitionCols.toList)
     t
   }
 

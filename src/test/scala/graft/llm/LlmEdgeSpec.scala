@@ -45,6 +45,28 @@ class LlmEdgeSpec extends SparkSpec {
     assert(fps(1L) === fps(4L)) // punctuation strips to empty too
   }
 
+  test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep dark forest where nobody ever goes at night"
+    val docs = (
+      Seq(
+        (100L, base),
+        (101L, base.replace("lazy", "sleepy")),           // near-dup of 100
+        (102L, base + " extra trailing words here"),      // near-dup of 100
+        (103L, "completely different content about spark catalyst optimizer " +
+          "rules and whole stage code generation pipelines running fast")) ++
+        (0L until 20L).map(i => (i, s"filler document number $i with its own " +
+          s"unique vocabulary token$i word${i * 7} term${i * 13}")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"missed planted near-dup: $pairs")
+    assert(pairs.contains((100L, 102L)), s"missed planted near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L),
+      s"false positive on unrelated doc: $pairs")
+  }
+
   test("similarity handles zero vectors without exceptions") {
     import spark.implicits._
     val vecs = Seq(

@@ -181,6 +181,18 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readPartitions(Map("user_id" -> "1")))
   }
 
+  test("two threads appending concurrently both commit with distinct snapshots") {
+    val t = newSalesTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map(_ => Future(t.append(Synthesize.salesEvents8(spark))))
+    val snaps = Await.result(Future.sequence(fs), 120.seconds)
+    assert(snaps.map(_.snapshotId).distinct.size === 2)
+    assert(t.readLatest().count() === 24) // 8 + 8 + 8
+    assert(t.snapshotsList.map(_.snapshotId) === t.snapshotsList.map(_.snapshotId).sorted)
+  }
+
   test("concurrent commit loser retries onto a fresh id (optimistic concurrency)") {
     val t = newSalesTable()
     val conf = spark.sessionState.newHadoopConf()
