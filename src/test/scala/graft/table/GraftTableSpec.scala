@@ -21,6 +21,15 @@ class GraftTableSpec extends SparkSpec {
     t
   }
 
+  test("generators produce the declared schemas (model contract)") {
+    val tx = Synthesize.txEvents(spark, 10)
+    assert(tx.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      graft.model.Schemas.txEvents.fields.map(f => (f.name, f.dataType)).toSeq)
+    val sales = Synthesize.salesEvents8(spark)
+    assert(sales.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      graft.model.Schemas.salesEvents.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("create + append + readLatest round-trips the 8-row interop dataset") {
     val t = newSalesTable()
     assert(t.readLatest().count() === 8)
