@@ -93,6 +93,42 @@ object Similarity {
       .drop("_tb")
   }
 
+  /** IVF-style approximate top-k: the corpus is partitioned into cells
+    * around centroids (here: per-label mean vectors — a k-means assignment
+    * step would slot in identically), queries probe the `nProbe` nearest
+    * cells, and search runs only inside probed cells. The centroid table is
+    * tiny and broadcast; at 100 TB the cell id becomes a partition key so a
+    * probe prunes at the file level.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Build centroids: mean vector per label cell (seed-free, deterministic).
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val centroids = corpus
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    // Assign each query to its nProbe nearest cells (centroids broadcast).
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qe"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    // Search only inside probed cells.
+    probes.join(corpus.select(col("label").as("cell"), col("vec_id"), col("embedding")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+      .filter(!isnan(col("sim")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
@@ -181,6 +217,14 @@ object Similarity {
     "emb_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+    }),
+
+    // IVF-cell ANN — deterministic rows-only (centroid assignment + probe)
+    "emb_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2)
         .agg(count(lit(1)).as("n_results"),
           coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
     }),

@@ -67,6 +67,31 @@ class LlmEdgeSpec extends SparkSpec {
       s"false positive on unrelated doc: $pairs")
   }
 
+  test("connected components resolve transitive near-dup chains to min labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deduplicateCorpus keeps one doc per near-dup component plus singletons") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep dark forest where nobody ever goes at night"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("lazy", "sleepy")), (3L, base + " more"),
+      (9L, "a totally unrelated document about catalyst optimizer internals " +
+        "and adaptive query execution behavior under skew"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.deduplicateCorpus(docs, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 9L)) // 2 and 3 fold into 1's component
+    // no pairs above an impossible threshold → the whole corpus is kept
+    assert(Dedup.deduplicateCorpus(docs, threshold = 1.1).count() === 4)
+  }
+
   test("similarity handles zero vectors without exceptions") {
     import spark.implicits._
     val vecs = Seq(
