@@ -35,6 +35,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
+      graft.llm.Chunking.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
+      graft.llm.Chunking.oracle ++
       graft.streaming.StreamOps.oracle
 }

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Document chunking and sequence packing — the steps between a cleaned
+  * corpus and a training batch: split each document into fixed-size
+  * (optionally overlapping) token windows, then pack chunks into
+  * fixed-token-budget groups.
+  *
+  * Scale notes: chunking is a per-row explode (map-only, no shuffle; output
+  * row count is input tokens / stride). Packing needs a global order to be
+  * deterministic — the cumulative-sum window over (doc_id, chunk_idx) is a
+  * single range-partitioned pass; at 100 TB packing would run per shard
+  * (e.g. per source file group) rather than one global window, which this
+  * API supports by pre-grouping before calling pack.
+  */
+object Chunking {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace word array (the "tokens" of this environment — a real BPE
+    * tokenizer would replace the split, not the plumbing).
+    */
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Explode documents into overlapping chunks of `chunkTokens` words with
+    * `overlap` words shared between consecutive chunks.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col("text"))
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1)).as(Seq("chunk_idx", "start0")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("toks")) - col("chunk_idx") * stride)
+          .as("n_tokens"))
+  }
+
+  /** Streaming sequential packing: chunks in (doc_id, chunk_idx) order are
+    * assigned to packs via a cumulative-sum window — deterministic, single
+    * pass, no state. A boundary-straddling chunk joins the pack its END
+    * falls in, so a pack holds at most `budget + chunkTokens - 1` tokens
+    * (mean ≈ budget); exact-capacity bin packing needs a stateful reset
+    * (flatMapGroupsWithState shape) that no window function expresses.
+    */
+  def packChunks(chunks: DataFrame, budget: Int = 256): DataFrame = {
+    val w = Window.orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Chunk inventory: per-doc chunk counts and token coverage
+    "chunk_documents" -> ((s, dir) =>
+      chunkDocuments(Tables.documents(s, dir))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("chunked_tokens"),
+          max(col("n_tokens")).as("max_chunk_tokens"))
+        .orderBy("doc_id")),
+
+    // Packing contract: packs bounded by budget + chunk size - 1, contiguous
+    "chunk_packing" -> ((s, dir) => {
+      val packed = packChunks(chunkDocuments(Tables.documents(s, dir)))
+      packed.groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("pack_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "chunk_documents" ->
+      raw"""WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         n AS (
+           SELECT doc_id, len(toks) AS n_tok,
+                  GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+           FROM t),
+         c AS (
+           SELECT doc_id, n_tok, UNNEST(range(0, n_chunks)) AS i FROM n)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(LEAST(64, n_tok - i * 48)) AS BIGINT) AS chunked_tokens,
+                CAST(MAX(LEAST(64, n_tok - i * 48)) AS INT) AS max_chunk_tokens
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "chunk_packing" ->
+      raw"""WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         n AS (
+           SELECT doc_id, len(toks) AS n_tok,
+                  GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+           FROM t),
+         c AS (
+           SELECT doc_id, n_tok, UNNEST(range(0, n_chunks)) AS i FROM n),
+         chunks AS (
+           SELECT doc_id, i AS chunk_idx, LEAST(64, n_tok - i * 48) AS n_tokens FROM c),
+         cum AS (
+           SELECT doc_id, chunk_idx, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM chunks)
+         SELECT CAST(FLOOR((cum_tokens - 1) / 256) AS BIGINT) AS pack_id,
+                COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+         FROM cum GROUP BY 1 ORDER BY pack_id"""
+  )
+}
