@@ -61,7 +61,48 @@ object Chunking {
       .withColumn("pack_id", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
   }
 
+  /** Exact-capacity greedy packing: within each shard, chunks are visited in
+    * (doc_id, chunk_idx) order and a pack closes when the next chunk would
+    * exceed `budget` — every pack is strictly ≤ budget. This is the stateful
+    * reset no window function expresses; shards (`n_shards`, by doc-id hash)
+    * bound the per-group iteration and are the unit of parallelism at scale.
+    * Pack ids are (shard, seq) so they're deterministic and collision-free.
+    */
+  def packChunksExact(chunks: DataFrame, budget: Int = 256, nShards: Int = 8): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .as[(Long, Int, Int, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (shard, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._1, r._2))
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+        var packSeq = 0L
+        var used = 0
+        sorted.foreach { case (docId, chunkIdx, nTokens, _) =>
+          if (used > 0 && used + nTokens > budget) { packSeq += 1; used = 0 }
+          used += nTokens
+          out += ((docId, chunkIdx, shard, packSeq))
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "chunk_idx", "shard", "pack_seq")
+      .join(chunks, Seq("doc_id", "chunk_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Exact-capacity packing — strict budget, deterministic rows-only
+    "chunk_packing_exact" -> ((s, dir) => {
+      val packed = packChunksExact(chunkDocuments(Tables.documents(s, dir)))
+      packed.groupBy("shard", "pack_seq")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
+        .agg(count(lit(1)).as("n_packs"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(col("pack_tokens")).as("total_tokens"))
+    }),
+
     // Chunk inventory: per-doc chunk counts and token coverage
     "chunk_documents" -> ((s, dir) =>
       chunkDocuments(Tables.documents(s, dir))

@@ -29,6 +29,16 @@ class ChunkingSpec extends SparkSpec {
       Chunking.chunkDocuments(doc, chunkTokens = 16, overlap = 16))
   }
 
+  test("exact packing never exceeds the budget and loses no tokens") {
+    val chunks = Chunking.chunkDocuments(Tables.documents(spark, sf))
+    val packed = Chunking.packChunksExact(chunks, budget = 256)
+    val packs = packed.groupBy("shard", "pack_seq").agg(sum("n_tokens").as("t")).collect()
+    assert(packs.forall(_.getLong(2) <= 256), "a pack exceeded the budget")
+    assert(packed.count() === chunks.count())
+    assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) ===
+      chunks.agg(sum("n_tokens")).collect()(0).getLong(0))
+  }
+
   test("packing is bounded by budget + chunk size - 1 and loses no tokens") {
     val chunks = Chunking.chunkDocuments(Tables.documents(spark, sf))
     val packed = Chunking.packChunks(chunks, budget = 256)
