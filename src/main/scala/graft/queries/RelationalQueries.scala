@@ -169,6 +169,40 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers_no_orders"))
     }),
 
+    // W1 — window ranking (beyond-reference: the reference has no OVER()
+    // clauses, but a complete analytical surface needs them): top-3 orders
+    // per customer market segment by price
+    "w1_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // W2 — HAVING-style post-aggregation filter
+    "w2_having" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_items"),
+          dec(sum(dec(col("l_quantity")))).as("total_qty"))
+        .filter(col("n_items") >= 8)
+        .orderBy("l_partkey")),
+
+    // W3 — conditional (pivot-style) aggregation
+    "w3_conditional_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
     // S2 — deterministic synthetic range source, rand-free columns
     // (ref blob_dfs/blob-dfs_bench.py:48-65); the rand(42) `amount` column is
     // Spark-specific so it is exercised rows-only in s2_synth_full
@@ -238,6 +272,23 @@ object RelationalQueries {
     "j4_anti_join" ->
       """SELECT COUNT(*) AS n_customers_no_orders FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "w1_window_rank" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "w2_having" ->
+      """SELECT l_partkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+         FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8 ORDER BY l_partkey""",
+    "w3_conditional_agg" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s2_synth_range" ->
       """SELECT i AS user_id,
            make_timestamp((1735689600 + i % 2592000) * 1000000) AS ts,
