@@ -65,7 +65,40 @@ object TextAnalysis {
       transform(words, w => xxhash64(w)), lit(n)))
   }
 
+  /** Gopher-style quality-filter rules: documents pass when word count,
+    * mean word length, and symbol density sit inside sane bounds. Returns
+    * per-rule flags plus the verdict so downstream can audit WHY a doc was
+    * dropped (a filter that only says "failed" is undebuggable at corpus
+    * scale).
+    */
+  def qualityFilter(df: DataFrame,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = size(ws)
+    val meanLen = (length(regexp_replace(col("text"), "\\s+", "")).cast("double")) /
+      greatest(nWords, lit(1))
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+    val symbolRatio = symbols.cast("double") / greatest(length(col("text")), lit(1))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("symbol_ratio", round(symbolRatio, 4))
+      .withColumn("ok_word_count", nWords >= minWords && nWords <= maxWords)
+      .withColumn("ok_word_len", meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+      .withColumn("ok_symbols", symbolRatio <= maxSymbolRatio)
+      .withColumn("quality_pass",
+        col("ok_word_count") && col("ok_word_len") && col("ok_symbols"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Quality-filter verdicts per doc (auditable rule flags)
+    "text_quality_filter" -> ((s, dir) =>
+      qualityFilter(Tables.documents(s, dir))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "ok_word_count", "ok_word_len", "ok_symbols", "quality_pass")
+        .orderBy("doc_id")),
+
     "text_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
@@ -105,6 +138,29 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_quality_filter" ->
+      raw"""WITH q AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+                  length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_symbols,
+                  length(text) AS n_chars
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_words,
+                  round(CAST(n_nonspace AS DOUBLE) / GREATEST(n_words, 1), 4) AS mean_word_len,
+                  round(CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1), 4) AS symbol_ratio,
+                  CAST(n_nonspace AS DOUBLE) / GREATEST(n_words, 1) AS mwl_raw,
+                  CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1) AS sr_raw
+           FROM q)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+                (mwl_raw >= 2.0 AND mwl_raw <= 12.0) AS ok_word_len,
+                (sr_raw <= 0.1) AS ok_symbols,
+                ((n_words >= 10 AND n_words <= 100000) AND
+                 (mwl_raw >= 2.0 AND mwl_raw <= 12.0) AND
+                 (sr_raw <= 0.1)) AS quality_pass
+         FROM m ORDER BY doc_id""",
     "text_token_stats" ->
       raw"""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
          FROM documents ORDER BY doc_id""",

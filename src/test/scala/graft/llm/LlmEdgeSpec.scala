@@ -32,6 +32,16 @@ class LlmEdgeSpec extends SparkSpec {
     assert(sim.count(_.getLong(1) == 0L) >= 3) // wordless docs hash to 0
   }
 
+  test("quality filter rejects degenerate documents with auditable flags") {
+    val flags = TextAnalysis.qualityFilter(degenerateDocs)
+      .select("doc_id", "quality_pass", "ok_word_count", "ok_symbols").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // every degenerate doc fails, each for an identifiable reason
+    assert(flags.values.forall(!_._1))
+    assert(!flags(1L)._2) // empty: word count
+    assert(!flags(4L)._3) // punctuation-only: symbol ratio
+  }
+
   test("text analysis yields sane values on degenerate documents") {
     val stats = degenerateDocs.select(
       col("doc_id"),
