@@ -25,6 +25,18 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").cast("date").as("day"), col("event_type"), col("cnt"))
 
+  /** Streaming ingest dedup: drop event-id duplicates under an event-time
+    * watermark (state for an id is kept one day past the watermark — the
+    * at-least-once-source dedup pattern; unbounded dropDuplicates would leak
+    * state forever on a real stream).
+    */
+  def dedupedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
@@ -107,6 +119,13 @@ object StreamOps {
         .orderBy("user_id")
     }),
 
+    // Streaming dedup by event id under watermark; counts equal the batch
+    // distinct counts (DuckDB-checked)
+    "stream_dedup" -> ((s, dir) =>
+      runAvailableNow(s, dir, "stream_dedup", dedupedTypeCounts,
+        outputMode = "complete")
+        .orderBy("event_type")),
+
     "stream_user_totals" -> ((s, dir) => {
       import s.implicits._
       runAvailableNow(s, dir, "stream_user_totals",
@@ -127,6 +146,9 @@ object StreamOps {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "stream_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
-         WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""
+         WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
