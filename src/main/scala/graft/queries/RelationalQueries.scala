@@ -8,8 +8,11 @@ import org.apache.spark.sql.types.DecimalType
   * as declarative DataFrame plans. Every entry has a DuckDB oracle; aggregates
   * over doubles are cast to DECIMAL before summing so the result is exact and
   * order-independent (a distributed sum must not depend on partial-aggregation
-  * order), and the final value is cast back to a fixed DECIMAL(18,2) so Spark
-  * and DuckDB agree on the output type.
+  * order). The FINAL output is cast decimal→DOUBLE on both sides: the exact
+  * decimal is int64-representable at these magnitudes, so the double cast is
+  * the identical correctly-rounded value in Spark and DuckDB, while a decimal
+  * output would hash-differ on trailing-zero string forms ("49998.00" vs a
+  * float-normalized "49998.0").
   *
   * Scale notes: all aggregations are partial (map-side combine) by
   * construction; filters and projections sit directly on the scan so parquet
@@ -19,6 +22,8 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // Hash-stable output: exact decimal snapped to scale 2, emitted as double.
+  private def dbl(c: org.apache.spark.sql.Column) = dec(c).cast("double")
 
   val queries: Map[String, Q] = Map(
     // S1/P1/O1 — projection + global sort + limit
@@ -65,8 +70,8 @@ object RelationalQueries {
     "a2_checksums" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
         count(lit(1)).as("row_count"),
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(dec(col("l_extendedprice")) * dec(col("l_quantity")))).as("revenue"))),
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice")) * dec(col("l_quantity")))).as("revenue"))),
 
     // A4 — group-by percentile; exact `percentile` so the oracle can match
     // (ref blob_dfs/blob-dfs_bench.py:125-129 uses approx_percentile — that
@@ -123,7 +128,7 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy("l_orderkey")
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast(DecimalType(18, 4)).as("net_revenue"))
+          .cast(DecimalType(18, 4)).cast("double").as("net_revenue"))
         .orderBy("l_orderkey")
         .limit(100)),
 
@@ -157,7 +162,7 @@ object RelationalQueries {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(dec(sum(dec(col("o_totalprice")))).as("total_revenue"),
+        .agg(dbl(sum(dec(col("o_totalprice")))).as("total_revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")),
 
@@ -189,7 +194,7 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy("l_partkey")
         .agg(count(lit(1)).as("n_items"),
-          dec(sum(dec(col("l_quantity")))).as("total_qty"))
+          dbl(sum(dec(col("l_quantity")))).as("total_qty"))
         .filter(col("n_items") >= 8)
         .orderBy("l_partkey")),
 
@@ -234,8 +239,8 @@ object RelationalQueries {
     "a1_count" -> "SELECT COUNT(*) AS row_count FROM lineitem",
     "a2_checksums" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          FROM lineitem""",
     "a4_percentile_value" ->
       """SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS cnt
@@ -252,7 +257,7 @@ object RelationalQueries {
     "o3_limit" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
     "f5_arithmetic_agg" ->
       """SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS net_revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS net_revenue
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""",
     "f6_date_cast" ->
       """SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds FROM events
@@ -264,7 +269,7 @@ object RelationalQueries {
          FROM nation ORDER BY n_nationkey LIMIT 5""",
     "j3_join_agg_revenue" ->
       """SELECT n_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
            COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
@@ -281,7 +286,7 @@ object RelationalQueries {
          WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
     "w2_having" ->
       """SELECT l_partkey, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
          FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8 ORDER BY l_partkey""",
     "w3_conditional_agg" ->
       """SELECT o_orderpriority,

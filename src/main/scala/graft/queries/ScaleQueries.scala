@@ -15,13 +15,16 @@ object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // Hash-stable output: exact decimal snapped to scale 2, emitted as double
+  // (decimal strings carry trailing zeros that a float-normalizing hash drops).
+  private def dbl(c: org.apache.spark.sql.Column) = dec(c).cast("double")
 
   val queries: Map[String, Q] = Map(
     // Two-phase salted aggregation == plain group-by (decimal sums → exact)
     "skew_salted_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("v", dec(col("value")))
       SkewSalting.saltedAgg(ev, "event_type", "v")
-        .select(col("event_type"), col("cnt"), dec(col("total")).as("total"))
+        .select(col("event_type"), col("cnt"), dbl(col("total")).as("total"))
         .orderBy("event_type")
     }),
 
@@ -32,7 +35,7 @@ object ScaleQueries {
         .withColumn("user_bucket", pmod(col("user_id"), lit(5L)))
       SkewSalting.saltedJoin(ev, dim, "user_id")
         .groupBy("user_bucket")
-        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("value")))).as("total"))
+        .agg(count(lit(1)).as("cnt"), dbl(sum(dec(col("value")))).as("total"))
         .orderBy("user_bucket")
     }),
 
@@ -59,7 +62,7 @@ object ScaleQueries {
       s.table("orders_bkt")
         .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("revenue"))
         .orderBy("c_mktsegment")
     })
   )
@@ -67,15 +70,15 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
     "skew_salted_join" ->
       """SELECT user_id % 5 AS user_bucket, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM events GROUP BY 1 ORDER BY user_bucket""",
     "j5_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )

@@ -34,13 +34,16 @@ object TableQueries {
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // Hash-stable output: exact decimal snapped to scale 2, emitted as double
+  // (decimal strings carry trailing zeros that a float-normalizing hash drops).
+  private def dbl(c: org.apache.spark.sql.Column) = dec(c).cast("double")
 
   private def liSubset(s: SparkSession, dir: String, maxKey: Long): DataFrame =
     Tables.lineitem(s, dir).filter(col("l_orderkey") < maxKey)
 
   private def checksum(df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("row_count"),
-      dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+      dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
 
   val queries: Map[String, Q] = Map(
     // D1 — COW UPDATE: bump quantity on one returnflag, checksum read-back
@@ -70,7 +73,7 @@ object TableQueries {
       Dml.merge(t, source, "o_orderkey",
         Map("o_totalprice" -> col("src.o_totalprice")), insertNotMatched = true)
       t.readLatest().agg(count(lit(1)).as("row_count"),
-        dec(sum(dec(col("o_totalprice")))).as("sum_price"))
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
     }),
 
     // T1 — VERSION AS OF: read the pre-delete snapshot
@@ -128,7 +131,7 @@ object TableQueries {
         t.append(data.filter(col("l_orderkey") % 4 === i)))
       Maintenance.rewriteDataFiles(t, targetFileSizeBytes = 1L << 30)
       t.readLatest().agg(count(lit(1)).as("row_count"),
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
         .withColumn("n_files", lit(t.latest.files.size.toLong))
     }),
 
@@ -149,6 +152,7 @@ object TableQueries {
       val t = GraftTable.create(s, scratch("insert_values"), graft.model.Schemas.salesEvents)
       t.append(Synthesize.salesEvents8(s))
       t.readLatest()
+        .withColumn("price", col("price").cast("double"))
         .select("event_id", "tenant_id", "event_ts", "sku", "qty", "price", "country", "ds")
         .orderBy("event_id")
     }),
@@ -242,19 +246,19 @@ object TableQueries {
   val oracle: Map[String, String] = Map(
     "t_cow_update" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 5.0 ELSE l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 5.0 ELSE l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 1000""",
     "t_cow_delete" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag <> 'R'""",
     "t_merge_upsert" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderkey < 150""",
     "t_time_travel" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 500""",
     "t_snapshots_meta" ->
       """SELECT * FROM (
@@ -286,24 +290,24 @@ object TableQueries {
       "SELECT COUNT(*) AS row_count FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag = 'A'",
     "t_compaction" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(1 AS BIGINT) AS n_files
          FROM lineitem WHERE l_orderkey < 400""",
     "t_expire_snapshots" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(2 AS BIGINT) AS n_snapshots
          FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R'""",
     "s4_insert_values" ->
       """SELECT * FROM (VALUES
-           (CAST(1 AS BIGINT), 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, CAST(19.99 AS DECIMAL(18,2)), 'US', DATE '2024-01-01'),
-           (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, CAST(5.00 AS DECIMAL(18,2)), 'US', DATE '2024-01-01'),
-           (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, CAST(10.00 AS DECIMAL(18,2)), 'GB', DATE '2024-01-02'),
-           (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, CAST(7.50 AS DECIMAL(18,2)), 'FR', DATE '2024-01-02'),
-           (5, 10, TIMESTAMP '2024-01-03 12:00:00', 'sku-0005', 1, CAST(99.99 AS DECIMAL(18,2)), 'US', DATE '2024-01-03'),
-           (6, 11, TIMESTAMP '2024-01-03 13:25:00', 'sku-0002', 10, CAST(5.00 AS DECIMAL(18,2)), 'US', DATE '2024-01-03'),
-           (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, CAST(11.00 AS DECIMAL(18,2)), 'GB', DATE '2024-01-04'),
-           (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, CAST(7.50 AS DECIMAL(18,2)), 'FR', DATE '2024-01-05'))
+           (CAST(1 AS BIGINT), 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, CAST(19.99 AS DOUBLE), 'US', DATE '2024-01-01'),
+           (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, CAST(5.00 AS DOUBLE), 'US', DATE '2024-01-01'),
+           (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, CAST(10.00 AS DOUBLE), 'GB', DATE '2024-01-02'),
+           (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, CAST(7.50 AS DOUBLE), 'FR', DATE '2024-01-02'),
+           (5, 10, TIMESTAMP '2024-01-03 12:00:00', 'sku-0005', 1, CAST(99.99 AS DOUBLE), 'US', DATE '2024-01-03'),
+           (6, 11, TIMESTAMP '2024-01-03 13:25:00', 'sku-0002', 10, CAST(5.00 AS DOUBLE), 'US', DATE '2024-01-03'),
+           (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, CAST(11.00 AS DOUBLE), 'GB', DATE '2024-01-04'),
+           (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, CAST(7.50 AS DOUBLE), 'FR', DATE '2024-01-05'))
          AS t(event_id, tenant_id, event_ts, sku, qty, price, country, ds)
          ORDER BY event_id""",
     "o5_write_ordering" ->
@@ -319,7 +323,7 @@ object TableQueries {
          FROM lineitem WHERE l_orderkey < 500""",
     "t2_timestamp_travel" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 500""",
     "t_files_meta" ->
       """SELECT CAST(2 AS BIGINT) AS n_files,
@@ -327,7 +331,7 @@ object TableQueries {
            CAST(3 AS BIGINT) AS max_written_at""",
     "t_orphan_cleanup" ->
       """SELECT COUNT(*) AS row_count,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(1 AS BIGINT) AS n_orphans_removed
          FROM lineitem WHERE l_orderkey < 500"""
   )
