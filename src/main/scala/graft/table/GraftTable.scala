@@ -85,24 +85,27 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * the target snapshot, union.
     */
   def readSnapshot(snap: Snapshot): DataFrame = {
-    val all = snapshotsList
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     val dataRoot = SnapshotLog.dataPath(tableDir).toString
     val groups = snap.files.groupBy(_.writtenAt)
     val parts = groups.toSeq.sortBy(_._1).map { case (writtenAt, entries) =>
-      val physSchema = all.find(_.snapshotId == writtenAt)
-        .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      // Physical schema comes from the snapshot's OWN schemas map (self-
+      // contained: survives expireSnapshots removing the writtenAt doc).
+      val physSchema = snap.schemas.get(writtenAt.toString)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(logical)
       val paths = entries.map(e => s"$dataRoot/${e.path}")
       val raw = spark.read
         .option("basePath", dataRoot)
         .schema(physSchema)
         .parquet(paths: _*)
-      // Replay evolution committed after this file group was written.
-      val ops = all.filter(s => s.snapshotId > writtenAt && s.snapshotId <= snap.snapshotId)
-        .flatMap(_.evolution)
+      // Replay evolution committed after this file group was written — from
+      // the snapshot's own carried chain, never other (expirable) docs.
+      val ops = snap.chain
+        .filter(st => st.snapshotId > writtenAt && st.snapshotId <= snap.snapshotId)
+        .flatMap(_.ops)
       ops.foldLeft(raw)(applyEvolution)
     }
     val unified = parts.reduce(_.unionByName(_))
@@ -193,10 +196,22 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       if (p.snapshotId != planned.snapshotId)
         throw new java.util.ConcurrentModificationException(
           s"table advanced to ${p.snapshotId} since rewrite planned at ${planned.snapshotId}")
+      val files = (keepFiles ++ written).toList
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, p.schemaJson,
-        p.partitionCols, (keepFiles ++ written).toList,
-        Map("added-files" -> written.size.toString), Nil)
+        p.partitionCols, files,
+        Map("added-files" -> written.size.toString), Nil,
+        schemasFor(files, p.schemas + ((p.snapshotId + 1).toString -> p.schemaJson)),
+        p.chain)
     }
+  }
+
+  /** Prune a schemas map to the writtenAt ids the file list still references,
+    * so snapshot docs stay O(live schemas), not O(all schemas ever).
+    */
+  private def schemasFor(files: Seq[FileEntry], candidates: Map[String, String])
+      : Map[String, String] = {
+    val live = files.map(_.writtenAt.toString).toSet
+    candidates.filter { case (k, _) => live.contains(k) }
   }
 
   /** Schema-evolution commit: no data movement; the new schema is recomputed
@@ -208,7 +223,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       val p = parent.getOrElse(throw new IllegalStateException("evolve on empty table"))
       val newSchema = schemaFn(DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, newSchema.json,
-        p.partitionCols, p.files, Map.empty, List(op))
+        p.partitionCols, p.files, Map.empty, List(op),
+        schemasFor(p.files, p.schemas),
+        p.chain :+ EvolutionStep(p.snapshotId + 1, List(op)))
     }
 
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
@@ -222,10 +239,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       // writtenAt follows the final id so evolution replay resolves the right
       // write-time schema (concurrent evolution + append is rejected upstream
       // by evolution being a parent-chained commit)
+      val files = (keep ++ written.map(_.copy(writtenAt = id))).toList
       Snapshot(id, parent.map(_.snapshotId), clock(), operation, schemaJson,
-        parent.map(_.partitionCols).getOrElse(Nil),
-        (keep ++ written.map(_.copy(writtenAt = id))).toList,
-        Map("added-files" -> written.size.toString), Nil)
+        parent.map(_.partitionCols).getOrElse(Nil), files,
+        Map("added-files" -> written.size.toString), Nil,
+        schemasFor(files,
+          parent.map(_.schemas).getOrElse(Map.empty) + (id.toString -> schemaJson)),
+        parent.map(_.chain).getOrElse(Nil))
     }
   }
 
@@ -244,7 +264,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           s"table advanced to ${p.snapshotId} since partition evolution planned at ${planned.snapshotId}")
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "evolve-partitioning",
         p.schemaJson, newPartitionCols.toList, written.toList,
-        Map("added-files" -> written.size.toString), Nil)
+        Map("added-files" -> written.size.toString), Nil,
+        Map((p.snapshotId + 1).toString -> p.schemaJson), p.chain)
     }
   }
 
@@ -344,22 +365,37 @@ object GraftTable {
       .toSeq.toDF("col_name", "data_type")
   }
 
-  /** Evolution-op encoding shared with SnapshotLog docs. */
-  def addColumnOp(name: String, dataType: String, default: String) = s"add:$name:$dataType:$default"
-  def renameColumnOp(from: String, to: String) = s"rename:$from:$to"
-  def widenColumnOp(name: String, newType: String) = s"widen:$name:$newType"
+  /** Evolution-op encoding shared with SnapshotLog docs — JSON objects, so
+    * column names, DDL types (`struct<a:int>`), and default values may contain
+    * any character without corrupting committed metadata.
+    */
+  def addColumnOp(name: String, dataType: String, default: String): String =
+    writeOp(Map("op" -> "add", "name" -> name, "dataType" -> dataType, "default" -> default))
+  def renameColumnOp(from: String, to: String): String =
+    writeOp(Map("op" -> "rename", "from" -> from, "to" -> to))
+  def widenColumnOp(name: String, newType: String): String =
+    writeOp(Map("op" -> "widen", "name" -> name, "dataType" -> newType))
+
+  private def writeOp(m: Map[String, String]): String =
+    org.json4s.jackson.Serialization.write(m)(SnapshotLog.formats)
 
   /** Replay one evolution op over a DataFrame read with an older schema. */
-  private[table] def applyEvolution(df: DataFrame, op: String): DataFrame =
-    op.split(":", -1) match {
-      case Array("add", name, dt, default) =>
-        if (df.columns.contains(name)) df
-        else df.withColumn(name,
-          (if (default.isEmpty) lit(null) else lit(default)).cast(dt))
-      case Array("rename", from, to) =>
-        if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
-      case Array("widen", name, dt) =>
-        if (df.columns.contains(name)) df.withColumn(name, col(name).cast(dt)) else df
-      case other => throw new IllegalArgumentException(s"bad evolution op: ${other.mkString(":")}")
+  private[table] def applyEvolution(df: DataFrame, op: String): DataFrame = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val m = org.json4s.jackson.JsonMethods.parse(op).extract[Map[String, String]]
+    m.getOrElse("op", "?") match {
+      case "add" =>
+        if (df.columns.contains(m("name"))) df
+        else {
+          val d = m.getOrElse("default", "")
+          df.withColumn(m("name"), (if (d.isEmpty) lit(null) else lit(d)).cast(m("dataType")))
+        }
+      case "rename" =>
+        if (df.columns.contains(m("from"))) df.withColumnRenamed(m("from"), m("to")) else df
+      case "widen" =>
+        if (df.columns.contains(m("name"))) df.withColumn(m("name"), col(m("name")).cast(m("dataType")))
+        else df
+      case _ => throw new IllegalArgumentException(s"bad evolution op: $op")
     }
+  }
 }

@@ -25,6 +25,11 @@ case class FileEntry(
     sizeBytes: Long,
     writtenAt: Long = 0L)
 
+/** One schema-evolution commit's ops, carried forward in every descendant
+  * snapshot so evolution replay never needs another snapshot doc.
+  */
+case class EvolutionStep(snapshotId: Long, ops: List[String])
+
 /** One committed table version — the analog of an Iceberg snapshot + manifest
   * list (reference surface: `SELECT snapshot_id, committed_at FROM t.snapshots`,
   * `iceberg-tests/sql/spark/open_catalog/bulk_insert_sales_events.sql:14-17`).
@@ -33,15 +38,26 @@ case class FileEntry(
   * metadata-only for untouched files: an append stores references to the
   * parent's files plus the new ones, never rewriting data.
   *
+  * Each snapshot doc is SELF-CONTAINED for reads (the Iceberg schemas-list
+  * design): `schemas` maps every distinct `writtenAt` id among `files` to that
+  * write-time physical schema, and `chain` carries every evolution commit's
+  * ops. `expireSnapshots` can therefore drop any older doc without breaking
+  * schema resolution for files the retained snapshots still reference.
+  *
   * 100 TB note: an embedded list is O(total files) per commit. The mitigation
   * here is `rewriteManifests` (consolidation) and file counts bounded by
   * compaction; the full Iceberg answer is per-snapshot delta manifests, which
   * `evolution`-style ops would layer on without changing this interface.
+  * `schemas`/`chain` stay small: one entry per live write-time schema /
+  * evolution commit, never per file.
   *
-  * @param evolution schema-evolution ops applied by this commit, in order,
-  *                  encoded as `add:name:type:default`, `rename:old:new`,
-  *                  `widen:name:newType` (empty for data commits). Reading a
-  *                  file written at snapshot s replays all ops in (s, target].
+  * @param evolution schema-evolution ops applied BY this commit, in order,
+  *                  JSON-encoded (see GraftTable.addColumnOp); empty for data
+  *                  commits. Reading a file written at snapshot s replays all
+  *                  chain ops in (s, target].
+  * @param schemas   writtenAt snapshot id (stringified for JSON) → physical
+  *                  schemaJson, covering every distinct writtenAt in `files`
+  * @param chain     all evolution commits at or before this snapshot, ascending
   */
 case class Snapshot(
     snapshotId: Long,
@@ -52,7 +68,9 @@ case class Snapshot(
     partitionCols: List[String],
     files: List[FileEntry],
     summary: Map[String, String],
-    evolution: List[String] = Nil)
+    evolution: List[String] = Nil,
+    schemas: Map[String, String] = Map.empty,
+    chain: List[EvolutionStep] = Nil)
 
 /** Persistence for the snapshot log: `<table>/_graft_log/v<N>.json`, one doc per
   * snapshot, committed by atomic create-if-absent (optimistic concurrency —

@@ -190,6 +190,36 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readPartitions(Map("user_id" -> "1")))
   }
 
+  test("evolved old files still read correctly after expire_snapshots (self-contained docs)") {
+    val t = newSalesTable()
+    t.renameColumn("sku", "product_sku")
+    t.addColumn("channel", "string", "web")
+    t.append(t.readLatest().limit(1)
+      .withColumn("event_id", lit(100L)).withColumn("channel", lit("store")))
+    // expiring must NOT lose the write-time schemas of files the retained
+    // snapshot still references (the round-3 silent-NULL hazard)
+    assert(Maintenance.expireSnapshots(t, retainLast = 1) > 0)
+    assert(t.snapshotsList.size === 1)
+    val df = t.readLatest()
+    assert(df.count() === 9)
+    assert(df.filter(col("product_sku").isNull).count() === 0)
+    assert(df.filter(col("channel") === "web").count() === 8)
+    assert(df.filter(col("channel") === "store").count() === 1)
+  }
+
+  test("append racing a planned compaction aborts the compaction, append survives") {
+    val dir = scratchDir("race-compact-")
+    val t = GraftTable.create(spark, dir, Synthesize.txEvents(spark, 10).schema)
+    (1 to 3).foreach(_ => t.append(Synthesize.txEvents(spark, 100, partitions = 2)))
+    val planned = t.latest
+    val compacted = t.readSnapshot(planned).repartition(1)
+    t.append(Synthesize.txEvents(spark, 50)) // lands between plan and commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitRewrite(compacted, Nil, "rewrite-data-files", basedOn = Some(planned))
+    }
+    assert(t.readLatest().count() === 350) // the concurrent append was not lost
+  }
+
   test("two threads appending concurrently both commit with distinct snapshots") {
     val t = newSalesTable()
     import scala.concurrent.{Await, Future}
