@@ -49,10 +49,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
 
-    // Every registered query, single-shot (full execution, result discarded).
+    // Every registered query: median of SWEEP_REPS runs (default 2 — the
+    // round-4 single-shot sweep produced 5-9x bidirectional swings on
+    // unchanged code; one repetition absorbs cold-Janino compilation).
+    val sweepReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val sec = timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        val sec = median((1 to sweepReps).map(_ =>
+          timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }))
         Some(name -> sec)
       } catch {
         case e: Throwable =>
@@ -61,42 +65,53 @@ object Bench {
       }
     }
 
-    // Reference protocol read phases, median-of-N (blob-dfs_bench.py:109-136).
+    // Reference protocol read phases: 1 untimed warm-up + median-of-N
+    // (blob-dfs_bench.py:109-136, spec protocol "warm-up then medians",
+    // ICEBERG-Interoperability-Test-Spec.md:193-196).
     val phaseQueries = Seq("p3_pruned_window_agg", "a4_approx_percentile", "p4_inlist_lookup")
       .map(n => n -> SparkEntry.queries(n))
     val phases = phaseQueries.flatMap { case (name, fn) =>
-      try Some(name -> median((1 to reps).map(_ =>
-        timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() })))
-      catch { case _: Throwable => None }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm-up
+        Some(name -> median((1 to reps).map(_ =>
+          timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() })))
+      } catch { case _: Throwable => None }
     }
 
     // Reference protocol write + maintenance phases (blob-dfs_bench.py:103-155):
     // synthesize tx_events, bulk-append to a day-partitioned GraftTable, then
-    // time the three maintenance procedures on it.
+    // time the three maintenance procedures on it. One warm-up round at 1/10
+    // scale primes the write/commit code paths, then each full round runs on a
+    // FRESH table so the phases see identical state; median-of-N per phase.
     val writeRows = sys.env.getOrElse("SPARK_GRAFT_WRITE_ROWS", "1000000").toLong
-    val refPhases = try {
+    def txData(rows: Long, parts: Int) =
+      graft.gen.Synthesize.txEvents(spark, rows, partitions = parts)
+        .withColumn("ds", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).cast("string"))
+    def refPhaseRound(rows: Long): Seq[(String, Double)] = {
       val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
       if (dir.exists()) rm(dir)
-      val data = graft.gen.Synthesize.txEvents(spark, writeRows, partitions = 64)
-        .withColumn("ds", org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("ts")).cast("string"))
+      val data = txData(rows, 64)
       val t = graft.table.GraftTable.create(spark, dir.toString, data.schema,
         partitionCols = Seq("ds"))
       val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
       // three more appends so compaction and expiry have work to do
-      (1 to 3).foreach(_ => t.append(
-        graft.gen.Synthesize.txEvents(spark, writeRows / 10, partitions = 8)
-          .withColumn("ds", org.apache.spark.sql.functions.to_date(
-            org.apache.spark.sql.functions.col("ts")).cast("string"))))
+      (1 to 3).foreach(_ => t.append(txData(rows / 10, 8)))
       val c = timeOnce { graft.maintenance.Maintenance.rewriteDataFiles(
         t, targetFileSizeBytes = 128L * 1024 * 1024, minInputFiles = 2) }
       val m = timeOnce { graft.maintenance.Maintenance.rewriteManifests(t) }
       val e = timeOnce { graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 2) }
       Seq("write_append" -> w, "rewrite_data_files" -> c,
         "rewrite_manifests" -> m, "expire_snapshots" -> e)
+    }
+    val refPhases = try {
+      refPhaseRound(writeRows / 10) // warm-up, discarded
+      val rounds = (1 to reps).map(_ => refPhaseRound(writeRows))
+      rounds.head.map(_._1).map(phase =>
+        phase -> median(rounds.map(_.toMap.apply(phase))))
     } catch {
       case ex: Throwable =>
         errors += "ref_phases" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"

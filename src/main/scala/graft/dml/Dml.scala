@@ -1,9 +1,10 @@
 package graft.dml
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.table.{FileEntry, GraftTable, Snapshot}
+import graft.table.{FileEntry, GraftTable, Snapshot, SnapshotLog}
 
 /** Row-level DML over `GraftTable`, copy-on-write at file granularity
   * (SURVEY.md §2.8, D1-D3/J1-J2).
@@ -18,6 +19,23 @@ import graft.table.{FileEntry, GraftTable, Snapshot}
   */
 object Dml {
 
+  /** Map fully-qualified `input_file_name()` URIs back to table-relative
+    * paths, once, into a Set — so matching the snapshot's file entries is
+    * O(1) per entry. (The previous `endsWith` scan per entry was
+    * O(files × touched) string suffix comparisons on the driver: ~10^11 at
+    * the 100 TB ≈ 800k-file design point.)
+    */
+  private def toRelative(t: GraftTable, fullPaths: Iterable[String]): Set[String] = {
+    val conf = t.spark.sessionState.newHadoopConf()
+    val fs = SnapshotLog.fs(conf, t.tableDir)
+    val root = fs.makeQualified(SnapshotLog.dataPath(t.tableDir)).toUri.getPath + "/"
+    fullPaths.iterator.map { p =>
+      val abs = new HPath(p).toUri.getPath
+      require(abs.startsWith(root), s"scanned file $abs outside table data root $root")
+      abs.stripPrefix(root)
+    }.toSet
+  }
+
   /** Split a snapshot's files into (files containing rows matching pred,
     * files provably untouched), remembering the snapshot the plan is based
     * on — commitRewrite validates nothing advanced past it.
@@ -25,9 +43,9 @@ object Dml {
   private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
     val planned = t.latest
     val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
-    val touched = withFile.filter(pred).select("_file").distinct().collect()
-      .map(_.getString(0)).toSet
-    val (m, u) = planned.files.partition(e => touched.exists(_.endsWith("/" + e.path)))
+    val touched = toRelative(t,
+      withFile.filter(pred).select("_file").distinct().collect().map(_.getString(0)))
+    val (m, u) = planned.files.partition(e => touched.contains(e.path))
     (m, u, planned)
   }
 
@@ -50,16 +68,22 @@ object Dml {
   }
 
   /** D3/J1/J2 — `MERGE INTO t USING source ON t.key = source.key`
-    * (ref merge_sales_events.sql:4-21).
+    * (ref merge_sales_events.sql:4-21, mixed-op spec
+    * ICEBERG-Interoperability-Test-Spec.md:72 "20% updates, 5% deletes,
+    * 75% inserts").
     *
     * `updateSet` maps target columns to expressions over the joined row
     * (reference source columns as `src.<col>`); rows with no match insert the
     * full source row when `insertNotMatched` (WHEN NOT MATCHED THEN INSERT).
-    * Matched rows in untouched files are impossible by construction: every
-    * file containing a key present in `source` is rewritten.
+    * `deleteWhen` is WHEN MATCHED AND <cond> THEN DELETE — it must reference
+    * SOURCE columns (as `src.<col>`), since it also excludes delete-marked
+    * source rows from the insert branch. Matched rows in untouched files are
+    * impossible by construction: every file containing a key present in
+    * `source` is rewritten.
     */
   def merge(t: GraftTable, source: DataFrame, key: String,
-      updateSet: Map[String, Column], insertNotMatched: Boolean): Snapshot = {
+      updateSet: Map[String, Column], insertNotMatched: Boolean,
+      deleteWhen: Option[Column] = None): Snapshot = {
     val src = source.alias("src")
     // Plan matched files via a broadcast semi-join against the source keys —
     // the source never collects to the driver (a VALUES-sized source
@@ -67,28 +91,40 @@ object Dml {
     val planned = t.latest
     val srcKeys = broadcast(source.select(col(key)).distinct())
     val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
-    val touched = withFile.join(srcKeys, Seq(key), "left_semi")
-      .select("_file").distinct().collect().map(_.getString(0)).toSet
-    val (matched, untouched) = planned.files.partition(e =>
-      touched.exists(_.endsWith("/" + e.path)))
-    // Rewrite matched files: left-join to source, apply updates where joined.
+    val touched = toRelative(t,
+      withFile.join(srcKeys, Seq(key), "left_semi")
+        .select("_file").distinct().collect().map(_.getString(0)))
+    val (matched, untouched) = planned.files.partition(e => touched.contains(e.path))
+    // Rewrite matched files: left-join to source, drop matched rows the
+    // delete condition selects, apply updates where joined.
     val tgt = t.readFiles(matched).alias("tgt")
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "left")
     val hasMatch = col(s"src.$key").isNotNull
+    val kept = deleteWhen match {
+      case Some(d) => joined.filter(!(hasMatch && coalesce(d, lit(false))))
+      case None => joined
+    }
     val updatedCols = t.schema.fieldNames.map { c =>
       updateSet.get(c) match {
         case Some(e) => when(hasMatch, e).otherwise(col(s"tgt.$c")).as(c)
         case None => col(s"tgt.$c").as(c)
       }
     }
-    val rewritten = joined.select(updatedCols.toSeq: _*)
-    // WHEN NOT MATCHED THEN INSERT: source rows whose key is absent from the
-    // WHOLE target (anti-join against the full table, not just matched files).
+    val rewritten = kept.select(updatedCols.toSeq: _*)
+    // WHEN NOT MATCHED THEN INSERT. Keys present anywhere in the target are
+    // present in a matched file by construction (any file holding a source
+    // key was planned as matched), so anti-joining against just the matched
+    // files' keys is equivalent to anti-joining the whole table — and reads
+    // only files already being rewritten, halving merge read I/O.
     val result =
       if (!insertNotMatched) rewritten
       else {
-        val allKeys = t.readLatest().select(key)
-        val inserts = source.join(allKeys, Seq(key), "left_anti")
+        val srcInsertable = deleteWhen match {
+          case Some(d) => src.filter(!coalesce(d, lit(false)))
+          case None => src
+        }
+        val matchedKeys = t.readFiles(matched).select(key)
+        val inserts = srcInsertable.join(matchedKeys, Seq(key), "left_anti")
           .select(t.schema.fieldNames.map(col).toSeq: _*)
         rewritten.unionByName(inserts)
       }

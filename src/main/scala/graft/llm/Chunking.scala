@@ -12,11 +12,11 @@ import graft.queries.Tables
   * fixed-token-budget groups.
   *
   * Scale notes: chunking is a per-row explode (map-only, no shuffle; output
-  * row count is input tokens / stride). Packing needs a global order to be
-  * deterministic — the cumulative-sum window over (doc_id, chunk_idx) is a
-  * single range-partitioned pass; at 100 TB packing would run per shard
-  * (e.g. per source file group) rather than one global window, which this
-  * API supports by pre-grouping before calling pack.
+  * row count is input tokens / stride). Packing is deterministic per SHARD
+  * (doc-id hash): each shard orders its chunks by (doc_id, chunk_idx) and
+  * packs independently — shards are the unit of parallelism, so there is no
+  * global sort anywhere and 100 TB packs as thousands of concurrent shard
+  * windows.
   */
 object Chunking {
   type Q = (SparkSession, String) => DataFrame
@@ -46,19 +46,25 @@ object Chunking {
           .as("n_tokens"))
   }
 
-  /** Streaming sequential packing: chunks in (doc_id, chunk_idx) order are
-    * assigned to packs via a cumulative-sum window — deterministic, single
-    * pass, no state. A boundary-straddling chunk joins the pack its END
-    * falls in, so a pack holds at most `budget + chunkTokens - 1` tokens
-    * (mean ≈ budget); exact-capacity bin packing needs a stateful reset
-    * (flatMapGroupsWithState shape) that no window function expresses.
+  /** Streaming sequential packing: within each shard (doc-id hash), chunks in
+    * (doc_id, chunk_idx) order are assigned to packs via a cumulative-sum
+    * window — deterministic, single pass, no state. A boundary-straddling
+    * chunk joins the pack its END falls in, so a pack holds at most
+    * `budget + chunkTokens - 1` tokens (mean ≈ budget); exact-capacity bin
+    * packing needs the stateful reset `packChunksExact` implements.
+    *
+    * Sharding is the scale design, not an option: a no-partition window is a
+    * single-partition global sort — one task owns the entire corpus. Packs
+    * are identified by (shard, pack_seq); shards pack independently and in
+    * parallel, which is exactly how a 100 TB corpus packs per source shard.
     */
-  def packChunks(chunks: DataFrame, budget: Int = 256): DataFrame = {
-    val w = Window.orderBy("doc_id", "chunk_idx")
+  def packChunks(chunks: DataFrame, budget: Int = 256, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
+      .withColumn("pack_seq", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
   }
 
   /** Exact-capacity greedy packing: within each shard, chunks are visited in
@@ -112,12 +118,12 @@ object Chunking {
           max(col("n_tokens")).as("max_chunk_tokens"))
         .orderBy("doc_id")),
 
-    // Packing contract: packs bounded by budget + chunk size - 1, contiguous
+    // Packing contract: per-shard packs bounded by budget + chunk size - 1
     "chunk_packing" -> ((s, dir) => {
       val packed = packChunks(chunkDocuments(Tables.documents(s, dir)))
-      packed.groupBy("pack_id")
+      packed.groupBy("shard", "pack_seq")
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
-        .orderBy("pack_id")
+        .orderBy("shard", "pack_seq")
     })
   )
 
@@ -145,14 +151,16 @@ object Chunking {
          c AS (
            SELECT doc_id, n_tok, UNNEST(range(0, n_chunks)) AS i FROM n),
          chunks AS (
-           SELECT doc_id, i AS chunk_idx, LEAST(64, n_tok - i * 48) AS n_tokens FROM c),
+           SELECT doc_id, i AS chunk_idx, LEAST(64, n_tok - i * 48) AS n_tokens,
+                  doc_id % 8 AS shard FROM c),
          cum AS (
-           SELECT doc_id, chunk_idx, n_tokens,
-                  SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+           SELECT shard, doc_id, chunk_idx, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
            FROM chunks)
-         SELECT CAST(FLOOR((cum_tokens - 1) / 256) AS BIGINT) AS pack_id,
+         SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(FLOOR((cum_tokens - 1) / 256) AS BIGINT) AS pack_seq,
                 COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-         FROM cum GROUP BY 1 ORDER BY pack_id"""
+         FROM cum GROUP BY 1, 2 ORDER BY shard, pack_seq"""
   )
 }

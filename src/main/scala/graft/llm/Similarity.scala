@@ -104,7 +104,6 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // Build centroids: mean vector per label cell (seed-free, deterministic).
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val centroids = corpus
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos").agg(avg(col("v")).as("m"))

@@ -84,7 +84,14 @@ object HarnessQueries {
           Map("ns" -> "demo", "n" -> 10))),
         ("arithmetic", Sql.render("expect {{ rows - 1 }} of {{ rows }}", Map("rows" -> 8))),
         ("strict_undefined", try { Sql.render("{{ missing }}", Map.empty); "no-error" }
-          catch { case _: IllegalArgumentException => "raised" }))
+          catch { case _: IllegalArgumentException => "raised" }),
+        // F9 — the filters the reference templates use (create_sales_events
+        // .sql:7,13-26): `| upper`, `| join`, `| default`, `~` concat.
+        ("filter_upper", Sql.render("{{ col_type | upper }}", Map("col_type" -> "string"))),
+        ("filter_join", Sql.render("({{ cols | join(', ') }})",
+          Map("cols" -> Seq("event_id", "qty", "price")))),
+        ("filter_default", Sql.render("{{ transform | default('identity') | lower }}", Map.empty)),
+        ("concat", Sql.render("{{ 'DAY(' ~ part_col ~ ')' }}", Map("part_col" -> "event_ts"))))
         .toDF("case", "rendered").orderBy("case")
     }),
 
@@ -223,6 +230,10 @@ object HarnessQueries {
       """SELECT * FROM (VALUES
            ('arithmetic', 'expect 7 of 8'),
            ('basic', 'SELECT * FROM demo.sales LIMIT 10'),
+           ('concat', 'DAY(event_ts)'),
+           ('filter_default', 'identity'),
+           ('filter_join', '(event_id, qty, price)'),
+           ('filter_upper', 'STRING'),
            ('strict_undefined', 'raised'))
          AS t("case", rendered) ORDER BY "case"""",
     "h_statement_split" ->

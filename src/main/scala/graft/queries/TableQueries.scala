@@ -76,6 +76,52 @@ object TableQueries {
         dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
     }),
 
+    // D3+spec:72 — MERGE with the mixed op profile ("20% updates, 5%
+    // deletes, 75% inserts"): one merge updates matched rows, deletes
+    // matched rows the source marks (key % 10 == 0), inserts unmatched
+    // source rows — against a 3-file target where one file is untouched.
+    "t_merge_mixed" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("merge_mixed"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 50))
+      t.append(base.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 100))
+      t.append(base.filter(col("o_orderkey") >= 150 && col("o_orderkey") < 200))
+      val source = base.filter(col("o_orderkey") < 150)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Dml.merge(t, source, "o_orderkey",
+        Map("o_totalprice" -> col("src.o_totalprice")), insertNotMatched = true,
+        deleteWhen = Some(col("src.o_orderkey") % 10 === 0))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+    }),
+
+    // The reference's flagship interop_small chain as ONE query
+    // (ref framework.yaml:290-365): create → 8-row insert → evolve (add
+    // channel, rename sku→product_sku, widen qty) → MERGE on the EVOLVED
+    // schema with the reference's source rows (merge_sales_events.sql:8-11)
+    // → trailing DELETE WHERE event_id = 4 (merge_sales_events.sql:23) →
+    // COUNT + SUM(qty) checksums (merge_sales_events.sql:26-27).
+    "t_interop_chain" -> ((s, _) => {
+      val t = GraftTable.create(s, scratch("interop_chain"), graft.model.Schemas.salesEvents)
+      t.append(Synthesize.salesEvents8(s))
+      t.addColumn("channel", "string", "web")
+      t.renameColumn("sku", "product_sku")
+      t.widenColumn("qty", "bigint")
+      val source = s.sql("""
+        SELECT * FROM VALUES
+          (2L, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 6L, CAST(5.50 AS DECIMAL(18,2)), 'US', DATE '2024-01-01', 'app'),
+          (9L, 14, TIMESTAMP '2024-01-06 08:10:00', 'sku-0006', 7L, CAST(15.00 AS DECIMAL(18,2)), 'DE', DATE '2024-01-06', 'store')
+        AS t(event_id, tenant_id, event_ts, product_sku, qty, price, country, ds, channel)""")
+      Dml.merge(t, source, "event_id",
+        Map("qty" -> col("src.qty"), "price" -> col("src.price"),
+          "channel" -> col("src.channel")), insertNotMatched = true)
+      Dml.delete(t, col("event_id") === 4)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("qty")).as("total_qty"),
+        sum(when(col("channel") === "web", 1L).otherwise(0L)).as("n_web"),
+        dbl(sum(dec(col("price")))).as("sum_price"))
+    }),
+
     // T1 — VERSION AS OF: read the pre-delete snapshot
     "t_time_travel" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("time_travel"), liSubset(s, dir, 500).schema)
@@ -220,6 +266,19 @@ object TableQueries {
       checksum(t.readTimestampAsOf(afterAppend))
     }),
 
+    // T2b — offset travel: Snowflake AT(OFFSET => -secs) under a pinned
+    // clock (ref snowflake.sql:359-361)
+    "t2b_offset_travel" -> ((s, dir) => {
+      val t = GraftTable.create(s, scratch("offset_travel"), liSubset(s, dir, 500).schema)
+      var fake = 1000000L
+      t.clock = () => { fake += 60000; fake }
+      t.append(liSubset(s, dir, 500))
+      val afterAppend = t.latest.committedAt
+      Dml.delete(t, col("l_returnflag") === "R")
+      // "now" = the delete commit's clock; -60s lands on the append snapshot
+      checksum(t.readOffsetAsOf(-(t.latest.committedAt - afterAppend) / 1000, t.latest.committedAt))
+    }),
+
     // S9 — file-listing metadata TVF analog (ref snowflake.sql:364-378)
     "t_files_meta" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("files_meta"), liSubset(s, dir, 400).schema)
@@ -256,6 +315,25 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderkey < 150""",
+    "t_merge_mixed" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey < 150 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_orderkey < 200
+           AND (o_orderkey >= 150 OR o_orderkey % 10 <> 0)""",
+    "t_interop_chain" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(SUM(CASE WHEN channel = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_web,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM (VALUES
+           (1, 3, 'web', 19.99), (2, 6, 'app', 5.50), (3, 2, 'web', 10.00),
+           (5, 1, 'web', 99.99), (6, 10, 'web', 5.00), (7, 4, 'web', 11.00),
+           (8, 6, 'web', 7.50), (9, 7, 'store', 15.00))
+         AS t(event_id, qty, channel, price)""",
+    "t2b_offset_travel" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey < 500""",
     "t_time_travel" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty

@@ -80,31 +80,60 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     readSnapshot(candidates.last)
   }
 
-  /** Resolve a snapshot to a DataFrame: group files by write-time schema,
-    * read each group with that physical schema, replay evolution ops up to
-    * the target snapshot, union.
+  /** T2b — offset travel: Snowflake `AT(OFFSET => -seconds)` relative to
+    * "now" (ref snowflake.sql:359-361). `nowMillis` is caller-supplied so the
+    * query is deterministic under a pinned clock.
+    */
+  def readOffsetAsOf(offsetSeconds: Long, nowMillis: Long): DataFrame = {
+    require(offsetSeconds <= 0, s"offset must be a non-positive number of seconds, got $offsetSeconds")
+    readTimestampAsOf(nowMillis + offsetSeconds * 1000L)
+  }
+
+  /** Resolve a snapshot to a DataFrame: group files by evolution EPOCH (the
+    * greatest chain step ≤ `writtenAt`), read each group with its write-time
+    * physical schema, replay evolution ops up to the target snapshot, union.
+    *
+    * Epoch grouping, not per-`writtenAt` grouping, keeps the plan
+    * O(evolution commits): physical schema and replay ops are constant
+    * between two evolution commits, so a never-evolved table reads as ONE
+    * parquet scan no matter how many append commits produced its files
+    * (per-commit grouping grew the plan — an N-way union of N scans — with
+    * every append).
     */
   def readSnapshot(snap: Snapshot): DataFrame = {
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    // Self-contained-format guard: every live writtenAt must have its
+    // write-time schema in the snapshot's own schemas map. A doc written by
+    // the pre-self-contained format deserializes with schemas/chain empty and
+    // would silently read evolved columns as all-NULL — fail loudly instead.
+    val missingSchemas = snap.files.map(_.writtenAt.toString).toSet -- snap.schemas.keySet
+    require(missingSchemas.isEmpty,
+      s"snapshot ${snap.snapshotId} in $tableDir predates the self-contained snapshot " +
+        s"format (no write-time schema recorded for commit(s) ${missingSchemas.mkString(", ")}); " +
+        "rewrite the table with this version before reading")
     val dataRoot = SnapshotLog.dataPath(tableDir).toString
-    val groups = snap.files.groupBy(_.writtenAt)
-    val parts = groups.toSeq.sortBy(_._1).map { case (writtenAt, entries) =>
-      // Physical schema comes from the snapshot's OWN schemas map (self-
-      // contained: survives expireSnapshots removing the writtenAt doc).
-      val physSchema = snap.schemas.get(writtenAt.toString)
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(logical)
+    val chainIds = snap.chain.map(_.snapshotId).sorted
+    def epochOf(writtenAt: Long): Long =
+      chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
+    // Schema json joins the key as a guard: same-epoch files must agree on
+    // their physical schema to share a scan.
+    val groups = snap.files.groupBy(f =>
+      (epochOf(f.writtenAt), snap.schemas(f.writtenAt.toString)))
+    val parts = groups.toSeq.sortBy(_._1).map { case ((epoch, schemaJson), entries) =>
+      val physSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val paths = entries.map(e => s"$dataRoot/${e.path}")
       val raw = spark.read
         .option("basePath", dataRoot)
         .schema(physSchema)
         .parquet(paths: _*)
-      // Replay evolution committed after this file group was written — from
-      // the snapshot's own carried chain, never other (expirable) docs.
+      // Replay evolution committed after this epoch — from the snapshot's own
+      // carried chain, never other (expirable) docs. No chain step lies in
+      // (epoch, writtenAt] by the definition of epoch, so filtering from the
+      // epoch boundary is exact for every file in the group.
       val ops = snap.chain
-        .filter(st => st.snapshotId > writtenAt && st.snapshotId <= snap.snapshotId)
+        .filter(st => st.snapshotId > epoch && st.snapshotId <= snap.snapshotId)
         .flatMap(_.ops)
       ops.foldLeft(raw)(applyEvolution)
     }
@@ -228,17 +257,37 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         p.chain :+ EvolutionStep(p.snapshotId + 1, List(op)))
     }
 
+  /** Column shape (names + types, order- and nullability-insensitive) used to
+    * detect a schema change between writing data files and committing them.
+    */
+  private def shapeOf(s: StructType): Set[(String, DataType)] =
+    s.fields.map(f => (f.name, f.dataType)).toSet
+
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
       sortCols: Seq[String] = Nil): Snapshot = {
+    val writeShape = shapeOf(df.schema)
     val written = writeDataFiles(df,
       snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
     commitWithRetry { parent =>
       val id = parent.map(_.snapshotId + 1).getOrElse(1L)
       val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
       val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)
+      // If a concurrent evolveSchema won the race between writeDataFiles and
+      // this commit attempt, the parent schema no longer matches the bytes we
+      // physically wrote — registering the files under the NEW schema would
+      // read renamed/added columns as wrong/NULL. Abort instead (the caller
+      // re-appends against the evolved table).
+      parent.foreach { p =>
+        val cur = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        if (shapeOf(cur) != writeShape)
+          throw new java.util.ConcurrentModificationException(
+            s"schema of $tableDir evolved concurrently with an append: " +
+              s"files were written as ${writeShape.toSeq.sortBy(_._1).mkString(", ")} " +
+              s"but the table is now ${shapeOf(cur).toSeq.sortBy(_._1).mkString(", ")}")
+      }
       // writtenAt follows the final id so evolution replay resolves the right
-      // write-time schema (concurrent evolution + append is rejected upstream
-      // by evolution being a parent-chained commit)
+      // write-time schema (the shape check above rejects the only way the
+      // final id's schema could differ from the write-time schema)
       val files = (keep ++ written.map(_.copy(writtenAt = id))).toList
       Snapshot(id, parent.map(_.snapshotId), clock(), operation, schemaJson,
         parent.map(_.partitionCols).getOrElse(Nil), files,
@@ -294,13 +343,23 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(commitDir.toString)
     val rootStr = hfs.makeQualified(dataRoot).toString
-    listParquetFiles(commitDir).map { p =>
-      val rel = hfs.makeQualified(p).toString.stripPrefix(rootStr).stripPrefix("/")
-      val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
-        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
-      val status = hfs.getFileStatus(p)
-      FileEntry(rel, partVals, rowCountOf(p), status.getLen, snapshotId)
-    }
+    // Footer reads and stat calls run in parallel: a commit of thousands of
+    // files must not serialize O(files) driver-side round-trips (at local
+    // scale this is ms; against object storage it is the commit cost).
+    import scala.collection.parallel.CollectionConverters._
+    val par = listParquetFiles(commitDir).par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(16))
+    try {
+      par.map { p =>
+        val rel = hfs.makeQualified(p).toString.stripPrefix(rootStr).stripPrefix("/")
+        val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+          .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+        val status = hfs.getFileStatus(p)
+        FileEntry(rel, partVals, rowCountOf(p), status.getLen, snapshotId)
+      }.seq.sortBy(_.path)
+    } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
+      .forkJoinPool.shutdown()
   }
 
   private def listParquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {

@@ -42,9 +42,17 @@ class ChunkingSpec extends SparkSpec {
   test("packing is bounded by budget + chunk size - 1 and loses no tokens") {
     val chunks = Chunking.chunkDocuments(Tables.documents(spark, sf))
     val packed = Chunking.packChunks(chunks, budget = 256)
-    val packs = packed.groupBy("pack_id").agg(sum("n_tokens").as("t")).collect()
-    assert(packs.forall(_.getLong(1) <= 256 + 64 - 1))
+    val packs = packed.groupBy("shard", "pack_seq").agg(sum("n_tokens").as("t")).collect()
+    assert(packs.forall(_.getLong(2) <= 256 + 64 - 1))
     assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) ===
       chunks.agg(sum("n_tokens")).collect()(0).getLong(0))
+  }
+
+  test("packing shards its window — no single-partition global sort in the plan") {
+    val chunks = Chunking.chunkDocuments(Tables.documents(spark, sf))
+    val plan = Chunking.packChunks(chunks, budget = 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"packChunks planned a single-partition window:\n$plan")
   }
 }

@@ -232,6 +232,106 @@ class GraftTableSpec extends SparkSpec {
     assert(t.snapshotsList.map(_.snapshotId) === t.snapshotsList.map(_.snapshotId).sorted)
   }
 
+  test("a 20-append unevolved table reads as exactly ONE parquet scan") {
+    val t = newSalesTable()
+    (1 to 19).foreach(_ => t.append(Synthesize.salesEvents8(spark)))
+    assert(t.snapshotsList.size === 21)
+    val df = t.readLatest()
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size === 1,
+      s"expected one scan for an unevolved table, got ${scans.size}:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() === 160)
+  }
+
+  test("an evolved table plans one scan per evolution epoch, not per commit") {
+    val t = newSalesTable()
+    (1 to 4).foreach(_ => t.append(Synthesize.salesEvents8(spark))) // epoch 0: 5 data commits
+    t.addColumn("channel", "string", "web")
+    (1 to 5).foreach(_ => t.append( // epoch 1: 5 data commits on the evolved schema
+      Synthesize.salesEvents8(spark).withColumn("channel", lit("store"))))
+    val df = t.readLatest()
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size === 2, s"expected two scans (two epochs):\n${df.queryExecution.optimizedPlan}")
+    assert(df.filter(col("channel") === "web").count() === 40)
+    assert(df.filter(col("channel") === "store").count() === 40)
+  }
+
+  test("MERGE mixed: matched delete + update + insert in one merge across files (spec :72)") {
+    import spark.implicits._
+    val dir = scratchDir("merge-mixed-")
+    val base = (1L to 40L).map(k => (k, k * 10)).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, base.schema)
+    t.append(base.filter(col("k") <= 20).repartition(2))
+    t.append(base.filter(col("k") > 20).repartition(2))
+    // source: keys 11..50; delete-marked where k % 10 == 0
+    val source = (11L to 50L).map(k => (k, k * 100)).toDF("k", "v")
+    Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true,
+      deleteWhen = Some(col("src.k") % 10 === 0))
+    val rows = t.readLatest().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deleted: matched marked keys 20, 30, 40; 50 is marked AND unmatched → never inserted
+    assert(!rows.contains(20L) && !rows.contains(30L) && !rows.contains(40L) && !rows.contains(50L))
+    assert(rows(10L) === 100L)   // k=10 predates the source window: untouched
+    assert(rows(15L) === 1500L)  // matched update
+    assert(rows(45L) === 4500L)  // unmatched insert
+    // 40 base - 3 deleted + 9 inserted (41..49)
+    assert(rows.size === 46)
+  }
+
+  test("MERGE keeps untouched files by reference (file-granular COW)") {
+    import spark.implicits._
+    val dir = scratchDir("merge-untouched-")
+    val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, base.schema)
+    t.append(base.filter(col("k") <= 10).coalesce(1))
+    t.append(base.filter(col("k") > 10).coalesce(1))
+    val before = t.latest.files.map(_.path).toSet
+    val source = Seq((3L, 300L)).toDF("k", "v")
+    Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true)
+    val after = t.latest.files.map(_.path).toSet
+    // the file holding k>10 contains no source key: kept byte-identical
+    assert((before intersect after).size === 1,
+      s"expected exactly one untouched file kept by reference: before=$before after=$after")
+    assert(t.readLatest().count() === 20)
+  }
+
+  test("append aborts when the schema evolves between write and commit (race)") {
+    val t = newSalesTable()
+    val saboteur = GraftTable.load(spark, t.tableDir)
+    var fired = false
+    t.clock = () => {
+      if (!fired) { fired = true; saboteur.addColumn("channel", "string", "web") }
+      System.currentTimeMillis()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Synthesize.salesEvents8(spark))
+    }
+    // the winning evolution is intact and the failed append leaked no rows
+    assert(GraftTable.load(spark, t.tableDir).readLatest().count() === 8)
+  }
+
+  test("pre-self-contained snapshot docs fail loudly instead of reading NULLs") {
+    val t = newSalesTable()
+    val legacy = t.latest.copy(schemas = Map.empty) // what an old-format doc deserializes to
+    val e = intercept[IllegalArgumentException](t.readSnapshot(legacy))
+    assert(e.getMessage.contains("self-contained"))
+  }
+
+  test("offset time travel resolves relative to a supplied now (T2b)") {
+    val t = newSalesTable()
+    var fake = 1000000L
+    t.clock = () => { fake += 60000; fake }
+    t.append(Synthesize.salesEvents8(spark))
+    val afterSecond = t.latest.committedAt
+    Dml.delete(t, col("event_id") <= 4) // both appends hold ids 1..8 → 8 rows go
+    assert(t.readLatest().count() === 8)
+    assert(t.readOffsetAsOf(-60, afterSecond + 60000).count() === 16)
+    intercept[IllegalArgumentException](t.readOffsetAsOf(60, afterSecond))
+  }
+
   test("concurrent commit loser retries onto a fresh id (optimistic concurrency)") {
     val t = newSalesTable()
     val conf = spark.sessionState.newHadoopConf()
