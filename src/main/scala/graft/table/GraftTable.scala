@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * files; reads resolve a snapshot (latest, by id, or by timestamp) to a file
   * list and never see in-flight writers.
   *
-  * Layout: parquet part-files under `<dir>/data/<commit-uuid>/`
-  * (hive-partitioned under the commit dir when partition columns are set),
-  * JSON snapshot docs under `<dir>/_graft_log/`.
+  * Layout: parquet part-files under `<dir>/data/` in ONE shared hive layout
+  * (partition dirs common to every commit; part-file names are unique per
+  * write job, and each commit stages under a temp dir then renames into
+  * place), JSON snapshot docs under `<dir>/_graft_log/`. A shared layout is
+  * what lets a read spanning many commits be a single partition-discovery-
+  * clean parquet scan.
   *
   * Scale design:
   *  - commits are metadata-only for untouched files (append = parent list +
@@ -342,24 +345,37 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val writer = sorted.write.mode("errorifexists")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(commitDir.toString)
-    val rootStr = hfs.makeQualified(dataRoot).toString
-    // Footer reads and stat calls run in parallel: a commit of thousands of
-    // files must not serialize O(files) driver-side round-trips (at local
-    // scale this is ms; against object storage it is the commit cost).
+    // Publish the staged files into the SHARED hive layout directly under
+    // data/ (partition dirs common to all commits, part-file names unique per
+    // write job). One layout for every commit means a read over files from
+    // any number of commits is a single discovery-clean scan — per-commit
+    // subdirectories broke Spark's partition discovery (conflicting
+    // directory structures) as soon as one scan spanned two commits.
+    val commitStr = hfs.makeQualified(commitDir).toString
+    // Publication + footer reads + stat calls run in parallel: a commit of
+    // thousands of files must not serialize O(files) driver-side round-trips
+    // (at local scale this is ms; against object storage it is the commit
+    // cost).
     import scala.collection.parallel.CollectionConverters._
     val par = listParquetFiles(commitDir).par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
-    try {
-      par.map { p =>
-        val rel = hfs.makeQualified(p).toString.stripPrefix(rootStr).stripPrefix("/")
-        val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
-          .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
-        val status = hfs.getFileStatus(p)
-        FileEntry(rel, partVals, rowCountOf(p), status.getLen, snapshotId)
-      }.seq.sortBy(_.path)
-    } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
-      .forkJoinPool.shutdown()
+    val entries =
+      try {
+        par.map { staged =>
+          val rel = hfs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
+          val dest = new org.apache.hadoop.fs.Path(dataRoot, rel)
+          hfs.mkdirs(dest.getParent)
+          require(hfs.rename(staged, dest), s"could not publish $staged to $dest")
+          val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+            .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+          val status = hfs.getFileStatus(dest)
+          FileEntry(rel, partVals, rowCountOf(dest), status.getLen, snapshotId)
+        }.seq.sortBy(_.path)
+      } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
+        .forkJoinPool.shutdown()
+    hfs.delete(commitDir, true)
+    entries
   }
 
   private def listParquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
