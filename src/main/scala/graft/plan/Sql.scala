@@ -6,17 +6,178 @@ package graft.plan
 object Sql {
 
   /** H1/F9 — strict template render over the Jinja subset the reference's
-    * templates actually use (ref create_sales_events.sql:7,13-26,
-    * framework.yaml:434-437): `{{ var }}` substitution with dotted names,
-    * integer `+ n` / `- n` arithmetic, `~` string concatenation of variables
-    * and quoted literals, and the filters `upper`, `lower`, `join(sep)`,
-    * `default(value)`. Unknown variables throw (Jinja2 StrictUndefined)
-    * unless a `default` filter supplies a value.
+    * templates actually use (ref create_sales_events.sql:5-30,
+    * framework.yaml:434-437):
+    *
+    *  - `{{ expr }}` output with dotted names (map traversal), integer
+    *    `+`/`-` arithmetic, `~` concatenation, `==`/`!=` comparison,
+    *    `and`/`or`/`not`, and the filters `upper`, `lower`, `join(sep)`,
+    *    `default(value)`;
+    *  - `{% for x in xs %} ... {% endfor %}` with `loop.index` (1-based),
+    *    `loop.first`, `loop.last`;
+    *  - `{% if %}` / `{% elif %}` / `{% else %}` / `{% endif %}`;
+    *  - `{% set name = expr %}`;
+    *  - whitespace control `{%- ... -%}` / `{{- ... -}}` (strips adjacent
+    *    whitespace, Jinja semantics).
+    *
+    * Outputting an unknown variable throws (Jinja2 StrictUndefined) unless a
+    * `default` filter supplies a value; in `if` conditions undefined is
+    * simply falsy, matching Jinja.
     */
   def render(template: String, vars: Map[String, Any]): String = {
-    val Placeholder = raw"\{\{(.+?)\}\}".r
-    Placeholder.replaceAllIn(template, m =>
-      java.util.regex.Matcher.quoteReplacement(evalPlaceholder(m.group(1).trim, vars)))
+    val (nodes, rest) = parseNodes(tokenize(template), Nil)
+    require(rest.isEmpty, s"unexpected ${rest.head} without an opening block")
+    val out = new StringBuilder
+    evalNodes(nodes, scala.collection.mutable.Map[String, Any](vars.toSeq: _*), out)
+    out.toString
+  }
+
+  // ---- template tokenization (text / {{ output }} / {% tag %}) ----
+
+  private sealed trait TTok
+  private case class Text(s: String) extends TTok
+  private case class OutputTok(expr: String) extends TTok
+  private case class TagTok(body: String) extends TTok
+
+  private val TokRe = raw"\{\{(-?)\s*(.+?)\s*(-?)\}\}|\{%(-?)\s*(.+?)\s*(-?)%\}".r
+
+  private def tokenize(template: String): List[TTok] = {
+    val out = scala.collection.mutable.ListBuffer[TTok]()
+    var pos = 0
+    var trimNext = false
+    def emitText(upTo: Int, trimBefore: Boolean): Unit = {
+      var s = template.substring(pos, upTo)
+      if (trimNext) s = s.replaceFirst("^\\s+", "")
+      if (trimBefore) s = s.replaceFirst("\\s+$", "")
+      if (s.nonEmpty) out += Text(s)
+    }
+    for (m <- TokRe.findAllMatchIn(template)) {
+      val isOutput = m.group(2) != null
+      val (lt, body, rt) =
+        if (isOutput) (m.group(1), m.group(2), m.group(3))
+        else (m.group(4), m.group(5), m.group(6))
+      emitText(m.start, lt == "-")
+      out += (if (isOutput) OutputTok(body) else TagTok(body))
+      trimNext = rt == "-"
+      pos = m.end
+    }
+    emitText(template.length, trimBefore = false)
+    out.toList
+  }
+
+  // ---- block parsing ----
+
+  private sealed trait Node
+  private case class TextNode(s: String) extends Node
+  private case class OutputNode(expr: String) extends Node
+  private case class ForNode(v: String, listExpr: String, body: List[Node]) extends Node
+  private case class IfNode(branches: List[(String, List[Node])], orElse: List[Node]) extends Node
+  private case class SetNode(name: String, expr: String) extends Node
+
+  private val ForRe = raw"for\s+([A-Za-z_]\w*)\s+in\s+(.+)".r
+  private val SetRe = raw"set\s+([A-Za-z_]\w*)\s*=\s*(.+)".r
+  private val IfRe = raw"if\s+(.+)".r
+  private val ElifRe = raw"elif\s+(.+)".r
+
+  /** Parse until a block-closing tag (endfor/elif/else/endif), which is left
+    * in the returned remainder for the caller to consume.
+    */
+  private def parseNodes(toks: List[TTok], acc: List[Node]): (List[Node], List[TTok]) =
+    toks match {
+      case Nil => (acc.reverse, Nil)
+      case Text(s) :: rest => parseNodes(rest, TextNode(s) :: acc)
+      case OutputTok(e) :: rest => parseNodes(rest, OutputNode(e) :: acc)
+      case TagTok(body) :: rest => body match {
+        case ForRe(v, listExpr) =>
+          val (inner, rem) = parseNodes(rest, Nil)
+          rem match {
+            case TagTok("endfor") :: tail =>
+              parseNodes(tail, ForNode(v, listExpr, inner) :: acc)
+            case _ => throw new IllegalArgumentException(s"unclosed {% for $v in ... %}")
+          }
+        case IfRe(cond) =>
+          var branches = List.empty[(String, List[Node])]
+          var orElse = List.empty[Node]
+          var cur = cond
+          var toksLeft = rest
+          var done = false
+          while (!done) {
+            val (inner, rem) = parseNodes(toksLeft, Nil)
+            rem match {
+              case TagTok(ElifRe(c2)) :: tail =>
+                branches :+= (cur, inner); cur = c2; toksLeft = tail
+              case TagTok("else") :: tail =>
+                branches :+= (cur, inner)
+                val (elseBody, rem2) = parseNodes(tail, Nil)
+                rem2 match {
+                  case TagTok("endif") :: tail2 =>
+                    orElse = elseBody; toksLeft = tail2; done = true
+                  case _ => throw new IllegalArgumentException("unclosed {% else %}")
+                }
+              case TagTok("endif") :: tail =>
+                branches :+= (cur, inner); toksLeft = tail; done = true
+              case _ => throw new IllegalArgumentException("unclosed {% if %}")
+            }
+          }
+          parseNodes(toksLeft, IfNode(branches, orElse) :: acc)
+        case SetRe(name, expr) => parseNodes(rest, SetNode(name, expr) :: acc)
+        case "endfor" | "endif" | "else" => (acc.reverse, toks)
+        case ElifRe(_) => (acc.reverse, toks)
+        case other => throw new IllegalArgumentException(s"unsupported template tag: {% $other %}")
+      }
+    }
+
+  // ---- evaluation ----
+
+  private def evalNodes(nodes: List[Node], env: scala.collection.mutable.Map[String, Any],
+      out: StringBuilder): Unit =
+    nodes.foreach {
+      case TextNode(s) => out ++= s
+      case OutputNode(e) =>
+        out ++= evalPipeline(e, env).getOrElse(
+          throw new IllegalArgumentException(s"undefined template variable: $e")).toString
+      case SetNode(name, e) => env(name) = evalPipeline(e, env).orNull
+      case IfNode(branches, orElse) =>
+        branches.find { case (c, _) => truthy(evalPipeline(c, env)) } match {
+          case Some((_, body)) => evalNodes(body, env, out)
+          case None => evalNodes(orElse, env, out)
+        }
+      case ForNode(v, listExpr, body) =>
+        val items = evalPipeline(listExpr, env).getOrElse(
+          throw new IllegalArgumentException(s"undefined loop collection: $listExpr")) match {
+          case it: Iterable[_] => it.toSeq
+          case arr: Array[_] => arr.toSeq
+          case other => throw new IllegalArgumentException(s"cannot iterate over: $other")
+        }
+        val saved = List(v, "loop.index", "loop.first", "loop.last").map(k => k -> env.get(k))
+        items.zipWithIndex.foreach { case (item, i) =>
+          env(v) = item
+          env("loop.index") = (i + 1).toLong
+          env("loop.first") = i == 0
+          env("loop.last") = i == items.size - 1
+          evalNodes(body, env, out)
+        }
+        saved.foreach { case (k, prev) =>
+          prev match { case Some(x) => env(k) = x; case None => env.remove(k) }
+        }
+    }
+
+  private def truthy(v: Option[Any]): Boolean = v match {
+    case None | Some(null) => false
+    case Some(b: Boolean) => b
+    case Some(s: String) => s.nonEmpty
+    case Some(it: Iterable[_]) => it.nonEmpty
+    case Some(n: Long) => n != 0L
+    case Some(n: Int) => n != 0
+    case Some(_) => true
+  }
+
+  // ---- expression pipeline: expr (| filter)* ----
+
+  private def evalPipeline(expr: String, env: scala.collection.Map[String, Any]): Option[Any] = {
+    val pipeline = splitTop(expr, '|').map(_.trim)
+    require(pipeline.head.nonEmpty, s"empty template expression in: $expr")
+    pipeline.tail.foldLeft(evalExpr(pipeline.head, env))(applyFilter)
   }
 
   /** Split on a separator outside quoted string literals. */
@@ -32,27 +193,6 @@ object Sql {
     }
     out += cur.toString
     out.toList
-  }
-
-  private val Arith = raw"([A-Za-z0-9_.]+)\s*([+-])\s*(\d+)".r
-  private val Ident = raw"[A-Za-z_][A-Za-z0-9_.]*".r
-  private val IntLit = raw"-?\d+".r
-
-  /** A term evaluates to Some(value), or None for an undefined variable —
-    * Jinja undefined propagates through `~` and filters until a `default`
-    * rescues it or the placeholder errors out.
-    */
-  private def evalTerm(term: String, vars: Map[String, Any]): Option[Any] = term match {
-    case q if q.length >= 2 && (q.head == '\'' || q.head == '"') && q.last == q.head =>
-      Some(q.substring(1, q.length - 1))
-    case Arith(name, op, n) =>
-      vars.get(name).map { base =>
-        val b = base.toString.toLong
-        if (op == "+") b + n.toLong else b - n.toLong
-      }
-    case IntLit() => Some(term.toLong)
-    case Ident() => vars.get(term)
-    case other => throw new IllegalArgumentException(s"unsupported template expression: $other")
   }
 
   private val FilterCall = raw"([a-z_]+)(?:\(\s*(?:'([^']*)'|\"([^\"]*)\"|(-?\d+))\s*\))?".r
@@ -76,19 +216,122 @@ object Sql {
     case other => throw new IllegalArgumentException(s"unsupported template filter: $other")
   }
 
-  private def evalPlaceholder(expr: String, vars: Map[String, Any]): String = {
-    val pipeline = splitTop(expr, '|').map(_.trim)
-    val terms = splitTop(pipeline.head, '~').map(_.trim).filter(_.nonEmpty)
-    require(terms.nonEmpty, s"empty template expression in: $expr")
-    val values = terms.map(t => evalTerm(t, vars))
-    val base: Option[Any] =
-      if (values.exists(_.isEmpty)) None
-      else if (values.size == 1) values.head
-      else Some(values.flatten.map(_.toString).mkString)
-    pipeline.tail.foldLeft(base)(applyFilter)
-      .getOrElse(throw new IllegalArgumentException(s"undefined template variable: $expr"))
-      .toString
+  // ---- expression parser (precedence: or < and < not < ==/!= < ~ < +/-) ----
+
+  private sealed trait ETok
+  private case class EStr(s: String) extends ETok
+  private case class ENum(n: Long) extends ETok
+  private case class EIdent(name: String) extends ETok
+  private case class EOp(op: String) extends ETok
+
+  private def exprTokens(s: String): List[ETok] = {
+    val out = scala.collection.mutable.ListBuffer[ETok]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val end = s.indexOf(c, i + 1)
+        require(end > 0, s"unterminated string literal in: $s")
+        out += EStr(s.substring(i + 1, end)); i = end + 1
+      } else if (c.isDigit) {
+        val j = s.indexWhere(!_.isDigit, i)
+        val end = if (j < 0) s.length else j
+        out += ENum(s.substring(i, end).toLong); i = end
+      } else if (c.isLetter || c == '_') {
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_' || ch == '.'), i)
+        val end = if (j < 0) s.length else j
+        val word = s.substring(i, end)
+        out += (if (Set("and", "or", "not").contains(word)) EOp(word) else EIdent(word))
+        i = end
+      } else if (s.startsWith("==", i)) { out += EOp("=="); i += 2 }
+      else if (s.startsWith("!=", i)) { out += EOp("!="); i += 2 }
+      else if ("~+-()".contains(c)) { out += EOp(c.toString); i += 1 }
+      else throw new IllegalArgumentException(s"unsupported character '$c' in template expression: $s")
+    }
+    out.toList
   }
+
+  /** Values are Option[Any]: None = Jinja undefined (falsy; propagates through
+    * operators; errors only if it reaches output without a `default`).
+    */
+  private def evalExpr(s: String, env: scala.collection.Map[String, Any]): Option[Any] = {
+    var toks = exprTokens(s)
+    def peek: Option[ETok] = toks.headOption
+    def pop(): ETok = { val h = toks.head; toks = toks.tail; h }
+
+    def primary(): Option[Any] = pop() match {
+      case EStr(v) => Some(v)
+      case ENum(n) => Some(n)
+      case EIdent(name) => lookup(name, env)
+      case EOp("(") =>
+        val v = orExpr()
+        require(peek.contains(EOp(")")), s"missing ')' in: $s"); pop(); v
+      case t => throw new IllegalArgumentException(s"unexpected $t in template expression: $s")
+    }
+    def additive(): Option[Any] = {
+      var v = primary()
+      while (peek.contains(EOp("+")) || peek.contains(EOp("-"))) {
+        val EOp(op) = pop(): @unchecked
+        val r = primary()
+        v = for (a <- v; b <- r) yield {
+          val (x, y) = (a.toString.toLong, b.toString.toLong)
+          if (op == "+") x + y else x - y
+        }
+      }
+      v
+    }
+    def concat(): Option[Any] = {
+      var v = additive()
+      while (peek.contains(EOp("~"))) {
+        pop()
+        val r = additive()
+        v = for (a <- v; b <- r) yield a.toString + b.toString
+      }
+      v
+    }
+    def cmp(): Option[Any] = {
+      val v = concat()
+      if (peek.contains(EOp("==")) || peek.contains(EOp("!="))) {
+        val EOp(op) = pop(): @unchecked
+        val r = concat()
+        // undefined == anything is false (Jinja), != is true
+        val eq = (v, r) match {
+          case (Some(a), Some(b)) => a == b || a.toString == b.toString
+          case _ => false
+        }
+        Some(if (op == "==") eq else !eq)
+      } else v
+    }
+    def notExpr(): Option[Any] =
+      if (peek.contains(EOp("not"))) { pop(); Some(!truthy(notExpr())) } else cmp()
+    def andExpr(): Option[Any] = {
+      var v = notExpr()
+      while (peek.contains(EOp("and"))) { pop(); val r = notExpr(); v = Some(truthy(v) && truthy(r)) }
+      v
+    }
+    def orExpr(): Option[Any] = {
+      var v = andExpr()
+      while (peek.contains(EOp("or"))) { pop(); val r = andExpr(); v = Some(truthy(v) || truthy(r)) }
+      v
+    }
+    val result = orExpr()
+    require(toks.isEmpty, s"trailing tokens in template expression: $s")
+    result
+  }
+
+  /** Dotted lookup: exact key first (loop.index lives flat), then map
+    * traversal (`partition.column` → env("partition")("column")).
+    */
+  private def lookup(name: String, env: scala.collection.Map[String, Any]): Option[Any] =
+    env.get(name).orElse {
+      val parts = name.split('.')
+      parts.tail.foldLeft(env.get(parts.head)) {
+        case (Some(m: scala.collection.Map[_, _]), k) =>
+          m.asInstanceOf[scala.collection.Map[String, Any]].get(k)
+        case _ => None
+      }
+    }
 
   /** H2 — split a script into trimmed statements on `;`, respecting single
     * and double quotes and line comments (`--`).

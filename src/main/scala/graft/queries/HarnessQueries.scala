@@ -95,6 +95,47 @@ object HarnessQueries {
         .toDF("case", "rendered").orderBy("case")
     }),
 
+    // F9 blocks — the reference's CREATE-TABLE template shape end-to-end:
+    // {% for %} with loop.last, {% if/elif/else %}, {% set %}, whitespace
+    // control, filters, ~ concat, dotted map access (ref
+    // create_sales_events.sql:5-30). Output = trimmed non-empty lines.
+    "h_template_blocks" -> ((s, _) => {
+      import s.implicits._
+      val template =
+        """CREATE TABLE {{ table_name }} (
+          |{%- for column in columns %}
+          |  {{ column.name }} {{ column.type | upper }}{% if not loop.last %},{% endif %}
+          |{%- endfor %}
+          |)
+          |{%- if partition_spec %}
+          |PARTITION BY (
+          |{%- for partition in partition_spec %}
+          |{%- set t = partition.transform | default('identity') | lower %}
+          |{%- if t == 'days' %}
+          |{%- set expression = 'DAY(' ~ partition.column ~ ')' %}
+          |{%- elif t == 'bucket' and partition.num_buckets %}
+          |{%- set expression = 'BUCKET(' ~ partition.num_buckets ~ ', ' ~ partition.column ~ ')' %}
+          |{%- else %}
+          |{%- set expression = partition.column %}
+          |{%- endif %}
+          |  {{ expression }}{% if not loop.last %},{% endif %}
+          |{%- endfor %}
+          |)
+          |{%- endif %}""".stripMargin
+      val columns = graft.model.Schemas.salesEvents.fields.toSeq
+        .map(f => Map("name" -> f.name, "type" -> f.dataType.sql.toLowerCase))
+      val vars = Map(
+        "table_name" -> "sales_events",
+        "columns" -> columns,
+        "partition_spec" -> Seq(
+          Map("column" -> "event_ts", "transform" -> "days"),
+          Map("column" -> "tenant_id", "transform" -> "bucket", "num_buckets" -> 8),
+          Map("column" -> "country")))
+      Sql.render(template, vars).linesIterator.map(_.trim).filter(_.nonEmpty)
+        .zipWithIndex.map { case (line, i) => (i.toLong, line) }
+        .toSeq.toDF("idx", "line").orderBy("idx")
+    }),
+
     // H2/H3 — statement split (quotes + comments) and capture classification
     "h_statement_split" -> ((s, _) => {
       import s.implicits._
@@ -236,6 +277,24 @@ object HarnessQueries {
            ('filter_upper', 'STRING'),
            ('strict_undefined', 'raised'))
          AS t("case", rendered) ORDER BY "case"""",
+    "h_template_blocks" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'CREATE TABLE sales_events ('),
+           (1, 'event_id BIGINT,'),
+           (2, 'tenant_id INT,'),
+           (3, 'event_ts TIMESTAMP,'),
+           (4, 'sku STRING,'),
+           (5, 'qty INT,'),
+           (6, 'price DECIMAL(18,2),'),
+           (7, 'country STRING,'),
+           (8, 'ds DATE'),
+           (9, ')'),
+           (10, 'PARTITION BY ('),
+           (11, 'DAY(event_ts),'),
+           (12, 'BUCKET(8, tenant_id),'),
+           (13, 'country'),
+           (14, ')'))
+         AS t(idx, line) ORDER BY idx""",
     "h_statement_split" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE', false),

@@ -76,6 +76,20 @@ object TableQueries {
         dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
     }),
 
+    // J2 — MERGE update-only (no WHEN NOT MATCHED branch): unmatched source
+    // rows do nothing (ref snowflake.sql:405-409 table x table update merge)
+    "t_merge_update_only" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("merge_update_only"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      val source = base.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 150)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Dml.merge(t, source, "o_orderkey",
+        Map("o_totalprice" -> col("src.o_totalprice")), insertNotMatched = false)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+    }),
+
     // D3+spec:72 — MERGE with the mixed op profile ("20% updates, 5%
     // deletes, 75% inserts"): one merge updates matched rows, deletes
     // matched rows the source marks (key % 10 == 0), inserts unmatched
@@ -315,6 +329,10 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderkey < 150""",
+    "t_merge_update_only" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 100""",
     "t_merge_mixed" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN o_orderkey < 150 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price

@@ -30,6 +30,33 @@ class SqlRenderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sql.render("{{ t | nonsense }}", Map("t" -> "v")))
   }
 
+  test("for blocks iterate with loop metadata (F9 blocks)") {
+    assert(Sql.render(
+      "{% for x in xs %}{{ x }}{% if not loop.last %},{% endif %}{% endfor %}",
+      Map("xs" -> Seq("a", "b", "c"))) === "a,b,c")
+    assert(Sql.render(
+      "{% for x in xs %}{{ loop.index }}:{{ x }} {% endfor %}",
+      Map("xs" -> Seq("p", "q"))) === "1:p 2:q ")
+    assert(Sql.render("{% for x in xs %}never{% endfor %}", Map("xs" -> Nil)) === "")
+  }
+
+  test("if/elif/else with comparisons; undefined is falsy in conditions") {
+    val t = "{% if v == 'days' %}DAY{% elif v == 'bucket' %}B{% else %}I{% endif %}"
+    assert(Sql.render(t, Map("v" -> "days")) === "DAY")
+    assert(Sql.render(t, Map("v" -> "bucket")) === "B")
+    assert(Sql.render(t, Map("v" -> "x")) === "I")
+    assert(Sql.render("{% if missing %}y{% else %}n{% endif %}", Map.empty) === "n")
+    assert(Sql.render("{% if a and not b %}y{% else %}n{% endif %}",
+      Map("a" -> true, "b" -> false)) === "y")
+  }
+
+  test("set, dotted map access, and whitespace control") {
+    assert(Sql.render("{%- set e = 'DAY(' ~ p.column ~ ')' -%} {{ e }}",
+      Map("p" -> Map("column" -> "ts"))) === "DAY(ts)")
+    assert(Sql.render("a   {{- 'b' -}}   c", Map.empty) === "abc")
+    intercept[IllegalArgumentException](Sql.render("{% for x in xs %}no end", Map("xs" -> Seq(1))))
+  }
+
   test("integer arithmetic and plain substitution keep working") {
     assert(Sql.render("{{ rows - 1 }}/{{ rows + 2 }}", Map("rows" -> 8)) === "7/10")
     assert(Sql.render("SELECT * FROM {{ ns }}.t", Map("ns" -> "demo")) === "SELECT * FROM demo.t")
