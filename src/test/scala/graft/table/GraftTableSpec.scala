@@ -332,6 +332,24 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readOffsetAsOf(60, afterSecond))
   }
 
+  test("two threads appending concurrently to a PARTITIONED table share the hive layout") {
+    val dir = scratchDir("race-partitioned-")
+    val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents,
+      partitionCols = Seq("country"))
+    t.append(Synthesize.salesEvents8(spark))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map(_ => Future(t.append(Synthesize.salesEvents8(spark))))
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.readLatest().count() === 24)
+    // all files live in shared country=XX dirs and carry partition values
+    assert(t.latest.files.forall(f => f.partitionValues.contains("country")))
+    assert(t.latest.files.forall(f => f.path.startsWith("country=")))
+    // partition-pruned metadata read still resolves
+    assert(t.readPartitions(Map("country" -> "US")).count() === 12)
+  }
+
   test("concurrent commit loser retries onto a fresh id (optimistic concurrency)") {
     val t = newSalesTable()
     val conf = spark.sessionState.newHadoopConf()
