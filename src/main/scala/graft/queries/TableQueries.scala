@@ -303,6 +303,24 @@ object TableQueries {
         max(col("written_at_snapshot")).as("max_written_at"))
     }),
 
+    // Nested types through the table layer (spec :44 optional interop
+    // coverage): array + struct columns survive create → append → evolve →
+    // read-back; projection reaches into the struct.
+    "t_nested_roundtrip" -> ((s, _) => {
+      val df = s.sql("""
+        SELECT * FROM VALUES
+          (1L, array('a','b'), named_struct('source', 'web', 'score', 0.5D)),
+          (2L, array('c'), named_struct('source', 'app', 'score', 1.5D)),
+          (3L, CAST(NULL AS ARRAY<STRING>), named_struct('source', 'web', 'score', 2.0D))
+        AS t(event_id, tags, meta)""")
+      val t = GraftTable.create(s, scratch("nested"), df.schema)
+      t.append(df)
+      t.addColumn("channel", "string", "web")
+      t.readLatest().select(col("event_id"), size(col("tags")).as("n_tags"),
+        col("meta.source").as("source"), col("meta.score").as("score"), col("channel"))
+        .orderBy("event_id")
+    }),
+
     // M4 — orphan removal leaves live data intact
     "t_orphan_cleanup" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("orphan"), liSubset(s, dir, 500).schema)
@@ -425,6 +443,12 @@ object TableQueries {
       """SELECT CAST(2 AS BIGINT) AS n_files,
            CAST(2 * (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 400) AS BIGINT) AS total_rows,
            CAST(3 AS BIGINT) AS max_written_at""",
+    "t_nested_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 2, 'web', CAST(0.5 AS DOUBLE), 'web'),
+           (2, 1, 'app', CAST(1.5 AS DOUBLE), 'web'),
+           (3, CAST(NULL AS INT), 'web', CAST(2.0 AS DOUBLE), 'web'))
+         AS t(event_id, n_tags, source, score, channel) ORDER BY event_id""",
     "t_orphan_cleanup" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

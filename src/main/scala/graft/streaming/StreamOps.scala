@@ -61,6 +61,26 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: clicks joined to the purchases that follow
+    * them within one hour for the same user, both sides watermarked so join
+    * state is bounded (Spark drops a buffered row once the other side's
+    * watermark passes its join window — unbounded stream-stream joins never
+    * release state).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 day")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.
     * `maxFilesPerTrigger` forces multi-batch execution so incremental state
@@ -126,6 +146,15 @@ object StreamOps {
         outputMode = "complete")
         .orderBy("event_type")),
 
+    // Stream-stream interval join == batch theta join (append-mode join rows
+    // aggregated in batch afterwards; oracle-checked)
+    "stream_interval_join" -> ((s, dir) =>
+      runAvailableNow(s, dir, "stream_interval_join", clickPurchaseJoin,
+        outputMode = "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")),
+
     "stream_user_totals" -> ((s, dir) => {
       import s.implicits._
       runAvailableNow(s, dir, "stream_user_totals",
@@ -149,6 +178,13 @@ object StreamOps {
          WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_interval_join" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id AS user_id, COUNT(*) AS n_pairs
+         FROM c JOIN p ON c.user_id = p.user_id
+                      AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY user_id"""
   )
 }
