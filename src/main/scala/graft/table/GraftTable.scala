@@ -269,6 +269,15 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
       sortCols: Seq[String] = Nil): Snapshot = {
     val writeShape = shapeOf(df.schema)
+    // Fail a genuinely mis-shaped write BEFORE any data lands; the in-retry
+    // check below then only ever fires for a true evolution race.
+    snapshotsList.lastOption.foreach { p =>
+      val cur = shapeOf(DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+      require(cur == writeShape,
+        s"$operation schema does not match table $tableDir: " +
+          s"writing ${writeShape.toSeq.sortBy(_._1).mkString(", ")} " +
+          s"into ${cur.toSeq.sortBy(_._1).mkString(", ")}")
+    }
     val written = writeDataFiles(df,
       snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
     commitWithRetry { parent =>

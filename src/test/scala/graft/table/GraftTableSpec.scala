@@ -298,6 +298,14 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readLatest().count() === 20)
   }
 
+  test("appending a mis-shaped DataFrame fails fast with a schema error") {
+    val t = newSalesTable()
+    val bad = Synthesize.salesEvents8(spark).drop("country")
+    val e = intercept[IllegalArgumentException](t.append(bad))
+    assert(e.getMessage.contains("schema does not match"))
+    assert(t.readLatest().count() === 8) // nothing was written
+  }
+
   test("append aborts when the schema evolves between write and commit (race)") {
     val t = newSalesTable()
     val saboteur = GraftTable.load(spark, t.tableDir)
