@@ -36,6 +36,7 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
       graft.llm.Chunking.queries ++
+      graft.llm.Sampling.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
       graft.llm.Chunking.oracle ++
+      graft.llm.Sampling.oracle ++
       graft.streaming.StreamOps.oracle
 }

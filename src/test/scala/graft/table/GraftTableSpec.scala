@@ -298,6 +298,19 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readLatest().count() === 20)
   }
 
+  test("partition filters reach the scan in the shared hive layout") {
+    val dir = scratchDir("prune-plan-")
+    val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents,
+      partitionCols = Seq("country"))
+    t.append(Synthesize.salesEvents8(spark))
+    t.append(Synthesize.salesEvents8(spark))
+    val df = t.readLatest().filter(col("country") === "US")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("country"),
+      s"expected country in PartitionFilters:\n$plan")
+    assert(df.count() === 8) // 4 US rows per append
+  }
+
   test("appending a mis-shaped DataFrame fails fast with a schema error") {
     val t = newSalesTable()
     val bad = Synthesize.salesEvents8(spark).drop("country")
