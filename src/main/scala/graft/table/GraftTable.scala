@@ -205,8 +205,11 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   private def commitWithRetry(build: Option[Snapshot] => Snapshot): Snapshot = {
     var attempts = 0
     while (attempts < 20) {
-      val snap = build(snapshotsList.lastOption)
-      if (SnapshotLog.commit(conf, tableDir, snap)) return snap
+      val parent = snapshotsList.lastOption
+      val snap = build(parent)
+      // parent rides along so the published doc can be delta-encoded
+      // (O(changed files) metadata per commit — SnapshotLog.SnapDoc)
+      if (SnapshotLog.commit(conf, tableDir, snap, parent)) return snap
       attempts += 1
     }
     throw new IllegalStateException(s"could not commit after $attempts retries in $tableDir")

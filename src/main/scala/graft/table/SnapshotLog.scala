@@ -90,6 +90,63 @@ object SnapshotLog {
   val LogDir = "_graft_log"
   val DataDir = "data"
 
+  /** On-disk form of one snapshot doc. A commit whose parent is known is
+    * DELTA-encoded — `added` entries plus `removedPaths` relative to the
+    * parent — so commit metadata I/O is O(changed files), not O(table): at
+    * the 100 TB ≈ 800k-file design point an append doc stays bytes-sized
+    * instead of re-serializing the entire file inventory. Full listings
+    * (`files`) appear only in bootstrap docs, in docs where the delta would
+    * not be smaller (e.g. full overwrites), and in consolidated manifests —
+    * so `load()` always reconstructs from one full doc plus newer deltas.
+    */
+  private case class SnapDoc(
+      snapshotId: Long,
+      parentId: Option[Long],
+      committedAt: Long,
+      operation: String,
+      schemaJson: String,
+      partitionCols: List[String],
+      summary: Map[String, String],
+      evolution: List[String] = Nil,
+      schemas: Map[String, String] = Map.empty,
+      chain: List[EvolutionStep] = Nil,
+      files: Option[List[FileEntry]] = None,
+      added: Option[List[FileEntry]] = None,
+      removedPaths: Option[List[String]] = None)
+
+  private def toDoc(snap: Snapshot, parent: Option[Snapshot]): SnapDoc = {
+    val base = SnapDoc(snap.snapshotId, snap.parentId, snap.committedAt, snap.operation,
+      snap.schemaJson, snap.partitionCols, snap.summary, snap.evolution,
+      snap.schemas, snap.chain)
+    parent match {
+      case Some(p) if snap.parentId.contains(p.snapshotId) =>
+        val parentPaths = p.files.map(_.path).toSet
+        val snapPaths = snap.files.map(_.path).toSet
+        val added = snap.files.filterNot(e => parentPaths.contains(e.path))
+        val removed = p.files.map(_.path).filterNot(snapPaths.contains)
+        // a path is written exactly once, so kept entries never mutate and
+        // (added, removed) reconstructs the list exactly
+        if (added.size + removed.size < snap.files.size)
+          base.copy(added = Some(added), removedPaths = Some(removed))
+        else base.copy(files = Some(snap.files))
+      case _ => base.copy(files = Some(snap.files))
+    }
+  }
+
+  private def resolveDoc(doc: SnapDoc, prev: Option[Snapshot]): Snapshot = {
+    val files = doc.files.getOrElse {
+      val p = prev.getOrElse(throw new IllegalStateException(
+        s"delta snapshot doc ${doc.snapshotId} has no resolvable parent"))
+      require(doc.parentId.contains(p.snapshotId),
+        s"delta snapshot doc ${doc.snapshotId} chains to ${doc.parentId}, not ${p.snapshotId}")
+      val removed = doc.removedPaths.getOrElse(Nil).toSet
+      p.files.filterNot(e => removed.contains(e.path)) ++ doc.added.getOrElse(Nil)
+    }
+    Snapshot(doc.snapshotId, doc.parentId, doc.committedAt, doc.operation,
+      doc.schemaJson, doc.partitionCols, files, doc.summary, doc.evolution,
+      doc.schemas, doc.chain)
+  }
+
   def logPath(tableDir: String) = new Path(tableDir, LogDir)
   def dataPath(tableDir: String) = new Path(tableDir, DataDir)
 
@@ -121,17 +178,18 @@ object SnapshotLog {
     } finally in.close()
   }
 
-  /** Atomically publish a snapshot doc via create-if-absent. Returns false if
-    * the version already exists (a concurrent commit won) — callers retry with
-    * a fresh id.
+  /** Atomically publish a snapshot doc via create-if-absent (delta-encoded
+    * against `parent` when given — see SnapDoc). Returns false if the version
+    * already exists (a concurrent commit won) — callers retry with a fresh id.
     */
-  def commit(conf: Configuration, tableDir: String, snap: Snapshot): Boolean = {
+  def commit(conf: Configuration, tableDir: String, snap: Snapshot,
+      parent: Option[Snapshot] = None): Boolean = {
     val f = fs(conf, tableDir)
     val dir = logPath(tableDir)
     f.mkdirs(dir)
     val finalPath = new Path(dir, snapFileName(snap.snapshotId))
     try {
-      writeString(f, finalPath, Serialization.write(snap), overwrite = false)
+      writeString(f, finalPath, Serialization.write(toDoc(snap, parent)), overwrite = false)
       true
     } catch {
       case _: FileAlreadyExistsException => false
@@ -139,8 +197,9 @@ object SnapshotLog {
     }
   }
 
-  /** All live snapshots, ascending by id: newest consolidated manifest plus any
-    * newer per-snapshot deltas.
+  /** All live snapshots, ascending by id: newest consolidated manifest (full
+    * listings) plus any newer per-snapshot docs, each resolved against its
+    * predecessor when delta-encoded.
     */
   def load(conf: Configuration, tableDir: String): Seq[Snapshot] = {
     val f = fs(conf, tableDir)
@@ -153,9 +212,12 @@ object SnapshotLog {
       else Serialization.read[List[Snapshot]](
         readString(f, new Path(dir, manifestFileName(manifestSeqs.max))))
     val upTo = if (base.isEmpty) -1L else base.map(_.snapshotId).max
-    val deltas = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
-      .map(id => Serialization.read[Snapshot](readString(f, new Path(dir, snapFileName(id)))))
-    (base ++ deltas).sortBy(_.snapshotId)
+    val deltaDocs = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
+      .map(id => Serialization.read[SnapDoc](readString(f, new Path(dir, snapFileName(id)))))
+    val resolved = deltaDocs.foldLeft(base.sortBy(_.snapshotId).toList) { (acc, doc) =>
+      acc :+ resolveDoc(doc, acc.lastOption)
+    }
+    resolved
   }
 
   /** Publish a consolidated manifest doc under a fresh sequence number

@@ -298,6 +298,24 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readLatest().count() === 20)
   }
 
+  test("append commit docs are delta-encoded: O(added files), not O(table)") {
+    val t = newSalesTable() // v1 create (full doc), v2 append
+    val p2 = t.latest.files.head.path
+    t.append(Synthesize.salesEvents8(spark)) // v3
+    t.append(Synthesize.salesEvents8(spark)) // v4
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t.tableDir, "_graft_log", "v00000004.json"))
+    assert(!raw.contains(p2), "v4 doc re-serialized a file inherited from v2")
+    assert(raw.contains("added"))
+    assert(t.readLatest().count() === 24)
+    // maintenance over delta docs: consolidation, further deltas, expiry
+    Maintenance.rewriteManifests(t)
+    t.append(Synthesize.salesEvents8(spark))
+    assert(t.readLatest().count() === 32)
+    Maintenance.expireSnapshots(t, retainLast = 2)
+    assert(t.readLatest().count() === 32)
+  }
+
   test("partition filters reach the scan in the shared hive layout") {
     val dir = scratchDir("prune-plan-")
     val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents,
