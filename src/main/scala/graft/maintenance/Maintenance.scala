@@ -10,25 +10,33 @@ import graft.table.{GraftTable, SnapshotLog}
   */
 object Maintenance {
 
-  /** M1 — compaction: coalesce the current snapshot into ~`targetFileSizeBytes`
-    * files (ref `rewrite_data_files(..., max-file-size-bytes)`,
-    * blob-dfs_bench.py:140-143). Only runs when at least `minInputFiles` are
-    * smaller than the target (the reference's `min-input-files=50` guard).
-    * Rewrite is a full read → repartition → write; untouched-partition
-    * optimization would slot in here for partitioned tables at scale.
+  /** M1 — compaction: coalesce small files into ~`targetFileSizeBytes` files
+    * (ref `rewrite_data_files(..., max-file-size-bytes)`,
+    * blob-dfs_bench.py:140-143), PARTITION-LOCALLY: only partitions holding
+    * at least `minInputFiles` sub-target files are rewritten (the
+    * reference's `min-input-files` guard applied per partition, Iceberg's
+    * binpack behavior); every other file is kept by reference. At 100 TB a
+    * compaction after incremental ingest touches the handful of fresh
+    * partitions, never the whole table.
     */
   def rewriteDataFiles(t: GraftTable, targetFileSizeBytes: Long = 512L * 1024 * 1024,
       minInputFiles: Int = 2): Option[graft.table.Snapshot] = {
     val planned = t.latest
-    val files = planned.files
-    val small = files.count(_.sizeBytes < targetFileSizeBytes)
-    if (small < minInputFiles) return None
-    val totalBytes = files.map(_.sizeBytes).sum
+    val byPartition = planned.files.groupBy(_.partitionValues)
+    val (compactable, untouched) = byPartition.partition { case (_, fs) =>
+      fs.count(_.sizeBytes < targetFileSizeBytes) >= minInputFiles
+    }
+    if (compactable.isEmpty) return None
+    val toRewrite = compactable.values.flatten.toSeq
+    val keep = untouched.values.flatten.toSeq
+    val totalBytes = toRewrite.map(_.sizeBytes).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val df = t.readSnapshot(planned).repartition(targetFiles)
+    // writeDataFiles re-clusters by partition columns before a partitioned
+    // write, so per-partition output files land at ~target size
+    val df = t.readFiles(toRewrite).repartition(targetFiles)
     // basedOn-validated: a concurrent append between plan and commit aborts
     // the compaction instead of being silently dropped by an overwrite
-    Some(t.commitRewrite(df, Nil, "rewrite-data-files", basedOn = Some(planned)))
+    Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
   }
 
   /** M2 — manifest rewrite: consolidate the snapshot log
@@ -51,7 +59,15 @@ object Maintenance {
     val fs = SnapshotLog.fs(conf, t.tableDir)
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
     val dead = expired.flatMap(_.files.map(_.path)).toSet -- live
-    dead.foreach(p => fs.delete(new Path(dataRoot, p), false))
+    // parallel deletes: expiring thousands of dead files must not serialize
+    // driver-side round-trips (same rationale as the commit-path publishes)
+    import scala.collection.parallel.CollectionConverters._
+    val par = dead.toSeq.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(16))
+    try par.foreach(p => fs.delete(new Path(dataRoot, p), false))
+    finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
+      .forkJoinPool.shutdown()
     expired.size
   }
 

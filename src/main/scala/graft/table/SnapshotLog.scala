@@ -212,12 +212,35 @@ object SnapshotLog {
       else Serialization.read[List[Snapshot]](
         readString(f, new Path(dir, manifestFileName(manifestSeqs.max))))
     val upTo = if (base.isEmpty) -1L else base.map(_.snapshotId).max
-    val deltaDocs = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
-      .map(id => Serialization.read[SnapDoc](readString(f, new Path(dir, snapFileName(id)))))
-    val resolved = deltaDocs.foldLeft(base.sortBy(_.snapshotId).toList) { (acc, doc) =>
-      acc :+ resolveDoc(doc, acc.lastOption)
+    val ids = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
+    // create-if-absent claims the id BEFORE the doc bytes land, so a reader
+    // racing a committer can see an empty/partial doc: retry briefly, then
+    // treat a still-unreadable doc (and everything after it) as an
+    // in-flight, uncommitted transaction — readers get the pre-commit
+    // state; the committer's own retry loop spins until its doc is visible.
+    var inFlight = false
+    val resolved = ids.foldLeft(base.sortBy(_.snapshotId).toList) { (acc, id) =>
+      if (inFlight) acc
+      else readSnapDoc(f, new Path(dir, snapFileName(id))) match {
+        case Some(doc) => acc :+ resolveDoc(doc, acc.lastOption)
+        case None => inFlight = true; acc
+      }
     }
     resolved
+  }
+
+  private def readSnapDoc(f: FileSystem, p: Path): Option[SnapDoc] = {
+    var attempt = 0
+    while (attempt < 100) {
+      val s = try readString(f, p) catch { case _: java.io.IOException => "" }
+      if (s.nonEmpty) {
+        try return Some(Serialization.read[SnapDoc](s))
+        catch { case _: Throwable => /* partially written, retry */ }
+      }
+      Thread.sleep(5)
+      attempt += 1
+    }
+    None
   }
 
   /** Publish a consolidated manifest doc under a fresh sequence number

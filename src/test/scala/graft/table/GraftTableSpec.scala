@@ -298,6 +298,25 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readLatest().count() === 20)
   }
 
+  test("compaction is partition-local: clean partitions are kept by reference") {
+    val dir = scratchDir("compact-partial-")
+    val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents,
+      partitionCols = Seq("country"))
+    t.append(Synthesize.salesEvents8(spark)) // US/GB/FR each get files
+    t.append(Synthesize.salesEvents8(spark).filter(col("country") === "US")) // US now 2 files
+    val gbBefore = t.latest.files.filter(_.partitionValues.get("country").contains("GB")).map(_.path).toSet
+    val usBefore = t.latest.files.count(_.partitionValues.get("country").contains("US"))
+    assert(usBefore >= 2)
+    Maintenance.rewriteDataFiles(t, targetFileSizeBytes = 1L << 30, minInputFiles = 2)
+    val after = t.latest
+    // GB had one clean file: identical entry survives, never rewritten
+    assert(after.files.filter(_.partitionValues.get("country").contains("GB")).map(_.path).toSet === gbBefore)
+    // US collapsed into fewer files than before
+    assert(after.files.count(_.partitionValues.get("country").contains("US")) < usBefore)
+    assert(t.readLatest().count() === 12)
+    assert(t.readLatest().filter(col("country") === "US").count() === 8)
+  }
+
   test("append commit docs are delta-encoded: O(added files), not O(table)") {
     val t = newSalesTable() // v1 create (full doc), v2 append
     val p2 = t.latest.files.head.path
