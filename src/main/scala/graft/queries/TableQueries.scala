@@ -183,6 +183,20 @@ object TableQueries {
         .agg(count(lit(1)).as("row_count"))
     }),
 
+    // S5 — bucket partition transform (ref framework.yaml:133-134
+    // `bucket(tenant_id,16)`): the transform is a derived column the caller
+    // adds before append; metadata pruning then serves bucket-equality reads
+    "t_bucket_transform" -> ((s, dir) => {
+      val data = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+        .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+      val t = GraftTable.create(s, scratch("bucket_transform"), data.schema,
+        partitionCols = Seq("bucket"))
+      t.append(data)
+      t.readPartitions(Map("bucket" -> "1"))
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+    }),
+
     // M1 — compaction preserves data, collapses to one file
     "t_compaction" -> ((s, dir) => {
       val data = liSubset(s, dir, 400)
@@ -402,6 +416,10 @@ object TableQueries {
          AS t(col_name, data_type) ORDER BY col_name""",
     "t_partitioned_prune" ->
       "SELECT COUNT(*) AS row_count FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag = 'A'",
+    "t_bucket_transform" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 2000 AND o_custkey % 4 = 1""",
     "t_compaction" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
