@@ -104,13 +104,21 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store partition count is pinned at the query's first run from
+    // spark.sql.shuffle.partitions; 32 stores per stateful op is pure
+    // overhead at test scale (each is a checkpoint dir written per batch).
+    // On a real cluster this knob would stay at the session default.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = transform(stream).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(queryName)
   }
 
