@@ -229,6 +229,12 @@ object SnapshotLog {
     resolved
   }
 
+  /** A writer that died between create and write+close leaves a permanently
+    * empty doc: reads then pay the retry budget once per load and serve the
+    * pre-commit state, while writers exhaust their id retries — the same
+    * recovery posture as a held Iceberg commit lock; removeOrphanFiles plus
+    * manual doc removal is the operator escape hatch.
+    */
   private def readSnapDoc(f: FileSystem, p: Path): Option[SnapDoc] = {
     var attempt = 0
     while (attempt < 100) {
