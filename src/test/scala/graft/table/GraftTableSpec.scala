@@ -298,6 +298,15 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readLatest().count() === 20)
   }
 
+  test("an in-flight (empty) trailing snapshot doc is invisible to readers") {
+    val t = newSalesTable()
+    val next = t.latest.snapshotId + 1
+    val p = java.nio.file.Paths.get(t.tableDir, "_graft_log", f"v$next%08d.json")
+    java.nio.file.Files.createFile(p) // a committer claimed the id, bytes not yet landed
+    assert(t.readLatest().count() === 8) // pre-commit state after the retry budget
+    java.nio.file.Files.delete(p)
+  }
+
   test("compaction is partition-local: clean partitions are kept by reference") {
     val dir = scratchDir("compact-partial-")
     val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents,
