@@ -91,7 +91,58 @@ object TextAnalysis {
         col("ok_word_count") && col("ok_word_len") && col("ok_symbols"))
   }
 
+  /** Exploded (doc_id, term) token stream shared by the corpus-statistics
+    * operators; `minLen` drops short function words.
+    */
+  private def tokens(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= minLen)
+
+  /** Per-document salient terms: rank by (term frequency desc, document
+    * frequency asc, term) — the tf-idf ordering expressed over exact
+    * integers, so results are reproducible across engines with no float
+    * comparison at the rank boundary. Two shuffles (tf and df aggregations)
+    * plus a join on term; the per-doc window is partition-local.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 4): DataFrame = {
+    val toks = tokens(docs, minTermLen)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df_, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+        col("term"), col("tf"), col("df"))
+  }
+
+  /** Vocabulary coverage: induce a top-`vocabSize` frequency vocabulary
+    * (ties broken by term for determinism) and measure what share of the
+    * token stream it covers — the OOV-rate estimate that sizes a tokenizer.
+    * The vocab is tiny and broadcast; the coverage pass is map-side.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val toks = tokens(docs, 1)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+    toks.join(broadcast(vocab.select(col("term"), lit(1).as("in_vocab"))),
+        Seq("term"), "left")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("covered_tokens"))
+      .withColumn("vocab_size", lit(vocabSize.toLong))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Corpus statistics: per-doc salient terms, integer-ranked tf-idf order
+    "text_top_terms" -> ((s, dir) =>
+      topTerms(Tables.documents(s, dir)).orderBy("doc_id", "rnk")),
+
+    // Tokenizer-sizing stat: top-100 vocab coverage of the token stream
+    "text_vocab_coverage" -> ((s, dir) => vocabCoverage(Tables.documents(s, dir))),
+
     // Quality-filter verdicts per doc (auditable rule flags)
     "text_quality_filter" -> ((s, dir) =>
       qualityFilter(Tables.documents(s, dir))
@@ -138,6 +189,31 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_top_terms" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, t.term
+           FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+           WHERE len(t.term) >= 4),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_vocab_coverage" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, t.term
+           FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+           WHERE len(t.term) >= 1),
+         counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         vocab AS (SELECT term FROM counts ORDER BY cnt DESC, term ASC LIMIT 100)
+         SELECT COUNT(*) AS total_tokens,
+                CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+                CAST(100 AS BIGINT) AS vocab_size
+         FROM toks""",
     "text_quality_filter" ->
       raw"""WITH q AS (
            SELECT doc_id,
