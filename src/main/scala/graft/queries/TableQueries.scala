@@ -118,6 +118,8 @@ object TableQueries {
     "t_interop_chain" -> ((s, _) => {
       val t = GraftTable.create(s, scratch("interop_chain"), graft.model.Schemas.salesEvents)
       t.append(Synthesize.salesEvents8(s))
+      // store_rows_as baseline_snapshot (framework.yaml:317-319)
+      val baselineId = t.latest.snapshotId
       t.addColumn("channel", "string", "web")
       t.renameColumn("sku", "product_sku")
       t.widenColumn("qty", "bigint")
@@ -130,10 +132,14 @@ object TableQueries {
         Map("qty" -> col("src.qty"), "price" -> col("src.price"),
           "channel" -> col("src.channel")), insertNotMatched = true)
       Dml.delete(t, col("event_id") === 4)
+      // time_travel_validate: the pre-evolution snapshot still counts 8
+      // (rowcount_equals vs the stored baseline, framework.yaml:345-351)
+      val baselineRows = t.readVersionAsOf(baselineId).count()
       t.readLatest().agg(count(lit(1)).as("row_count"),
         sum(col("qty")).as("total_qty"),
         sum(when(col("channel") === "web", 1L).otherwise(0L)).as("n_web"),
         dbl(sum(dec(col("price")))).as("sum_price"))
+        .withColumn("baseline_rows", lit(baselineRows))
     }),
 
     // T1 — VERSION AS OF: read the pre-delete snapshot
@@ -374,7 +380,8 @@ object TableQueries {
     "t_interop_chain" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(qty) AS BIGINT) AS total_qty,
            CAST(SUM(CASE WHEN channel = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_web,
-           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(8 AS BIGINT) AS baseline_rows
          FROM (VALUES
            (1, 3, 'web', 19.99), (2, 6, 'app', 5.50), (3, 2, 'web', 10.00),
            (5, 1, 'web', 99.99), (6, 10, 'web', 5.00), (7, 4, 'web', 11.00),
