@@ -1,0 +1,90 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dml.Dml
+import graft.maintenance.Maintenance
+
+/** Model-based randomized check of the table layer: a seeded random sequence
+  * of appends, COW deletes/updates/merges, compactions, and snapshot expiry
+  * runs against both a GraftTable and a trivial in-memory model; after every
+  * op the table must read back exactly the model, and every retained
+  * historical snapshot must still read back the model state recorded when it
+  * was committed. Directed specs pin individual behaviors — this hunts for
+  * interactions between them (e.g. merge after delete after compaction).
+  */
+class TableModelCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("randomized op sequences match an in-memory model (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    val tags = Vector("a", "b", "c")
+    (1 to 3).foreach { round =>
+      val dir = scratchDir(s"model-$round-")
+      val schema = Seq((0L, 0, "x")).toDF("id", "qty", "tag").schema
+      val t = GraftTable.create(spark, dir, schema)
+      var model = Vector.empty[(Long, Int, String)]
+      var nextId = 0L
+      var history = Map[Long, Vector[(Long, Int, String)]](t.latest.snapshotId -> model)
+
+      def sync(opName: String): Unit = {
+        history += (t.latest.snapshotId -> model)
+        val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
+        assert(actual === model.sorted, s"divergence after $opName (round $round)")
+      }
+
+      (1 to 12).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 =>
+            val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
+              nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
+            }.toVector
+            t.append(rows.toDF("id", "qty", "tag"))
+            model ++= rows
+            sync(s"append(${rows.size})")
+          case 2 =>
+            val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+            Dml.delete(t, col("qty") % m === r)
+            model = model.filterNot(x => x._2 % m == r)
+            sync(s"delete(qty%$m==$r)")
+          case 3 =>
+            val tg = tags(rnd.nextInt(3))
+            Dml.update(t, col("tag") === tg, Map("qty" -> (col("qty") + 10)))
+            model = model.map(x => if (x._3 == tg) (x._1, x._2 + 10, x._3) else x)
+            sync(s"update(tag=$tg)")
+          case 4 =>
+            // upsert a window around the newest ids: touches existing rows,
+            // re-inserts previously-deleted ids, and appends two fresh ones
+            val lo = math.max(1L, nextId - 5)
+            val srcRows = (lo to nextId + 2).map(i =>
+              (i, 500 + rnd.nextInt(10), "m")).toVector
+            nextId += 2
+            Dml.merge(t, srcRows.toDF("id", "qty", "tag"), "id",
+              Map("qty" -> col("src.qty"), "tag" -> col("src.tag")),
+              insertNotMatched = true)
+            val byId = srcRows.map(r => r._1 -> r).toMap
+            model = model.map(x => byId.getOrElse(x._1, x))
+            val present = model.map(_._1).toSet
+            model ++= srcRows.filterNot(r => present.contains(r._1))
+            sync(s"merge(${srcRows.size})")
+          case 5 =>
+            if (rnd.nextBoolean()) {
+              Maintenance.rewriteDataFiles(t, targetFileSizeBytes = 1L << 30)
+              sync("compact")
+            } else {
+              Maintenance.expireSnapshots(t, retainLast = 3)
+              val retained = t.snapshotsList.map(_.snapshotId).toSet
+              history = history.filter { case (k, _) => retained.contains(k) }
+              sync("expire")
+            }
+        }
+      }
+      // every retained snapshot still reads back its recorded state
+      history.foreach { case (sid, rows) =>
+        val actual = t.readVersionAsOf(sid).as[(Long, Int, String)].collect().sorted.toVector
+        assert(actual === rows.sorted, s"snapshot $sid diverged from history (round $round)")
+      }
+    }
+  }
+}
