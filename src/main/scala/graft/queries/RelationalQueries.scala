@@ -157,6 +157,17 @@ object RelationalQueries {
         .filter(col("ts") < current_timestamp())
         .agg(count(lit(1)).as("n_past"))),
 
+    // F10 — semi-structured extraction: schema'd JSON parse of the events
+    // `props` column (from_json stays codegen'd; the parsed field feeds a
+    // regular aggregate, so the JSON path rides the scan like any projection)
+    "f10_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_parsed"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // F8 — typed NULL column (ref sql/snowflake/open_catalog/bulk_insert_sales_events.sql:17)
     "f8_typed_null" -> ((s, dir) =>
       Tables.nation(s, dir)
@@ -274,6 +285,12 @@ object RelationalQueries {
          WHERE event_type = 'purchase' ORDER BY event_id LIMIT 200""",
     "f7_current_timestamp" ->
       "SELECT COUNT(*) AS n_past FROM events WHERE ts < current_timestamp",
+    "f10_json_extract" ->
+      """SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "f8_typed_null" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS channel
          FROM nation ORDER BY n_nationkey LIMIT 5""",
