@@ -51,7 +51,7 @@ object TemporalJoins {
     lNorm.unionByName(rNorm)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(c => col(s"_row.$c").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"_row.$c").as(c)) ++
         payloadCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 
