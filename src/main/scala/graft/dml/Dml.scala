@@ -36,6 +36,22 @@ object Dml {
     }.toSet
   }
 
+  /** 100 TB guard: COW planning holds the touched-file name list on the
+    * driver — bounded by file count (fine at the ~800k-file design point),
+    * but a predicate touching tens of millions of files signals a full-table
+    * rewrite that should be `overwrite()` instead of per-file COW. Returns
+    * the warning it logs so the bound is unit-testable.
+    */
+  private[dml] def plannedFilesWarning(touched: Long, ceiling: Long = 1000000L): Option[String] =
+    if (touched > ceiling)
+      Some(s"DML planning touched $touched files (ceiling $ceiling): the driver-side " +
+        "file list is at risk at this scale — use a coarser predicate per operation " +
+        "or a full overwrite() instead of copy-on-write planning")
+    else None
+
+  private def warnCeiling(touched: Int): Unit =
+    plannedFilesWarning(touched.toLong).foreach(w => System.err.println(s"[graft.dml] $w"))
+
   /** Split a snapshot's files into (files containing rows matching pred,
     * files provably untouched), remembering the snapshot the plan is based
     * on — commitRewrite validates nothing advanced past it.
@@ -45,8 +61,30 @@ object Dml {
     val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
     val touched = toRelative(t,
       withFile.filter(pred).select("_file").distinct().collect().map(_.getString(0)))
+    warnCeiling(touched.size)
     val (m, u) = planned.files.partition(e => touched.contains(e.path))
     (m, u, planned)
+  }
+
+  /** Plan the source-keys side of MERGE's matched-file semi-join. Broadcast
+    * is a *hint gated on Catalyst's size estimate* (default gate:
+    * `spark.sql.autoBroadcastJoinThreshold`), never unconditional: the spec's
+    * merge mix (ICEBERG-Interoperability-Test-Spec.md:72, 75% inserts) at
+    * 100 TB implies sources with millions–billions of distinct keys, and a
+    * forced broadcast of those would override AQE and OOM the driver. Above
+    * the gate the join stays a shuffled left-semi equi-join — AQE may still
+    * convert it to broadcast at runtime if the *actual* key set turns out
+    * small, which is exactly the decision order we want (estimate → hint;
+    * runtime size → AQE).
+    */
+  private[graft] def planKeys(source: DataFrame, key: String,
+      thresholdBytes: Option[Long] = None): DataFrame = {
+    val keys = source.select(col(key)).distinct()
+    val gate = thresholdBytes.getOrElse(
+      source.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    if (gate > 0 && keys.queryExecution.optimizedPlan.stats.sizeInBytes <= gate)
+      broadcast(keys)
+    else keys
   }
 
   /** D1 — `UPDATE t SET ... WHERE pred` (ref update_sales_events.sql:3-5). */
@@ -83,17 +121,19 @@ object Dml {
     */
   def merge(t: GraftTable, source: DataFrame, key: String,
       updateSet: Map[String, Column], insertNotMatched: Boolean,
-      deleteWhen: Option[Column] = None): Snapshot = {
+      deleteWhen: Option[Column] = None,
+      broadcastKeyThresholdBytes: Option[Long] = None): Snapshot = {
     val src = source.alias("src")
-    // Plan matched files via a broadcast semi-join against the source keys —
-    // the source never collects to the driver (a VALUES-sized source
-    // broadcasts trivially; a large source still only ships its key column).
+    // Plan matched files via a semi-join against the source keys — the source
+    // never collects to the driver (a VALUES-sized source broadcasts via the
+    // size-gated hint; a large source shuffles its key column only).
     val planned = t.latest
-    val srcKeys = broadcast(source.select(col(key)).distinct())
+    val srcKeys = planKeys(source, key, broadcastKeyThresholdBytes)
     val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
     val touched = toRelative(t,
       withFile.join(srcKeys, Seq(key), "left_semi")
         .select("_file").distinct().collect().map(_.getString(0)))
+    warnCeiling(touched.size)
     val (matched, untouched) = planned.files.partition(e => touched.contains(e.path))
     // Rewrite matched files: left-join to source, drop matched rows the
     // delete condition selects, apply updates where joined.

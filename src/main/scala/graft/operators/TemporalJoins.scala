@@ -28,6 +28,13 @@ object TemporalJoins {
     * Right columns other than `key`/`tsCol` become the payload and must not
     * clash with left column names. For a deterministic payload the right side
     * must be unique per (key, ts) — pre-aggregate duplicates away.
+    *
+    * Skew bound: all rows of one key land in ONE window partition and sort
+    * there — tested correct and tractable at 10^5 rows per key
+    * (TemporalJoinsSpec); a genuinely hot key far past that needs a
+    * two-phase variant (pre-bucket each key by coarse time range, run the
+    * running-last within buckets, then stitch bucket boundaries with a
+    * per-(key,bucket) carry join — one extra shuffle).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != tsCol).toSeq

@@ -136,6 +136,29 @@ object HarnessQueries {
         .toSeq.toDF("idx", "line").orderBy("idx")
     }),
 
+    // H11 — script-resolution matrix (ref framework/config.py:69-78): the
+    // engine×catalog grid resolved against a scripts map with `*` wildcards
+    // at both levels; unresolvable cells surface as 'raised' (the reference
+    // raises KeyError).
+    "h_script_matrix" -> ((s, _) => {
+      import s.implicits._
+      val tc = TestCase("interop_read", Map(
+        "spark" -> Map("open" -> "sql/spark/open_catalog/read.sql",
+          "*" -> "sql/spark/any/read.sql"),
+        "trino" -> Map("unity" -> "sql/trino/unity/read.sql"),
+        "*" -> Map("open" -> "sql/common/open/read.sql",
+          "*" -> "sql/common/read.sql")))
+      val rows = for {
+        engine <- Seq("spark", "trino", "snowflake")
+        catalog <- Seq("open", "unity", "glue")
+      } yield {
+        val resolved = try tc.resolveScript(engine, catalog)
+          catch { case _: NoSuchElementException => "raised" }
+        (engine, catalog, resolved)
+      }
+      rows.toDF("engine", "catalog", "script").orderBy("engine", "catalog")
+    }),
+
     // H2/H3 — statement split (quotes + comments) and capture classification
     "h_statement_split" -> ((s, _) => {
       import s.implicits._
@@ -295,6 +318,18 @@ object HarnessQueries {
            (13, 'country'),
            (14, ')'))
          AS t(idx, line) ORDER BY idx""",
+    "h_script_matrix" ->
+      """SELECT * FROM (VALUES
+           ('snowflake', 'glue', 'sql/common/read.sql'),
+           ('snowflake', 'open', 'sql/common/open/read.sql'),
+           ('snowflake', 'unity', 'sql/common/read.sql'),
+           ('spark', 'glue', 'sql/spark/any/read.sql'),
+           ('spark', 'open', 'sql/spark/open_catalog/read.sql'),
+           ('spark', 'unity', 'sql/spark/any/read.sql'),
+           ('trino', 'glue', 'raised'),
+           ('trino', 'open', 'raised'),
+           ('trino', 'unity', 'sql/trino/unity/read.sql'))
+         AS t(engine, catalog, script) ORDER BY engine, catalog""",
     "h_statement_split" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), 'CREATE', false),

@@ -21,19 +21,9 @@ import org.apache.spark.sql.types.DecimalType
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  // Hash-stable output: exact decimal snapped to scale 2, emitted as double.
-  // VALIDITY BOUND: bit-parity with DuckDB's int64->double path holds only
-  // while the unscaled value (sum * 100) stays within 2^53 (~9e13 at scale 2)
-  // — both engines then produce the same exactly-representable double. The
-  // guard below fails the query rather than silently hash-mismatching if a
-  // larger scale factor ever crosses the bound.
-  private def dbl(c: org.apache.spark.sql.Column) = {
-    val d = dec(c)
-    when(abs(d) > lit(9.0e13),
-      raise_error(concat(lit("decimal->double hash parity bound exceeded: "), d.cast("string"))))
-      .otherwise(d.cast("double"))
-  }
+  // Hash-stable guarded formatting shared across query files — see Fmt.
+  private def dec(c: org.apache.spark.sql.Column) = Fmt.dec(c)
+  private def dbl(c: org.apache.spark.sql.Column) = Fmt.dbl(c)
 
   val queries: Map[String, Q] = Map(
     // S1/P1/O1 — projection + global sort + limit

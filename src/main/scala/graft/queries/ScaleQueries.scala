@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{SkewSalting, TemporalJoins}
 
@@ -14,10 +13,9 @@ import graft.operators.{SkewSalting, TemporalJoins}
 object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  // Hash-stable output: exact decimal snapped to scale 2, emitted as double
-  // (decimal strings carry trailing zeros that a float-normalizing hash drops).
-  private def dbl(c: org.apache.spark.sql.Column) = dec(c).cast("double")
+  // Hash-stable guarded formatting shared across query files — see Fmt.
+  private def dec(c: org.apache.spark.sql.Column) = Fmt.dec(c)
+  private def dbl(c: org.apache.spark.sql.Column) = Fmt.dbl(c)
 
   val queries: Map[String, Q] = Map(
     // Two-phase salted aggregation == plain group-by (decimal sums → exact)

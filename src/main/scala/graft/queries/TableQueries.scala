@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.dml.Dml
 import graft.gen.Synthesize
@@ -33,10 +32,9 @@ object TableQueries {
     dir.toString
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  // Hash-stable output: exact decimal snapped to scale 2, emitted as double
-  // (decimal strings carry trailing zeros that a float-normalizing hash drops).
-  private def dbl(c: org.apache.spark.sql.Column) = dec(c).cast("double")
+  // Hash-stable guarded formatting shared across query files — see Fmt.
+  private def dec(c: org.apache.spark.sql.Column) = Fmt.dec(c)
+  private def dbl(c: org.apache.spark.sql.Column) = Fmt.dbl(c)
 
   private def liSubset(s: SparkSession, dir: String, maxKey: Long): DataFrame =
     Tables.lineitem(s, dir).filter(col("l_orderkey") < maxKey)
@@ -201,6 +199,40 @@ object TableQueries {
       t.readPartitions(Map("bucket" -> "1"))
         .agg(count(lit(1)).as("row_count"),
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+    }),
+
+    // S5 — truncate partition transform (spec ICEBERG-Interoperability-Test-
+    // Spec.md:79 `truncate(sku,N)`; Snowflake translation
+    // create_sales_events.sql:13-26): like bucket, the transform is a derived
+    // prefix column added before append; metadata pruning then serves
+    // prefix-equality reads without opening non-matching files.
+    "t_truncate_transform" -> ((s, dir) => {
+      val data = Tables.orders(s, dir)
+        .withColumn("prio_trunc", substring(col("o_orderpriority"), 1, 1))
+      val t = GraftTable.create(s, scratch("truncate_transform"), data.schema,
+        partitionCols = Seq("prio_trunc"))
+      t.append(data)
+      t.readPartitions(Map("prio_trunc" -> "3"))
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+    }),
+
+    // J1 at the spec's large-source scale (ICEBERG-Interoperability-Test-
+    // Spec.md:72 — 75% inserts implies a source comparable to the target):
+    // the whole orders table merges into a half-sized target with the
+    // key-planning broadcast gated OFF, so file planning runs as a shuffled
+    // left-semi join — the 100 TB shape where broadcasting every distinct
+    // source key would OOM the driver (DmlPlanningSpec asserts the plan).
+    "t_merge_large_source" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("merge_large_source"), base.schema)
+      t.append(base.filter(col("o_orderkey") % 2 === 0))
+      val source = base.withColumn("o_totalprice", col("o_totalprice") * 2)
+      Dml.merge(t, source, "o_orderkey",
+        Map("o_totalprice" -> col("src.o_totalprice")), insertNotMatched = true,
+        broadcastKeyThresholdBytes = Some(0L))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
     }),
 
     // M1 — compaction preserves data, collapses to one file
@@ -427,6 +459,14 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderkey < 2000 AND o_custkey % 4 = 1""",
+    "t_truncate_transform" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders WHERE substring(o_orderpriority, 1, 1) = '3'""",
+    "t_merge_large_source" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders""",
     "t_compaction" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

@@ -86,6 +86,20 @@ class LlmEdgeSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a deep duplicate chain and fail loudly at the cap") {
+    import spark.implicits._
+    // a 40-hop chain: plain one-hop min-label propagation would need ~40
+    // rounds (the old maxIter=10 silently returned split components here);
+    // pointer jumping must converge in O(log d) — well under 12 rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 12)
+    assert(labels.count() === 41)
+    assert(labels.agg(org.apache.spark.sql.functions.max("label"))
+      .collect()(0).getLong(0) === 0L, "all chain members must fold to the min id")
+    // a cap too small to converge must throw, never return wrong labels
+    intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 2))
+  }
+
   test("deduplicateCorpus keeps one doc per near-dup component plus singletons") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then runs far away " +

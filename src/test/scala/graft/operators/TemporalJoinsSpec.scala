@@ -36,6 +36,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window plan:\n$plan")
   }
 
+  test("asOf stays correct under a hot key (10^5 rows on one window partition)") {
+    // the skew bound (documented on asOf): one key's rows all land in one
+    // window partition and sort there. 1e5 hot rows must stay correct and
+    // finish — the analytically-known match is floor(ts/10)*10.
+    val n = 100000L
+    val left = spark.range(n).select(lit(1L).as("k"), col("id").as("ts"))
+    val right = spark.range(n / 10).select(lit(1L).as("k"),
+      (col("id") * 10).as("ts"), (col("id") * 10).as("p"))
+    val out = TemporalJoins.asOf(left, right, "k", "ts")
+    assert(out.count() === n)
+    val expected = col("ts") - (col("ts") % 10)
+    assert(out.filter(col("p").isNull || col("p") =!= expected).count() === 0)
+  }
+
   test("pointInInterval equals the BETWEEN theta join, without duplicates") {
     // seconds → micros; bucket width 10s forces intervals to span 2 cells
     val us = 1000000L

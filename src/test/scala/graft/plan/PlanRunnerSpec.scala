@@ -38,6 +38,22 @@ class PlanRunnerSpec extends SparkSpec {
     assert(Validators.deriveRowcount(StatementResult("s", Nil, Some(3L))) === Some(3L))
   }
 
+  test("script resolution honors * wildcards at both levels (H11)") {
+    val tc = TestCase("t", Map(
+      "spark" -> Map("open" -> "a.sql", "*" -> "b.sql"),
+      "trino" -> Map("unity" -> "u.sql"),
+      "empty" -> Map.empty,
+      "*" -> Map("open" -> "c.sql")))
+    assert(tc.resolveScript("spark", "open") === "a.sql")
+    assert(tc.resolveScript("spark", "glue") === "b.sql")
+    assert(tc.resolveScript("snowflake", "open") === "c.sql")
+    // an EMPTY engine map falls through to '*' (the reference's Python `or`)
+    assert(tc.resolveScript("empty", "open") === "c.sql")
+    // a non-empty engine map with no catalog match raises — no cross-engine fallback
+    intercept[NoSuchElementException](tc.resolveScript("trino", "open"))
+    intercept[NoSuchElementException](tc.resolveScript("snowflake", "unity"))
+  }
+
   test("spark engine captures reads but not DDL/DML (H3/H4)") {
     val e = new SparkSqlEngine(spark)
     val res = e.runScript("SELECT 1 AS x; SET spark.sql.shuffle.partitions=4", Map.empty)

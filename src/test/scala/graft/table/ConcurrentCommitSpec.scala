@@ -1,0 +1,138 @@
+package graft.table
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Concurrent-writer stress on the optimistic commit loop (VERDICT r5 next #5):
+  * the single-threaded model check (TableModelCheckSpec) can't exercise real
+  * interleavings — here 8 threads race appends (plus an evolution race in the
+  * second test) and the table must come out with every committed row present,
+  * a strictly linear snapshot lineage, and every referenced file on disk.
+  */
+class ConcurrentCommitSpec extends SparkSpec {
+
+  private def assertLinearLineage(t: GraftTable): Unit = {
+    val snaps = t.snapshotsList
+    val ids = snaps.map(_.snapshotId)
+    assert(ids === (1L to ids.size.toLong), "snapshot ids must be contiguous")
+    snaps.sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId),
+        s"snapshot ${b.snapshotId} must chain to ${a.snapshotId}")
+      case _ =>
+    }
+  }
+
+  private def assertFilesOnDisk(t: GraftTable): Unit = {
+    val root = SnapshotLog.dataPath(t.tableDir).toString
+    t.latest.files.foreach(f =>
+      assert(new java.io.File(s"$root/${f.path}").isFile, s"missing data file ${f.path}"))
+  }
+
+  test("8 racing append threads lose no files and keep lineage linear") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-append")
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+    GraftTable.create(spark, dir, schema)
+    val nThreads = 8
+    val perThread = 3
+    val rowsPer = 10
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nThreads).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until perThread).foreach { i =>
+            val base = (th * perThread + i) * rowsPer
+            val df = (0 until rowsPer).map(j => ((base + j).toLong, th.toLong)).toDF("k", "v")
+            new GraftTable(spark, dir).append(df)
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek()).map(_.toString)}")
+    val t = GraftTable.load(spark, dir)
+    val total = (nThreads * perThread * rowsPer).toLong
+    assert(t.readLatest().count() === total)
+    assert(t.readLatest().select("k").distinct().count() === total, "a commit's rows were lost")
+    assert(t.snapshotsList.size === nThreads * perThread + 1)
+    assertLinearLineage(t)
+    assertFilesOnDisk(t)
+    // total_rows over the lineage is monotone — no snapshot dropped a winner's files
+    val rowCounts = t.snapshotsList.map(_.files.map(_.rowCount).sum)
+    assert(rowCounts === rowCounts.sorted)
+  }
+
+  test("appends racing a concurrent schema evolution abort-and-retry, never mis-register") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-evolve")
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+    GraftTable.create(spark, dir, schema)
+    val nWriters = 7
+    val perThread = 2
+    val rowsPer = 10
+    val pool = Executors.newFixedThreadPool(nWriters + 1)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appendedRows = new AtomicLong(0)
+    // build the append frame against the table's CURRENT schema; on the
+    // evolution race (shape require / ConcurrentModificationException) the
+    // writer rebuilds and retries — the documented caller contract
+    def appendAdapting(base: Int, v: Long): Unit = {
+      var done = false
+      var tries = 0
+      while (!done) {
+        val cur = new GraftTable(spark, dir)
+        var df: DataFrame = (0 until rowsPer).map(j => ((base + j).toLong, v)).toDF("k", "v")
+        if (cur.schema.fieldNames.contains("extra"))
+          df = df.withColumn("extra", lit("w"))
+        try { cur.append(df); done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException | _: IllegalArgumentException =>
+            tries += 1
+            if (tries > 10) throw new IllegalStateException("append gave up after 10 evolution races")
+        }
+      }
+      appendedRows.addAndGet(rowsPer.toLong)
+    }
+    (0 until nWriters).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until perThread).foreach(i => appendAdapting((th * perThread + i) * rowsPer, th.toLong))
+          catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try { Thread.sleep(50); GraftTable.load(spark, dir).addColumn("extra", "string", "d") }
+        catch { case e: Throwable => failures.add(e) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek()).map(_.toString)}")
+    val t = GraftTable.load(spark, dir)
+    assert(t.schema.fieldNames.contains("extra"))
+    val out = t.readLatest()
+    assert(out.count() === appendedRows.get())
+    // every row reads a concrete `extra`: pre-evolution files replay the
+    // default, post-evolution files carry the written literal — all-NULL
+    // would mean a file got registered under the wrong schema
+    assert(out.filter(col("extra").isNull).count() === 0)
+    assertLinearLineage(t)
+    assertFilesOnDisk(t)
+  }
+}
