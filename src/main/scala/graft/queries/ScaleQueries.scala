@@ -55,6 +55,24 @@ object ScaleQueries {
         .orderBy("user_id")
     }),
 
+    // Salted two-phase as-of join == plain as-of (same DuckDB ASOF oracle):
+    // the hot-key-safe variant must produce identical matches while its
+    // window partitions by (key, time-bucket) instead of key alone.
+    "asof_join_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("purchase_value"))
+      TemporalJoins.asOfSalted(clicks, purchases, "user_id", "ts",
+          bucketWidth = 6L * 3600 * 1000000) // 6-hour buckets over the event span
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("purchase_value")).as("n_matched"),
+          max(col("purchase_value")).as("max_purchase_value"))
+        .orderBy("user_id")
+    }),
+
     // Range join via time bucketing (equi-join on (key, bucket) + residual
     // filter; the plain BETWEEN theta join is the oracle): clicks landing
     // inside a 5-minute window after each error event, per user.
@@ -111,6 +129,18 @@ object ScaleQueries {
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM events GROUP BY 1 ORDER BY user_bucket""",
     "asof_join" ->
+      """WITH l AS (
+           SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (
+           SELECT l.user_id AS user_id, r.purchase_value
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+         SELECT user_id, COUNT(*) AS n_clicks, COUNT(purchase_value) AS n_matched,
+                MAX(purchase_value) AS max_purchase_value
+         FROM j GROUP BY user_id ORDER BY user_id""",
+    "asof_join_salted" ->
       """WITH l AS (
            SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click'),
          r AS (

@@ -50,6 +50,22 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.filter(col("p").isNull || col("p") =!= expected).count() === 0)
   }
 
+  test("asOfSalted equals asOf, including across bucket boundaries and the hot key") {
+    // hot key 1: 5000 left rows, rights at multiples of 10 — bucket width 97
+    // deliberately misaligns with the right cadence so matches must cross
+    // bucket boundaries through the carry; key 2 has a bucket with no rights
+    val left = spark.range(5000).select(lit(1L).as("k"), col("id").as("ts"))
+      .union(spark.range(5).select(lit(2L).as("k"), (col("id") + 500).as("ts")))
+    val right = spark.range(500).select(lit(1L).as("k"),
+      (col("id") * 10).as("ts"), (col("id") * 10).as("p"))
+      .union(spark.range(1).select(lit(2L).as("k"), lit(0L).as("ts"), lit(-7L).as("p")))
+    val plain = TemporalJoins.asOf(left, right, "k", "ts")
+    val salted = TemporalJoins.asOfSalted(left, right, "k", "ts", bucketWidth = 97)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("pointInInterval equals the BETWEEN theta join, without duplicates") {
     // seconds → micros; bucket width 10s forces intervals to span 2 cells
     val us = 1000000L
