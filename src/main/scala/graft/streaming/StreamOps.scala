@@ -81,6 +81,23 @@ object StreamOps {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Highest stream batch id ever committed into `t` by the table sink
+    * (scan of the snapshot summaries — O(snapshots), metadata-only).
+    */
+  def lastCommittedBatchId(t: graft.table.GraftTable): Option[Long] =
+    t.snapshotsList.flatMap(_.summary.get("stream-batch-id")).map(_.toLong).maxOption
+
+  /** Idempotent streaming sink into a GraftTable: each micro-batch appends
+    * with its batch id recorded in the snapshot summary, and a batch at or
+    * below the last committed id is SKIPPED — Spark's foreachBatch is
+    * at-least-once across restarts, so the id check upgrades table ingest to
+    * exactly-once (the standard transactional-sink contract: the batch id is
+    * durable in the same commit as the data it covers).
+    */
+  def ingestBatch(t: graft.table.GraftTable)(batch: DataFrame, batchId: Long): Unit =
+    if (lastCommittedBatchId(t).forall(batchId > _))
+      t.append(batch, extraSummary = Map("stream-batch-id" -> batchId.toString))
+
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.
     * `maxFilesPerTrigger` forces multi-batch execution so incremental state
@@ -163,6 +180,41 @@ object StreamOps {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")),
 
+    // Streaming ingest into the snapshot table, run TWICE with fresh
+    // checkpoints: the second run replays every batch and the idempotent
+    // sink must skip them all — row counts equal one copy of events and the
+    // table carries exactly one stream commit per batch (DuckDB-checked).
+    "stream_table_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/root/repo/target/graft-scratch/stream_table_sink"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      // split events into 4 files so AvailableNow runs 4 real micro-batches
+      val events = graft.queries.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      events.repartition(4).write.parquet(s"$root/src")
+      val t = graft.table.GraftTable.create(s, s"$root/table", events.schema)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream
+          .foreachBatch(ingestBatch(t) _)
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> all batches skipped
+      val streamCommits = t.snapshotsList.count(_.summary.contains("stream-batch-id"))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("event_id")).as("id_sum"))
+        .withColumn("n_stream_commits", lit(streamCommits.toLong))
+    }),
+
     "stream_user_totals" -> ((s, dir) => {
       import s.implicits._
       runAvailableNow(s, dir, "stream_user_totals",
@@ -187,6 +239,10 @@ object StreamOps {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_table_sink" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(4 AS BIGINT) AS n_stream_commits
+         FROM events""",
     "stream_interval_join" ->
       """WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
             p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')

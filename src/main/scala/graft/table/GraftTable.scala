@@ -188,10 +188,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 
   /** S3 — bulk append (ref blob-dfs_bench.py:104-106). Metadata-only for
     * existing files. `sortWithinPartitionsCols` implements WRITE ORDERED BY
-    * (O5, ref create_sales_events.sql:21-24).
+    * (O5, ref create_sales_events.sql:21-24). `extraSummary` entries land in
+    * the snapshot's summary map (e.g. the streaming sink's batch-id marker).
     */
-  def append(df: DataFrame, sortWithinPartitionsCols: Seq[String] = Nil): Snapshot =
-    commitData(df, "append", parentFiles = true, sortWithinPartitionsCols)
+  def append(df: DataFrame, sortWithinPartitionsCols: Seq[String] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commitData(df, "append", parentFiles = true, sortWithinPartitionsCols, extraSummary)
 
   /** Replace all data with `df` (used by compaction and full rewrites). */
   def overwrite(df: DataFrame, operation: String = "overwrite"): Snapshot =
@@ -270,7 +272,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     s.fields.map(f => (f.name, f.dataType)).toSet
 
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
-      sortCols: Seq[String] = Nil): Snapshot = {
+      sortCols: Seq[String] = Nil, extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val writeShape = shapeOf(df.schema)
     // Fail a genuinely mis-shaped write BEFORE any data lands; the in-retry
     // check below then only ever fires for a true evolution race.
@@ -306,7 +308,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       val files = (keep ++ written.map(_.copy(writtenAt = id))).toList
       Snapshot(id, parent.map(_.snapshotId), clock(), operation, schemaJson,
         parent.map(_.partitionCols).getOrElse(Nil), files,
-        Map("added-files" -> written.size.toString), Nil,
+        extraSummary + ("added-files" -> written.size.toString), Nil,
         schemasFor(files,
           parent.map(_.schemas).getOrElse(Map.empty) + (id.toString -> schemaJson)),
         parent.map(_.chain).getOrElse(Nil))

@@ -18,6 +18,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("ingestBatch skips replayed batch ids (exactly-once table sink)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("ingest-batch"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 5).map(i => (i, s"v$i")).toDF("id", "s")
+    StreamOps.ingestBatch(t)(batch(0), 0L)
+    StreamOps.ingestBatch(t)(batch(5), 1L)
+    assert(StreamOps.lastCommittedBatchId(t) === Some(1L))
+    // at-least-once replay after a restart: ids 0 and 1 must be no-ops
+    StreamOps.ingestBatch(t)(batch(0), 0L)
+    StreamOps.ingestBatch(t)(batch(5), 1L)
+    assert(t.readLatest().count() === 10L)
+    StreamOps.ingestBatch(t)(batch(10), 2L)
+    assert(t.readLatest().count() === 15L)
+    assert(t.readLatest().select("id").distinct().count() === 15L)
+    assert(StreamOps.lastCommittedBatchId(t) === Some(2L))
+  }
+
   test("flatMapGroupsWithState produces final per-user totals equal to batch agg") {
     import spark.implicits._
     val result = StreamOps.runAvailableNow(spark, sf, "spec_user_stats",
