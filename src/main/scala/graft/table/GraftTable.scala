@@ -167,6 +167,64 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     readSnapshot(snap.copy(files = selected))
   }
 
+  /** Stats-based file pruning (the Iceberg manifest `lower_bounds`/
+    * `upper_bounds` scan-planning step): files whose recorded `[min, max]` for
+    * `colName` falls entirely outside `[lo, hi]` are dropped from the scan
+    * BEFORE Spark sees any path. Returns (selected, total) so callers can
+    * observe skipping. Sound by construction: a file is only skipped on
+    * recorded bounds that prove no row matches; files with no stats for the
+    * column (old format, renamed column, all-null file) are always kept.
+    * Either bound may be null (one-sided range).
+    */
+  def planBetween(snap: Snapshot, colName: String, lo: Any, hi: Any)
+      : (Seq[FileEntry], Int) = {
+    val dt = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      .find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName"))
+      .dataType
+    val prunable = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false // date/ts/decimal stats are stored in raw physical form
+    }
+    def cmp(a: String, b: String): Int =
+      if (dt == org.apache.spark.sql.types.StringType) a.compareTo(b)
+      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    val loS = Option(lo).map(_.toString)
+    val hiS = Option(hi).map(_.toString)
+    val selected =
+      if (!prunable) snap.files
+      else snap.files.filter { f =>
+        f.stats.get(colName) match {
+          case Some(List(mn, mx)) =>
+            loS.forall(l => cmp(mx, l) >= 0) && hiS.forall(h => cmp(mn, h) <= 0)
+          case _ => true
+        }
+      }
+    (selected, snap.files.size)
+  }
+
+  /** Read rows with `colName` in `[lo, hi]` through stats pruning: the file
+    * list shrinks to possibly-matching files, then the exact predicate runs as
+    * a normal pushed-down filter over the survivors (file bounds are not
+    * exact, so the residual filter is required for correctness). Pass null for
+    * an open bound.
+    */
+  def readBetween(colName: String, lo: Any, hi: Any): DataFrame = {
+    val snap = latest
+    val (selected, _) = planBetween(snap, colName, lo, hi)
+    val base = readSnapshot(snap.copy(files = selected.toList))
+    val c = col(colName)
+    (Option(lo), Option(hi)) match {
+      case (Some(l), Some(h)) => base.filter(c >= lit(l) && c <= lit(h))
+      case (Some(l), None)    => base.filter(c >= lit(l))
+      case (None, Some(h))    => base.filter(c <= lit(h))
+      case _                  => base
+    }
+  }
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
@@ -384,7 +442,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
             .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
           val status = hfs.getFileStatus(dest)
-          FileEntry(rel, partVals, rowCountOf(dest), status.getLen, snapshotId)
+          val (rows, stats) = footerMeta(dest)
+          FileEntry(rel, partVals, rows, status.getLen, snapshotId, stats)
         }.seq.sortBy(_.path)
       } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
         .forkJoinPool.shutdown()
@@ -402,12 +461,68 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     out.toSeq
   }
 
-  private def rowCountOf(p: org.apache.hadoop.fs.Path): Long = {
+  /** Row count + per-column `[min, max]` bounds from the parquet footer — one
+    * footer open serves both. Bounds are merged across row groups; a column
+    * drops out of the stats map if any row group carries no statistics
+    * (conservative: absent = never pruned). Binary (string) stats may be
+    * writer-truncated, but truncation only ever WIDENS the bound, so pruning
+    * against them stays sound. Only top-level primitive columns are tracked —
+    * nested paths (`a.b`) and logical types beyond int/float/string have
+    * engine-specific orderings and are skipped.
+    */
+  private def footerMeta(p: org.apache.hadoop.fs.Path)
+      : (Long, Map[String, List[String]]) = {
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try reader.getRecordCount finally reader.close()
-    } catch { case _: Throwable => -1L }
+      try {
+        import scala.jdk.CollectionConverters._
+        val mins = scala.collection.mutable.Map[String, Comparable[Any]]()
+        val maxs = scala.collection.mutable.Map[String, Comparable[Any]]()
+        val invalid = scala.collection.mutable.Set[String]()
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (!name.contains('.') && !invalid(name) && statsComparable(c)) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) { invalid += name; mins -= name; maxs -= name }
+            else if (st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+              val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+              if (mins.get(name).forall(_.compareTo(mn) > 0)) mins(name) = mn
+              if (maxs.get(name).forall(_.compareTo(mx) < 0)) maxs(name) = mx
+            } // all-null row group: bounds unaffected
+          }
+        }
+        val stats = mins.keys.map { k =>
+          k -> List(renderStat(mins(k)), renderStat(maxs(k)))
+        }.toMap
+        (reader.getRecordCount, stats)
+      } finally reader.close()
+    } catch { case _: Throwable => (-1L, Map.empty) }
+  }
+
+  /** Track only parquet primitives whose min/max ordering matches the engine's:
+    * plain int32/int64/float/double and UTF8-annotated binary. Logical types
+    * riding on these primitives (DATE on int32, TIMESTAMP on int64, nanos-as-
+    * long) order identically to their physical values, so they stay prunable.
+    * DECIMAL's unscaled-int ordering only matches within one scale — fine for
+    * a single column written by this table, which has one schema per file.
+    */
+  private def statsComparable(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    c.getPrimitiveType.getPrimitiveTypeName match {
+      case INT32 | INT64 | FLOAT | DOUBLE => true
+      case BINARY =>
+        c.getPrimitiveType.getLogicalTypeAnnotation ==
+          org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+      case _ => false
+    }
+  }
+
+  private def renderStat(v: Comparable[Any]): String = (v: Any) match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
   }
 
   /** Create-only commit: the v1 doc must not exist; a conflict means the

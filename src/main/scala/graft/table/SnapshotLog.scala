@@ -17,13 +17,21 @@ import java.nio.charset.StandardCharsets
   * @param writtenAt       snapshot id whose commit wrote the file — the file's
   *                        physical schema is that snapshot's schema (drives
   *                        schema-evolution reads)
+  * @param stats           per-column `[min, max]` bounds over the file's
+  *                        non-null values, string-rendered, harvested from the
+  *                        parquet footer at commit time (the Iceberg
+  *                        manifest-bounds analog: `lower_bounds`/`upper_bounds`
+  *                        per data file). Keys are WRITE-TIME physical column
+  *                        names; only integral / floating / string columns are
+  *                        tracked. Absent key = unknown = never pruned.
   */
 case class FileEntry(
     path: String,
     partitionValues: Map[String, String],
     rowCount: Long,
     sizeBytes: Long,
-    writtenAt: Long = 0L)
+    writtenAt: Long = 0L,
+    stats: Map[String, List[String]] = Map.empty)
 
 /** One schema-evolution commit's ops, carried forward in every descendant
   * snapshot so evolution replay never needs another snapshot doc.
