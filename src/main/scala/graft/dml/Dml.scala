@@ -123,7 +123,17 @@ object Dml {
       updateSet: Map[String, Column], insertNotMatched: Boolean,
       deleteWhen: Option[Column] = None,
       broadcastKeyThresholdBytes: Option[Long] = None): Snapshot = {
-    val src = source.alias("src")
+    // MERGE cardinality guard (Spark/Iceberg MERGE raises on multiple source
+    // matches per target row; ref merge_sales_events.sql:4-21 assumes a
+    // unique-key source): a duplicated source key would silently multiply
+    // every matched target row through the left join below. The per-key count
+    // rides the source as a window over the merge key — the window's hash
+    // partitioning is the key the rewrite join shuffles on anyway, so this
+    // adds no exchange and no extra job; the guard fires per matched row
+    // during the rewrite (see updatedCols). Not-matched duplicates insert
+    // once each, matching engine MERGE semantics.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val src = source.withColumn("_src_cnt", count(lit(1)).over(w)).alias("src")
     // Plan matched files via a semi-join against the source keys — the source
     // never collects to the driver (a VALUES-sized source broadcasts via the
     // size-gated hint; a large source shuffles its key column only).
@@ -144,11 +154,21 @@ object Dml {
       case Some(d) => joined.filter(!(hasMatch && coalesce(d, lit(false))))
       case None => joined
     }
+    // Cardinality violation surfaces on the key column of every matched row
+    // (the key is always in the output, so Catalyst cannot prune the check):
+    // a matched row whose source key appears >1 times raises instead of
+    // writing multiplied rows.
+    val cardinalityOk = coalesce(col("src._src_cnt"), lit(1L)) <= 1
     val updatedCols = t.schema.fieldNames.map { c =>
-      updateSet.get(c) match {
-        case Some(e) => when(hasMatch, e).otherwise(col(s"tgt.$c")).as(c)
-        case None => col(s"tgt.$c").as(c)
+      val base = updateSet.get(c) match {
+        case Some(e) => when(hasMatch, e).otherwise(col(s"tgt.$c"))
+        case None => col(s"tgt.$c")
       }
+      if (c == key)
+        when(cardinalityOk, base).otherwise(raise_error(concat(
+          lit("MERGE cardinality violation: source has multiple rows for key "),
+          col(s"src.$key").cast("string")))).as(c)
+      else base.as(c)
     }
     val rewritten = kept.select(updatedCols.toSeq: _*)
     // WHEN NOT MATCHED THEN INSERT. Keys present anywhere in the target are

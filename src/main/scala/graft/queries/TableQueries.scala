@@ -373,6 +373,28 @@ object TableQueries {
         .orderBy("event_id")
     }),
 
+    // Stats-based file pruning (the Iceberg manifest lower/upper-bounds scan
+    // plan, ref spec ICEBERG-Interoperability-Test-Spec.md:86 "File pruning
+    // effectiveness"): four appends with disjoint l_orderkey ranges land as
+    // four files; a BETWEEN read plans only the two overlapping files from
+    // footer-harvested bounds, then applies the exact predicate to the
+    // survivors. n_files_scanned/total put the skipping itself on the
+    // hash-checked path — a too-aggressive bound check would change row_count,
+    // a never-pruning one would change n_files_scanned.
+    "t_stats_prune" -> ((s, dir) => {
+      val data = liSubset(s, dir, 1000)
+      val t = GraftTable.create(s, scratch("stats_prune"), data.schema)
+      Seq((0L, 250L), (250L, 500L), (500L, 750L), (750L, 1000L)).foreach { case (lo, hi) =>
+        t.append(data.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi).coalesce(1))
+      }
+      val (selected, total) = t.planBetween(t.latest, "l_orderkey", 300L, 600L)
+      t.readBetween("l_orderkey", 300L, 600L)
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .withColumn("n_files_scanned", lit(selected.size.toLong))
+        .withColumn("n_files_total", lit(total.toLong))
+    }),
+
     // M4 — orphan removal leaves live data intact
     "t_orphan_cleanup" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("orphan"), liSubset(s, dir, 500).schema)
@@ -514,6 +536,12 @@ object TableQueries {
            (2, 1, 'app', CAST(1.5 AS DOUBLE), 'web'),
            (3, CAST(NULL AS INT), 'web', CAST(2.0 AS DOUBLE), 'web'))
          AS t(event_id, n_tags, source, score, channel) ORDER BY event_id""",
+    "t_stats_prune" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           CAST(4 AS BIGINT) AS n_files_total
+         FROM lineitem WHERE l_orderkey BETWEEN 300 AND 600""",
     "t_orphan_cleanup" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

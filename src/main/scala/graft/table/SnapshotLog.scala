@@ -52,12 +52,14 @@ case class EvolutionStep(snapshotId: Long, ops: List[String])
   * ops. `expireSnapshots` can therefore drop any older doc without breaking
   * schema resolution for files the retained snapshots still reference.
   *
-  * 100 TB note: an embedded list is O(total files) per commit. The mitigation
-  * here is `rewriteManifests` (consolidation) and file counts bounded by
-  * compaction; the full Iceberg answer is per-snapshot delta manifests, which
-  * `evolution`-style ops would layer on without changing this interface.
-  * `schemas`/`chain` stay small: one entry per live write-time schema /
-  * evolution commit, never per file.
+  * 100 TB note: the in-memory list is complete per snapshot, but the
+  * PERSISTED doc is not — `SnapDoc` delta-encodes every commit with a known
+  * parent as (added entries, removed paths, parent pointer), so commit
+  * metadata I/O is O(changed files), with `rewriteManifests` consolidating
+  * deltas into one full listing (the Iceberg delta-manifest design;
+  * GraftTableSpec + TableModelCheckSpec assert docs stay delta-sized across
+  * append/DML/expire). `schemas`/`chain` stay small: one entry per live
+  * write-time schema / evolution commit, never per file.
   *
   * @param evolution schema-evolution ops applied BY this commit, in order,
   *                  JSON-encoded (see GraftTable.addColumnOp); empty for data

@@ -40,6 +40,39 @@ class DmlPlanningSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("MERGE with duplicate source keys on a matched row raises a cardinality violation") {
+    import spark.implicits._
+    val dir = scratchDir("merge-dup-")
+    val base = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, dir, base.schema)
+    t.append(base)
+    // key 3 appears twice in the source — engines raise, never multiply
+    val source = Seq((3L, 300L), (3L, 301L), (11L, 1100L)).toDF("k", "v")
+    val e = intercept[Throwable] {
+      Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "|" + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("cardinality violation"), msgs(e))
+    // the failed merge committed nothing
+    assert(t.readLatest().count() === 10)
+    assert(t.latest.operation === "append")
+  }
+
+  test("duplicate source keys that match NO target row insert once each (legal)") {
+    import spark.implicits._
+    val dir = scratchDir("merge-dup-unmatched-")
+    val base = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, dir, base.schema)
+    t.append(base)
+    val source = Seq((21L, 1L), (21L, 2L), (5L, 500L)).toDF("k", "v")
+    Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true)
+    val rows = t.readLatest()
+    assert(rows.count() === 12) // 10 base + both k=21 inserts
+    assert(rows.filter(col("k") === 21).count() === 2)
+    assert(rows.filter(col("k") === 5).select("v").collect()(0).getLong(0) === 500L)
+  }
+
   test("planning ceiling warns past the driver-side file-list bound") {
     assert(Dml.plannedFilesWarning(1000000L).isEmpty)
     assert(Dml.plannedFilesWarning(1000001L).nonEmpty)

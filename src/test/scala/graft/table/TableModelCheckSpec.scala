@@ -28,10 +28,25 @@ class TableModelCheckSpec extends SparkSpec {
       var nextId = 0L
       var history = Map[Long, Vector[(Long, Int, String)]](t.latest.snapshotId -> model)
 
+      var nDeltaDocs = 0
       def sync(opName: String): Unit = {
         history += (t.latest.snapshotId -> model)
         val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
         assert(actual === model.sorted, s"divergence after $opName (round $round)")
+        // the PERSISTED doc for this commit must be delta-encoded whenever the
+        // delta is smaller than the full listing — and a delta doc must never
+        // also re-serialize the full inventory (expire may have consolidated
+        // the doc away into a manifest; skip then)
+        val p = java.nio.file.Paths.get(dir, "_graft_log",
+          f"v${t.latest.snapshotId}%08d.json")
+        if (java.nio.file.Files.exists(p)) {
+          val raw = java.nio.file.Files.readString(p)
+          if (raw.contains("\"added\"")) {
+            nDeltaDocs += 1
+            assert(!raw.contains("\"files\""),
+              s"doc after $opName is both delta- and full-encoded (round $round)")
+          }
+        }
       }
 
       (1 to 12).foreach { _ =>
@@ -85,6 +100,9 @@ class TableModelCheckSpec extends SparkSpec {
         val actual = t.readVersionAsOf(sid).as[(Long, Int, String)].collect().sorted.toVector
         assert(actual === rows.sorted, s"snapshot $sid diverged from history (round $round)")
       }
+      // the op mix must have produced genuinely delta-encoded commit docs
+      assert(nDeltaDocs >= 3,
+        s"expected delta-encoded docs across the op sequence, saw $nDeltaDocs (round $round)")
     }
   }
 }
