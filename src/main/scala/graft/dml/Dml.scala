@@ -127,11 +127,13 @@ object Dml {
     // matches per target row; ref merge_sales_events.sql:4-21 assumes a
     // unique-key source): a duplicated source key would silently multiply
     // every matched target row through the left join below. The per-key count
-    // rides the source as a window over the merge key — the window's hash
-    // partitioning is the key the rewrite join shuffles on anyway, so this
-    // adds no exchange and no extra job; the guard fires per matched row
-    // during the rewrite (see updatedCols). Not-matched duplicates insert
-    // once each, matching engine MERGE semantics.
+    // rides the source as a window over the merge key — on the shuffled-join
+    // path the window reuses the hash partitioning the rewrite join needs
+    // anyway (a broadcast-sized source pays one small extra exchange). The
+    // guard fires per matched row during the rewrite, BEFORE the delete
+    // branch filters anything (see kept/updatedCols) — engines raise the
+    // multiple-source-rows error for delete actions too. Not-matched
+    // duplicates insert once each, matching engine MERGE semantics.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
     val src = source.withColumn("_src_cnt", count(lit(1)).over(w)).alias("src")
     // Plan matched files via a semi-join against the source keys — the source
@@ -150,24 +152,30 @@ object Dml {
     val tgt = t.readFiles(matched).alias("tgt")
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "left")
     val hasMatch = col(s"src.$key").isNotNull
+    val cardinalityOk = coalesce(col("src._src_cnt"), lit(1L)) <= 1
+    val cardErr = raise_error(concat(
+      lit("MERGE cardinality violation: source has multiple rows for key "),
+      col(s"src.$key").cast("string")))
+    // The guard is evaluated INSIDE the delete filter, before any row is
+    // discarded: a dup-key source whose duplicates are all delete-marked must
+    // raise, not silently delete (filtering first would hide those rows from
+    // the updatedCols check below).
     val kept = deleteWhen match {
-      case Some(d) => joined.filter(!(hasMatch && coalesce(d, lit(false))))
+      case Some(d) => joined.filter(
+        when(hasMatch && !cardinalityOk, cardErr.cast("boolean"))
+          .otherwise(!(hasMatch && coalesce(d, lit(false)))))
       case None => joined
     }
-    // Cardinality violation surfaces on the key column of every matched row
-    // (the key is always in the output, so Catalyst cannot prune the check):
-    // a matched row whose source key appears >1 times raises instead of
-    // writing multiplied rows.
-    val cardinalityOk = coalesce(col("src._src_cnt"), lit(1L)) <= 1
+    // Cardinality violation also surfaces on the key column of every matched
+    // row that survives the delete branch (the key is always in the output,
+    // so Catalyst cannot prune the check): a matched row whose source key
+    // appears >1 times raises instead of writing multiplied rows.
     val updatedCols = t.schema.fieldNames.map { c =>
       val base = updateSet.get(c) match {
         case Some(e) => when(hasMatch, e).otherwise(col(s"tgt.$c"))
         case None => col(s"tgt.$c")
       }
-      if (c == key)
-        when(cardinalityOk, base).otherwise(raise_error(concat(
-          lit("MERGE cardinality violation: source has multiple rows for key "),
-          col(s"src.$key").cast("string")))).as(c)
+      if (c == key) when(cardinalityOk, base).otherwise(cardErr).as(c)
       else base.as(c)
     }
     val rewritten = kept.select(updatedCols.toSeq: _*)

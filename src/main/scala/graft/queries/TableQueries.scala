@@ -395,6 +395,36 @@ object TableQueries {
         .withColumn("n_files_total", lit(total.toLong))
     }),
 
+    // Timestamp-range stats pruning — the reference's flagship pruned-read
+    // shape (ref blob_dfs/blob-dfs_bench.py:117-122 times a ts BETWEEN over a
+    // day-partitioned table): two days of events land as 4 hour-quartile
+    // files PER day partition; a 09:30-11:45 read plans exactly ONE of the 8
+    // files from its raw-micros footer bounds — file skipping WITHIN a
+    // partition, which day-partition pruning alone cannot do. The scanned/
+    // total counts ride the hash-checked output, so both a bounds regression
+    // (wrong rows) and a pruning regression (wrong file count) go red.
+    "t_ts_stats_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ds", to_date(col("ts")).cast("string"))
+      val t = GraftTable.create(s, scratch("ts_stats_prune"), ev.schema,
+        partitionCols = Seq("ds"))
+      (0 until 4).foreach(q =>
+        t.append(ev.filter(hour(col("ts")) >= q * 6 && hour(col("ts")) < (q + 1) * 6)))
+      val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T09:30:00Z"))
+      val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T11:45:00Z"))
+      val (selected, total) = t.planBetween(t.latest, "ts", lo, hi)
+      t.readBetween("ts", lo, hi)
+        .agg(count(lit(1)).as("row_count"),
+          sum(col("user_id")).as("user_id_sum"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .withColumn("n_files_scanned", lit(selected.size.toLong))
+        .withColumn("n_files_total", lit(total.toLong))
+    }),
+
     // M4 — orphan removal leaves live data intact
     "t_orphan_cleanup" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("orphan"), liSubset(s, dir, 500).schema)
@@ -409,6 +439,12 @@ object TableQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_ts_stats_prune" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
+           MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+           CAST(1 AS BIGINT) AS n_files_scanned, CAST(8 AS BIGINT) AS n_files_total
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 09:30:00' AND ts <= TIMESTAMP '2024-01-05 11:45:00'""",
     "t_cow_update" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 5.0 ELSE l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty

@@ -171,38 +171,66 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * `upper_bounds` scan-planning step): files whose recorded `[min, max]` for
     * `colName` falls entirely outside `[lo, hi]` are dropped from the scan
     * BEFORE Spark sees any path. Returns (selected, total) so callers can
-    * observe skipping. Sound by construction: a file is only skipped on
-    * recorded bounds that prove no row matches; files with no stats for the
-    * column (old format, renamed column, all-null file) are always kept.
-    * Either bound may be null (one-sided range).
+    * observe skipping. Either bound may be null (one-sided range).
+    *
+    * Sound by construction — a file is only skipped on bounds that prove no
+    * row matches:
+    *  - `FileEntry.stats` keys are WRITE-TIME physical names, so the current
+    *    column name is resolved per evolution epoch back to the name it had
+    *    when each file was written (the role Iceberg's stable field ids play).
+    *    A column ADDED after a file was written resolves to no name at all —
+    *    stats that happen to sit under the same string (a renamed-away column
+    *    re-using the name) describe a DIFFERENT column's data and are never
+    *    consulted.
+    *  - Non-finite float/double bounds compare by IEEE order (`Infinity`
+    *    prunes nothing it shouldn't); a `NaN` or unparseable bound keeps the
+    *    file.
+    *  - Files with no usable stats (old format, all-null file, column widened
+    *    to string) are always kept.
     */
   def planBetween(snap: Snapshot, colName: String, lo: Any, hi: Any)
       : (Seq[FileEntry], Int) = {
+    import org.apache.spark.sql.types._
     val dt = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       .find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no column $colName"))
       .dataType
     val prunable = dt match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.StringType => true
-      case _ => false // date/ts/decimal stats are stored in raw physical form
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | TimestampType | DateType => true
+      case _ => false // decimal/binary/nested orderings are engine-specific
     }
-    def cmp(a: String, b: String): Int =
-      if (dt == org.apache.spark.sql.types.StringType) a.compareTo(b)
-      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    val loS = Option(lo).map(_.toString)
-    val hiS = Option(hi).map(_.toString)
-    val selected =
-      if (!prunable) snap.files
-      else snap.files.filter { f =>
-        f.stats.get(colName) match {
-          case Some(List(mn, mx)) =>
-            loS.forall(l => cmp(mx, l) >= 0) && hiS.forall(h => cmp(mn, h) <= 0)
-          case _ => true
-        }
+    if (!prunable) return (snap.files, snap.files.size)
+    val floating = dt == FloatType || dt == DoubleType
+    // None = incomparable (unparseable or NaN bound) → treated as "keep".
+    def cmp(fileStat: String, queryBound: String): Option[Int] =
+      if (dt == StringType) Some(fileStat.compareTo(queryBound))
+      else if (floating) scala.util.Try {
+        val a = java.lang.Double.parseDouble(fileStat) // "Infinity"/"NaN" parse fine
+        val b = java.lang.Double.parseDouble(queryBound)
+        if (a.isNaN || b.isNaN) None else Some(java.lang.Double.compare(a, b))
+      }.toOption.flatten
+      else scala.util.Try(
+        new java.math.BigDecimal(fileStat).compareTo(new java.math.BigDecimal(queryBound))
+      ).toOption
+    val loS = Option(lo).map(v => GraftTable.toPhysicalBound(dt, v))
+    val hiS = Option(hi).map(v => GraftTable.toPhysicalBound(dt, v))
+    // Resolve the current name back to each epoch's write-time physical name
+    // (files between two evolution commits share one resolution).
+    val chainIds = snap.chain.map(_.snapshotId).sorted
+    def epochOf(writtenAt: Long): Long =
+      chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
+    val nameAt: Map[Long, Option[String]] =
+      snap.files.map(f => epochOf(f.writtenAt)).distinct
+        .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
+    val selected = snap.files.filter { f =>
+      nameAt(epochOf(f.writtenAt)).flatMap(f.stats.get) match {
+        case Some(List(mn, mx)) =>
+          loS.forall(l => cmp(mx, l).forall(_ >= 0)) &&
+            hiS.forall(h => cmp(mn, h).forall(_ <= 0))
+        case _ => true
       }
+    }
     (selected, snap.files.size)
   }
 
@@ -414,9 +442,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val sorted =
       if (sortCols.nonEmpty) distributed.sortWithinPartitions(sortCols.map(col): _*)
       else distributed
-    val writer = sorted.write.mode("errorifexists")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(commitDir.toString)
+    // Table data files pin TIMESTAMP_MICROS for the write: INT96 (Spark's
+    // session default) carries no parquet min/max statistics, which would
+    // silently exempt timestamp columns from stats pruning. Scoped to table
+    // writes — the session default stays untouched for other writers.
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.get(tsConfKey)
+    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = sorted.write.mode("errorifexists")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(commitDir.toString)
+    } finally spark.conf.set(tsConfKey, prevTsType)
     // Publish the staged files into the SHARED hive layout directly under
     // data/ (partition dirs common to all commits, part-file names unique per
     // write job). One layout for every commit means a read over files from
@@ -427,9 +464,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // Publication + footer reads + stat calls run in parallel: a commit of
     // thousands of files must not serialize O(files) driver-side round-trips
     // (at local scale this is ms; against object storage it is the commit
-    // cost).
+    // cost). The cost is bounded by files PER COMMIT, not table size — the
+    // ceiling guard below flags the mis-sized-write case loudly.
     import scala.collection.parallel.CollectionConverters._
-    val par = listParquetFiles(commitDir).par
+    val staged = listParquetFiles(commitDir)
+    GraftTable.footerStatsWarning(staged.size.toLong)
+      .foreach(w => System.err.println(s"[graft.table] $w"))
+    val par = staged.par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
     val entries =
@@ -582,6 +623,88 @@ object GraftTable {
 
   private def writeOp(m: Map[String, String]): String =
     org.json4s.jackson.Serialization.write(m)(SnapshotLog.formats)
+
+  /** 100 TB guard (the commit-path analog of `Dml.plannedFilesWarning`):
+    * row-count + min/max harvesting opens one parquet footer per NEW file,
+    * driver-side, 16-way parallel — against object storage this IS the commit
+    * cost. It is bounded by files per COMMIT, never table size: at the
+    * 128 MiB-target design point a 1 TB commit is ~8k footers (seconds at
+    * 16-way), so a commit past the ceiling signals a mis-sized write (task
+    * explosion / tiny files) where the fix is file sizing — or, beyond that,
+    * moving stats collection into the write tasks themselves (the Iceberg
+    * writer design). Returns the warning it logs so the bound is
+    * unit-testable.
+    */
+  private[table] def footerStatsWarning(newFiles: Long, ceiling: Long = 100000L): Option[String] =
+    if (newFiles > ceiling)
+      Some(s"commit is harvesting footer stats for $newFiles new files (ceiling $ceiling): " +
+        "driver-side footer reads at this count dominate commit time — raise the target " +
+        "file size (fewer, larger files) or collect stats in the write tasks")
+    else None
+
+  /** Convert a user-facing range bound into the file-stats comparison domain.
+    * Footer stats are RAW PHYSICAL values: Spark writes TimestampType as
+    * parquet INT64 epoch-microseconds and DateType as INT32 epoch-days, so
+    * bounds on those columns are converted before the numeric compare (the
+    * same raw-physical trick as the events ns-long pushdown in
+    * `Tables.eventsBetween`). Other prunable types compare as rendered.
+    */
+  private[table] def toPhysicalBound(dt: DataType, v: Any): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString
+        case i: java.time.Instant =>
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+        case s: String => // interpreted as UTC, matching the session timezone
+          val inst = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC)
+          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+        case n => n.toString // already epoch-micros
+      }
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+        case d: java.time.LocalDate => d.toEpochDay.toString
+        case s: String => java.time.LocalDate.parse(s).toEpochDay.toString
+        case n => n.toString // already epoch-days
+      }
+      case _ => v.toString
+    }
+  }
+
+  /** Resolve the write-time physical name of `colName` for files written in
+    * evolution epoch `epoch` by REVERSE-applying the chain ops committed
+    * after it. Returns None when the column cannot be traced to a write-time
+    * column with compatibly-ordered stats:
+    *  - an `add` of this name means the column did not exist when the file
+    *    was written — any stats under the name belong to a previously
+    *    renamed-away column (the aliasing case that silently dropped rows);
+    *  - a `widen` to string re-orders numeric values lexicographically, so
+    *    pre-widen numeric bounds are not comparable.
+    */
+  private[table] def writeTimeName(snap: Snapshot, colName: String, epoch: Long,
+      dt: DataType): Option[String] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val opsAfter = snap.chain
+      .filter(st => st.snapshotId > epoch && st.snapshotId <= snap.snapshotId)
+      .flatMap(_.ops)
+    opsAfter.reverseIterator.foldLeft(Option(colName)) { (nameOpt, op) =>
+      nameOpt.flatMap { name =>
+        val m = org.json4s.jackson.JsonMethods.parse(op).extract[Map[String, String]]
+        m.getOrElse("op", "?") match {
+          case "add" if m("name") == name => None
+          case "rename" if m("to") == name => Some(m("from"))
+          // a rename AWAY of the tracked name is unreachable (a later add or
+          // rename-to would have resolved first) — conservative None anyway
+          case "rename" if m("from") == name => None
+          case "widen" if m("name") == name &&
+            dt == org.apache.spark.sql.types.StringType => None
+          case _ => Some(name)
+        }
+      }
+    }
+  }
 
   /** Replay one evolution op over a DataFrame read with an older schema. */
   private[table] def applyEvolution(df: DataFrame, op: String): DataFrame = {

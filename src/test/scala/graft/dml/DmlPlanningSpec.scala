@@ -59,6 +59,40 @@ class DmlPlanningSpec extends SparkSpec {
     assert(t.latest.operation === "append")
   }
 
+  test("duplicate source keys all consumed by the delete branch still raise (no silent delete)") {
+    import spark.implicits._
+    val dir = scratchDir("merge-dup-delete-")
+    val base = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, dir, base.schema)
+    t.append(base)
+    // key 3 appears twice, BOTH rows delete-marked: filtering them out before
+    // the guard would silently delete where engines raise for delete actions too
+    val source = Seq((3L, -1L), (3L, -2L)).toDF("k", "v")
+    val e = intercept[Throwable] {
+      Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true,
+        deleteWhen = Some(col("src.v") < 0))
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "|" + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("cardinality violation"), msgs(e))
+    assert(t.readLatest().count() === 10) // nothing committed, nothing deleted
+  }
+
+  test("a single delete-marked source row per key still deletes cleanly") {
+    import spark.implicits._
+    val dir = scratchDir("merge-single-delete-")
+    val base = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, dir, base.schema)
+    t.append(base)
+    val source = Seq((3L, -1L), (5L, 500L)).toDF("k", "v")
+    Dml.merge(t, source, "k", Map("v" -> col("src.v")), insertNotMatched = true,
+      deleteWhen = Some(col("src.v") < 0))
+    val rows = t.readLatest()
+    assert(rows.count() === 9) // k=3 deleted, k=5 updated
+    assert(rows.filter(col("k") === 3).count() === 0)
+    assert(rows.filter(col("k") === 5).select("v").collect()(0).getLong(0) === 500L)
+  }
+
   test("duplicate source keys that match NO target row insert once each (legal)") {
     import spark.implicits._
     val dir = scratchDir("merge-dup-unmatched-")

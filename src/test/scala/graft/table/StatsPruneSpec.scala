@@ -85,7 +85,7 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.readBetween("v", 0L, 4L).count() === 3) // v in {0,2,4}
   }
 
-  test("files written before a rename are never pruned on the new name; files after prune") {
+  test("stats recorded before a rename prune the renamed column through lineage resolution") {
     import spark.implicits._
     val dir = scratchDir("statsprune-rename-")
     val base = (0L until 10L).map(k => (k, k)).toDF("k", "payload")
@@ -94,15 +94,117 @@ class StatsPruneSpec extends SparkSpec {
     t.renameColumn("k", "k2")
     t.append((100L until 110L).map(k => (k, k)).toDF("k2", "payload").coalesce(1))
     val snap = t.latest
-    // range overlapping neither file's values: the pre-rename file has no
-    // stats under "k2" → kept; the post-rename file is provably outside → skipped
+    // range overlapping neither file's values: the pre-rename file's "k"
+    // stats describe today's k2 (same field lineage) → BOTH files provably
+    // outside → both skipped
     val (selected, total) = t.planBetween(snap, "k2", 50L, 60L)
     assert(total === 2)
-    assert(selected.size === 1 && selected.head.stats.contains("k"))
+    assert(selected.isEmpty, s"lineage-resolved bounds should prune both files: $selected")
     assert(t.readBetween("k2", 50L, 60L).count() === 0)
     // a range inside the pre-rename file's values still returns its rows
     assert(t.readBetween("k2", 3L, 5L).select("k2").collect().map(_.getLong(0)).sorted
       === Array(3L, 4L, 5L))
+  }
+
+  test("rename-then-re-add: stale stats under the re-used name never prune the new column") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-realias-")
+    // original k values 100..109 — bounds [100,109] lie OUTSIDE the query
+    // range below, while the re-added column's default (5) lies INSIDE it:
+    // name-keyed stats would prune the file and silently drop all ten rows.
+    val base = (100L until 110L).map(k => (k, k)).toDF("k", "payload")
+    val t = GraftTable.create(spark, dir, base.schema)
+    t.append(base.coalesce(1)) // stats recorded under physical name "k"
+    t.renameColumn("k", "k2")
+    t.addColumn("k", "bigint", default = "5")
+    val (selected, total) = t.planBetween(t.latest, "k", 4L, 6L)
+    assert(total === 1)
+    assert(selected.size === 1, "file must be kept: its 'k' stats describe k2, not the new k")
+    assert(t.readBetween("k", 4L, 6L).count() === 10) // every row reads default 5
+    // and the RENAMED column still prunes through its lineage
+    val (sel2, _) = t.planBetween(t.latest, "k2", 0L, 50L)
+    assert(sel2.isEmpty, "k2 range [0,50] is provably outside the file's [100,109]")
+  }
+
+  test("widen-to-string invalidates numeric bounds (lexicographic order differs)") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-widen-")
+    val base = (100L until 110L).map(k => (k, k)).toDF("k", "payload")
+    val t = GraftTable.create(spark, dir, base.schema)
+    t.append(base.coalesce(1)) // numeric stats ["100","109"]
+    t.widenColumn("k", "string")
+    // lexicographically "100" < "2" — numeric bounds must not be consulted
+    val (selected, total) = t.planBetween(t.latest, "k", "102", "104")
+    assert(total === 1 && selected.size === 1, "widened column's file must be kept")
+    assert(t.readBetween("k", "102", "104").count() === 3) // "102","103","104"
+  }
+
+  test("non-finite double bounds never crash planning; NaN keeps, infinities compare") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-inf-")
+    val base = Seq((1L, 0.5), (2L, Double.PositiveInfinity)).toDF("id", "d")
+    val t = GraftTable.create(spark, dir, base.schema)
+    t.append(base.coalesce(1))                                   // bounds [0.5, Inf]
+    t.append(Seq((3L, 5.0), (4L, 9.0)).toDF("id", "d").coalesce(1))   // bounds [5, 9]
+    t.append(Seq((5L, Double.NaN), (6L, 0.25)).toDF("id", "d").coalesce(1))
+    val (selected, total) = t.planBetween(t.latest, "d", 0.0, 1.0)
+    assert(total === 3)
+    // [0.5,Inf] overlaps → kept; [5,9] provably outside → pruned; the
+    // NaN-containing file is kept whatever its recorded bounds say
+    assert(selected.size === 2, s"expected Inf file + NaN file kept: $selected")
+    assert(t.readBetween("d", 0.0, 1.0).select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 6L))
+  }
+
+  test("timestamp-range pruning skips files on raw micros bounds") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-ts-")
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2024-03-01T$h%02d:$m%02d:00Z"))
+    val base = (0 until 24).map(h => (h.toLong, ts(h))).toDF("id", "ts")
+    val t = GraftTable.create(spark, dir, base.schema)
+    // four files with disjoint 6-hour ranges
+    (0 until 4).foreach(q =>
+      t.append(base.filter(col("id") >= q * 6 && col("id") < (q + 1) * 6).coalesce(1)))
+    val (selected, total) = t.planBetween(t.latest, "ts", ts(9, 30), ts(11, 45))
+    assert(total === 4)
+    assert(selected.size === 1, s"only the 06:00-11:00 file overlaps 09:30-11:45: $selected")
+    assert(t.readBetween("ts", ts(9, 30), ts(11, 45)).select("id")
+      .collect().map(_.getLong(0)).sorted === Array(10L, 11L))
+    // string bounds (parsed as UTC) agree with Timestamp bounds
+    assert(t.readBetween("ts", "2024-03-01 09:30:00", "2024-03-01 11:45:00").count() === 2)
+  }
+
+  test("date-range pruning skips files on raw epoch-day bounds") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-date-")
+    val base = (1 to 28).map(d => (d.toLong, java.sql.Date.valueOf(f"2024-02-$d%02d")))
+      .toDF("id", "dt")
+    val t = GraftTable.create(spark, dir, base.schema)
+    (0 until 4).foreach(w =>
+      t.append(base.filter(col("id") > w * 7 && col("id") <= (w + 1) * 7).coalesce(1)))
+    val (selected, total) = t.planBetween(t.latest, "dt",
+      java.sql.Date.valueOf("2024-02-09"), java.sql.Date.valueOf("2024-02-12"))
+    assert(total === 4 && selected.size === 1)
+    assert(t.readBetween("dt", "2024-02-09", "2024-02-12").count() === 4)
+  }
+
+  test("footer-harvested stats equal per-file min/max computed from the data") {
+    val t = kvTable("statsprune-footer-")
+    val dataRoot = s"${t.tableDir}/data"
+    t.latest.files.foreach { f =>
+      val expect = spark.read.parquet(s"$dataRoot/${f.path}")
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      assert(f.stats.get("k").contains(List(expect.getLong(0).toString, expect.getLong(1).toString)),
+        s"stats for ${f.path}: ${f.stats.get("k")} != data bounds $expect")
+      assert(f.rowCount === spark.read.parquet(s"$dataRoot/${f.path}").count())
+    }
+  }
+
+  test("commit-time footer-read ceiling warns past the per-commit file bound") {
+    assert(GraftTable.footerStatsWarning(100000L).isEmpty)
+    assert(GraftTable.footerStatsWarning(100001L).nonEmpty)
+    assert(GraftTable.footerStatsWarning(10L, ceiling = 5L).exists(_.contains("10 new files")))
   }
 
   test("pruning never drops rows: readBetween equals brute-force filter on random ranges") {
