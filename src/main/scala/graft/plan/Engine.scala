@@ -1,6 +1,9 @@
 package graft.plan
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 
 /** One executed statement's captured output (H4; the reference's
   * `StatementResult`, `framework/engines/base.py:16-20`): row-oriented maps,
@@ -25,7 +28,33 @@ trait EngineAdapter {
   */
 class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends EngineAdapter {
   override val name = "spark"
+
+  /** Snapshot tables whose SQL reads get stats-based file pruning (the
+    * readBetween path surfaced into the engine, VERDICT r7 #8): before each
+    * statement runs, a conjunctive range predicate over one of these views
+    * shrinks the scan's file list through `GraftTable.planBetween` — the
+    * statement's own WHERE clause still applies the exact predicate over the
+    * surviving files, so an unrecognized statement shape (joins, subqueries,
+    * expressions over the column) just falls back to the full view: never
+    * wrong rows, only fewer skipped files.
+    */
+  private val graftViews = scala.collection.mutable.Map[String, graft.table.GraftTable]()
+
+  /** Last (files scanned, files total) per view touched by a pruned read —
+    * the observable skipping proof for specs and driver entries.
+    */
+  val lastPrune = scala.collection.mutable.Map[String, (Int, Int)]()
+
+  /** Register `t` as temp view `viewName` with pruned SQL reads. The view is
+    * re-resolved to the table's LATEST snapshot before every statement.
+    */
+  def registerGraftTable(viewName: String, t: graft.table.GraftTable): Unit = {
+    graftViews(viewName.toLowerCase) = t
+    t.readLatest().createOrReplaceTempView(viewName)
+  }
+
   override def execute(statement: String): StatementResult = {
+    pruneGraftViews(statement)
     val df = spark.sql(statement)
     if (Sql.capturesRows(statement)) {
       val rows = df.take(maxResultRows).map(r =>
@@ -35,6 +64,115 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
       df.collect()
       StatementResult(statement, Nil, None)
     }
+  }
+
+  /** Parse (never execute) `statement`; for each Filter sitting on a
+    * registered view, intersect the per-column range bounds into a pruned
+    * file list and swap the temp view before execution.
+    */
+  private def pruneGraftViews(statement: String): Unit = {
+    if (graftViews.isEmpty) return
+    // Reset every registered view to the FULL latest snapshot first: a prior
+    // statement's pruned registration must never leak into this one (an
+    // unfiltered follow-up read would silently miss rows).
+    graftViews.foreach { case (n, t) => t.readLatest().createOrReplaceTempView(n) }
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case _: Throwable => return }
+    parsed.foreach {
+      case f: Filter =>
+        for (viewName <- viewBelow(f.child); t <- graftViews.get(viewName)) {
+          val snap = t.latest
+          val cols = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+          var files: Seq[graft.table.FileEntry] = snap.files
+          boundsOf(f.condition).foreach { case (colName, (lo, hi)) =>
+            if (cols.contains(colName) && (lo.isDefined || hi.isDefined)) {
+              val (sel, _) = t.planBetween(snap.copy(files = files.toList),
+                colName, lo.orNull, hi.orNull)
+              files = sel
+            }
+          }
+          lastPrune(viewName) = (files.size, snap.files.size)
+          if (files.size < snap.files.size)
+            t.readSnapshot(snap.copy(files = files.toList)).createOrReplaceTempView(viewName)
+        }
+      case _ =>
+    }
+  }
+
+  /** The single registered view under a Filter's child (through aliases);
+    * None for joins/subqueries — those shapes fall back to the full view.
+    */
+  private def viewBelow(p: LogicalPlan): Option[String] = p match {
+    case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
+      Some(r.multipartIdentifier.head.toLowerCase)
+    case s: SubqueryAlias => viewBelow(s.child)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+    case _ => None
+  }
+
+  private def litValue(e: Expression): Option[Any] = e match {
+    case l: Literal => Option(l.value).map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case v => v
+    }
+    case _ => None
+  }
+
+  /** column -> (lo, hi) from conjunctive attr-vs-literal comparisons, both
+    * operand orders. Strict bounds are widened to inclusive — sound for
+    * pruning (a superset of files survives); the statement's own predicate
+    * stays exact. Conflicting repeated bounds keep the later one — also
+    * sound: matching rows satisfy EVERY conjunct, so any single conjunct's
+    * bound over-approximates the matching set.
+    */
+  private def boundsOf(cond: Expression): Map[String, (Option[Any], Option[Any])] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    def put(c: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      val (l0, h0) = m.getOrElse(c, (None, None))
+      m(c) = (lo.orElse(l0), hi.orElse(h0))
+    }
+    // attr-vs-lit applies `direct`; lit-vs-attr applies `flipped`
+    def sides(x: Expression, y: Expression)(direct: (String, Any) => Unit)(
+        flipped: (String, Any) => Unit): Unit =
+      (attrName(x), litValue(y), attrName(y), litValue(x)) match {
+        case (Some(c), Some(v), _, _) => direct(c, v)
+        case (_, _, Some(c), Some(v)) => flipped(c, v)
+        case _ =>
+      }
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(x, y) =>
+        sides(x, y)((c, v) => put(c, Some(v), None))((c, v) => put(c, None, Some(v)))
+      case GreaterThan(x, y) =>
+        sides(x, y)((c, v) => put(c, Some(v), None))((c, v) => put(c, None, Some(v)))
+      case LessThanOrEqual(x, y) =>
+        sides(x, y)((c, v) => put(c, None, Some(v)))((c, v) => put(c, Some(v), None))
+      case LessThan(x, y) =>
+        sides(x, y)((c, v) => put(c, None, Some(v)))((c, v) => put(c, Some(v), None))
+      case EqualTo(x, y) =>
+        sides(x, y)((c, v) => put(c, Some(v), Some(v)))((c, v) => put(c, Some(v), Some(v)))
+      case b: Between => // resolved form
+        for (c <- attrName(b.input); lo <- litValue(b.lower); hi <- litValue(b.upper))
+          put(c, Some(lo), Some(hi))
+      // the parser leaves `x BETWEEN lo AND hi` as unresolved 'between(x,lo,hi)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") && f.arguments.size == 3 =>
+        for (c <- attrName(f.arguments(0)); lo <- litValue(f.arguments(1));
+             hi <- litValue(f.arguments(2)))
+          put(c, Some(lo), Some(hi))
+      case _ =>
+    }
+    m.toMap
   }
 }
 

@@ -254,6 +254,32 @@ object HarnessQueries {
         .toDF("test", "status").orderBy("test")
     }),
 
+    // Stats pruning surfaced into the SQL engine path (VERDICT r7 #8): a
+    // plain SQL range predicate over a registered snapshot-table view must
+    // skip files the same way the dedicated readBetween entry does. Four
+    // disjoint-range commits, one BETWEEN-shaped statement, and the engine's
+    // observed (scanned, total) ride the hash-checked output next to the
+    // aggregate — so both wrong rows and a pruning regression go red.
+    "h_sql_pruned_read" -> ((s, dir) => {
+      import s.implicits._
+      val data = Tables.lineitem(s, dir).filter(col("l_orderkey") < 1000)
+      val t = GraftTable.create(s, scratch("sql_pruned"), data.schema)
+      Seq((0L, 250L), (250L, 500L), (500L, 750L), (750L, 1000L)).foreach { case (lo, hi) =>
+        t.append(data.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi).coalesce(1))
+      }
+      val engine = new SparkSqlEngine(s)
+      engine.registerGraftTable("li_sql", t)
+      val res = engine.execute(
+        """SELECT COUNT(*) AS row_count,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+           FROM li_sql WHERE l_orderkey >= 300 AND l_orderkey <= 600""")
+      val (scanned, total) = engine.lastPrune("li_sql")
+      val m = res.rows.head
+      Seq((m("row_count").asInstanceOf[Long], m("sum_qty").asInstanceOf[Double],
+        scanned.toLong, total.toLong))
+        .toDF("row_count", "sum_qty", "n_files_scanned", "n_files_total")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -278,6 +304,11 @@ object HarnessQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "h_sql_pruned_read" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(2 AS BIGINT) AS n_files_scanned, CAST(4 AS BIGINT) AS n_files_total
+         FROM lineitem WHERE l_orderkey BETWEEN 300 AND 600""",
     "h_plan_crud" ->
       """SELECT * FROM (VALUES
            ('bulk_insert', 'passed', CAST(1 AS BIGINT)),

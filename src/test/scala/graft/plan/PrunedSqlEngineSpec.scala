@@ -1,0 +1,90 @@
+package graft.plan
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** SQL-path stats pruning (`SparkSqlEngine.registerGraftTable`): a range
+  * predicate in a plain SQL statement must shrink the scan's file list via
+  * `planBetween` without ever changing results, and every unrecognized shape
+  * must fall back to the full view.
+  */
+class PrunedSqlEngineSpec extends SparkSpec {
+
+  private def kvTable(prefix: String): GraftTable = {
+    import spark.implicits._
+    val dir = scratchDir(prefix)
+    val base = (0L until 40L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, base.schema)
+    (0 until 4).foreach(i =>
+      t.append(base.filter(col("k") >= i * 10 && col("k") < (i + 1) * 10).coalesce(1)))
+    t
+  }
+
+  test("a SQL range predicate prunes files and returns exact rows") {
+    val t = kvTable("sqlprune-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_sql", t)
+    val res = eng.execute("SELECT k FROM kv_sql WHERE k >= 12 AND k <= 27 ORDER BY k")
+    assert(res.rows.map(_("k").asInstanceOf[Long]) === (12L to 27L))
+    assert(eng.lastPrune("kv_sql") === ((2, 4)))
+  }
+
+  test("BETWEEN and flipped literal-first comparisons prune too") {
+    val t = kvTable("sqlprune-between-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_between", t)
+    val r1 = eng.execute("SELECT COUNT(*) AS n FROM kv_between WHERE k BETWEEN 31 AND 35")
+    assert(r1.rows.head("n") === 5L)
+    assert(eng.lastPrune("kv_between") === ((1, 4)))
+    val r2 = eng.execute("SELECT COUNT(*) AS n FROM kv_between WHERE 31 <= k AND 35 >= k")
+    assert(r2.rows.head("n") === 5L)
+    assert(eng.lastPrune("kv_between") === ((1, 4)))
+  }
+
+  test("an unfiltered follow-up statement sees the full table again") {
+    val t = kvTable("sqlprune-reset-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_reset", t)
+    eng.execute("SELECT k FROM kv_reset WHERE k >= 35")
+    assert(eng.lastPrune("kv_reset") === ((1, 4)))
+    val all = eng.execute("SELECT COUNT(*) AS n FROM kv_reset")
+    assert(all.rows.head("n") === 40L, "pruned registration leaked into an unfiltered read")
+  }
+
+  test("equality predicates prune to the single containing file") {
+    val t = kvTable("sqlprune-eq-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_eq", t)
+    val res = eng.execute("SELECT v FROM kv_eq WHERE k = 23")
+    assert(res.rows.map(_("v")) === Seq("v23"))
+    assert(eng.lastPrune("kv_eq") === ((1, 4)))
+  }
+
+  test("joins and complex shapes fall back to the full view, results exact") {
+    val t = kvTable("sqlprune-join-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_a", t)
+    eng.registerGraftTable("kv_b", t)
+    val res = eng.execute(
+      "SELECT COUNT(*) AS n FROM kv_a a JOIN kv_b b ON a.k = b.k WHERE a.k >= 30")
+    assert(res.rows.head("n") === 10L)
+    // expression-over-column predicates are not recognized → full scan, exact rows
+    val expr = eng.execute("SELECT COUNT(*) AS n FROM kv_a WHERE k + 0 >= 38")
+    assert(expr.rows.head("n") === 2L)
+  }
+
+  test("the registered view tracks the table's latest snapshot across commits") {
+    import spark.implicits._
+    val t = kvTable("sqlprune-fresh-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_fresh", t)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM kv_fresh").rows.head("n") === 40L)
+    t.append(Seq((100L, "v100")).toDF("k", "v").coalesce(1))
+    assert(eng.execute("SELECT COUNT(*) AS n FROM kv_fresh").rows.head("n") === 41L)
+    val pruned = eng.execute("SELECT k FROM kv_fresh WHERE k >= 99")
+    assert(pruned.rows.map(_("k")) === Seq(100L))
+    assert(eng.lastPrune("kv_fresh") === ((1, 5)))
+  }
+}
