@@ -425,6 +425,32 @@ object TableQueries {
         .withColumn("n_files_total", lit(total.toLong))
     }),
 
+    // Partition-value range pruning: the partition column never reaches the
+    // data files (hive layout), so its pruning comes from the snapshot's
+    // partition metadata, not footer stats — two appends over four day
+    // partitions give 8 files, and a two-day ds range plans exactly the 4
+    // files of the covered partitions. Complements t_ts_stats_prune (which
+    // skips WITHIN a partition on data-column bounds).
+    "t_partition_range_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ds", to_date(col("ts")).cast("string"))
+      val t = GraftTable.create(s, scratch("part_range_prune"), ev.schema,
+        partitionCols = Seq("ds"))
+      t.append(ev.filter(col("event_id") % 2 === 0))
+      t.append(ev.filter(col("event_id") % 2 === 1))
+      val (selected, total) = t.planBetween(t.latest, "ds", "2024-01-04", "2024-01-05")
+      t.readBetween("ds", "2024-01-04", "2024-01-05")
+        .agg(count(lit(1)).as("row_count"),
+          sum(col("user_id")).as("user_id_sum"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .withColumn("n_files_scanned", lit(selected.size.toLong))
+        .withColumn("n_files_total", lit(total.toLong))
+    }),
+
     // M4 — orphan removal leaves live data intact
     "t_orphan_cleanup" -> ((s, dir) => {
       val t = GraftTable.create(s, scratch("orphan"), liSubset(s, dir, 500).schema)
@@ -445,6 +471,12 @@ object TableQueries {
            CAST(1 AS BIGINT) AS n_files_scanned, CAST(8 AS BIGINT) AS n_files_total
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-05 09:30:00' AND ts <= TIMESTAMP '2024-01-05 11:45:00'""",
+    "t_partition_range_prune" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
+           MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+           CAST(4 AS BIGINT) AS n_files_scanned, CAST(8 AS BIGINT) AS n_files_total
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-04' AND DATE '2024-01-05'""",
     "t_cow_update" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 5.0 ELSE l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty

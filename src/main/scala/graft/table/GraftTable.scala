@@ -187,6 +187,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     *    file.
     *  - Files with no usable stats (old format, all-null file, column widened
     *    to string) are always kept.
+    *  - PARTITION columns prune too: the hive layout strips them from data
+    *    files (no footer stats), but each file's partition value is an exact
+    *    point `[v, v]` in the snapshot metadata. A null-partition or
+    *    unparseable value keeps the file — and dropping a null-partition
+    *    file would be sound anyway, since a range predicate never matches
+    *    null rows and every caller re-applies the exact predicate.
     */
   def planBetween(snap: Snapshot, colName: String, lo: Any, hi: Any)
       : (Seq[FileEntry], Int) = {
@@ -223,12 +229,26 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val nameAt: Map[Long, Option[String]] =
       snap.files.map(f => epochOf(f.writtenAt)).distinct
         .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
+    // A partition value is a single point in the column's domain; hive
+    // values with escape sequences (or non-literal sentinels) don't parse
+    // and conservatively keep the file.
+    def partPoint(f: FileEntry, phys: String): Option[String] =
+      f.partitionValues.get(phys).filterNot(_.contains('%'))
+        .flatMap(v => scala.util.Try(GraftTable.toPhysicalBound(dt, v)).toOption)
     val selected = snap.files.filter { f =>
-      nameAt(epochOf(f.writtenAt)).flatMap(f.stats.get) match {
-        case Some(List(mn, mx)) =>
-          loS.forall(l => cmp(mx, l).forall(_ >= 0)) &&
-            hiS.forall(h => cmp(mn, h).forall(_ <= 0))
-        case _ => true
+      nameAt(epochOf(f.writtenAt)) match {
+        case None => true
+        case Some(phys) =>
+          val partKeep = partPoint(f, phys).forall(v =>
+            loS.forall(l => cmp(v, l).forall(_ >= 0)) &&
+              hiS.forall(h => cmp(v, h).forall(_ <= 0)))
+          val statsKeep = f.stats.get(phys) match {
+            case Some(List(mn, mx)) =>
+              loS.forall(l => cmp(mx, l).forall(_ >= 0)) &&
+                hiS.forall(h => cmp(mn, h).forall(_ <= 0))
+            case _ => true
+          }
+          partKeep && statsKeep
       }
     }
     (selected, snap.files.size)

@@ -189,6 +189,26 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.readBetween("dt", "2024-02-09", "2024-02-12").count() === 4)
   }
 
+  test("partition-value range pruning skips whole partitions (no footer stats needed)") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-part-")
+    val base = (0L until 40L).map(k => (k, s"d${k / 10}")).toDF("k", "ds")
+    val t = GraftTable.create(spark, dir, base.schema, partitionCols = Seq("ds"))
+    t.append(base) // one file per ds partition
+    t.append(base) // second file per partition
+    // partition cols are stripped from data files → no stats for ds
+    assert(t.latest.files.forall(_.stats.get("ds").isEmpty))
+    val (selected, total) = t.planBetween(t.latest, "ds", "d1", "d2")
+    assert(total === 8)
+    assert(selected.size === 4, s"expected only d1/d2 partitions: $selected")
+    assert(t.readBetween("ds", "d1", "d2").count() === 40)
+    // a renamed partition column still prunes through its lineage
+    t.renameColumn("ds", "day")
+    val (sel2, _) = t.planBetween(t.latest, "day", "d3", "d3")
+    assert(sel2.size === 2)
+    assert(t.readBetween("day", "d3", "d3").count() === 20)
+  }
+
   test("footer-harvested stats equal per-file min/max computed from the data") {
     val t = kvTable("statsprune-footer-")
     val dataRoot = s"${t.tableDir}/data"
