@@ -83,10 +83,11 @@ case class Snapshot(
     chain: List[EvolutionStep] = Nil)
 
 /** Persistence for the snapshot log: `<table>/_graft_log/v<N>.json`, one doc per
-  * snapshot, committed by atomic create-if-absent (optimistic concurrency —
-  * Hadoop rename silently overwrites on RawLocalFileSystem, so existence is
-  * enforced with `create(overwrite=false)`, which is atomic on HDFS/local and
-  * raises FileAlreadyExistsException for the loser). `manifest-<N>.json` holds
+  * snapshot, committed by atomic create-if-absent (optimistic concurrency;
+  * see `publishAtomic` — namenode-arbitrated `create(overwrite=false)` on
+  * HDFS, temp-file + hard-link claim on the local filesystem, where both
+  * Hadoop rename and `create(overwrite=false)` are non-atomic
+  * check-then-act). `manifest-<N>.json` holds
   * a consolidated array of all snapshots ≤ N (written by `rewriteManifests`),
   * so a reader loads one consolidated doc plus newer deltas instead of N files.
   *
@@ -177,6 +178,44 @@ object SnapshotLog {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Atomic create-if-absent publish: write `s` at `p` iff `p` does not exist,
+    * returning false (and writing nothing visible) when it does.
+    *
+    * On HDFS-like filesystems `create(overwrite=false)` IS this — existence is
+    * arbitrated by the namenode. On the LOCAL filesystem it is NOT:
+    * `RawLocalFileSystem.create` calls `exists()` and then opens a truncating
+    * `FileOutputStream`, so two racing committers can both pass the check,
+    * both "win" the same version, and the loser's doc bytes silently replace
+    * the winner's — a lost commit (ConcurrentCommitSpec caught this as a
+    * 10-row loss under 8 racing appenders). For `file:` we therefore write a
+    * unique temp sibling and claim the final name with a hard link, which the
+    * kernel makes atomic (link(2) fails EEXIST); the doc is complete the
+    * instant it becomes visible, so local readers can never observe a partial
+    * doc either. Temp names match neither SnapRe nor ManifestRe, so `load()`
+    * ignores a crash-orphaned temp.
+    */
+  private def publishAtomic(fs: FileSystem, p: Path, s: String): Boolean =
+    if (fs.getScheme == "file") {
+      val target = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        writeString(fs, p, s, overwrite = false)
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.PathExistsException => false
+      }
+    }
+
   private def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
@@ -198,13 +237,7 @@ object SnapshotLog {
     val dir = logPath(tableDir)
     f.mkdirs(dir)
     val finalPath = new Path(dir, snapFileName(snap.snapshotId))
-    try {
-      writeString(f, finalPath, Serialization.write(toDoc(snap, parent)), overwrite = false)
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.PathExistsException => false
-    }
+    publishAtomic(f, finalPath, Serialization.write(toDoc(snap, parent)))
   }
 
   /** All live snapshots, ascending by id: newest consolidated manifest (full
@@ -270,16 +303,11 @@ object SnapshotLog {
     var seq = (if (existing.isEmpty) 0L else existing.max) + 1
     var published = false
     var attempts = 0
+    val doc = Serialization.write(snaps.toList)
     while (!published && attempts < 10) {
       attempts += 1
-      try {
-        writeString(f, new Path(dir, manifestFileName(seq)), Serialization.write(snaps.toList),
-          overwrite = false)
-        published = true
-      } catch {
-        case _: FileAlreadyExistsException => seq += 1
-        case _: org.apache.hadoop.fs.PathExistsException => seq += 1
-      }
+      if (publishAtomic(f, new Path(dir, manifestFileName(seq)), doc)) published = true
+      else seq += 1
     }
     if (!published) return false
     f.listStatus(dir).map(_.getPath).foreach { p =>
