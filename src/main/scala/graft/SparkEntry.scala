@@ -32,6 +32,8 @@ object SparkEntry {
       graft.queries.HarnessQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Decontaminate.queries ++
+      graft.llm.Retrieval.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
@@ -48,6 +50,8 @@ object SparkEntry {
       graft.queries.HarnessQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++
       graft.llm.TextAnalysis.oracle ++
+      graft.llm.Decontaminate.oracle ++
+      graft.llm.Retrieval.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++

@@ -1,0 +1,169 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Benchmark decontamination: flag training documents that share word n-grams
+  * with a held-out benchmark/eval set (the GPT-3 appendix-C design — there
+  * with 13-grams; the synthetic `documents` corpus is ~54 words/doc from a
+  * tiny vocabulary, so the checked entries use n=5 to get a non-degenerate
+  * split).
+  *
+  * Scale design (100 TB corpus, benchmark sets are MBs):
+  *  - the benchmark n-gram set is aggregated once and BROADCAST — the corpus
+  *    side is a map-only pass over each doc's n-grams plus one partial-agg
+  *    shuffle on doc_id, never a corpus×corpus join;
+  *  - overlap counting is per-doc and associative (map-side combine);
+  *  - the oracle-checked entries join on n-gram STRINGS so DuckDB can build
+  *    the identical set; at real scale you would join on `ngram_hash` of the
+  *    token hashes instead (same plan shape, 8 bytes per gram instead of a
+  *    string — the hashed variant ships as `contaminationReport(hashGrams =
+  *    true)` and is covered by a determinism spec).
+  */
+object Decontaminate {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Lower-cased whitespace word array (DuckDB twin: string_split_regex). */
+  private def words(text: Column): Column =
+    filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"), w => w =!= "")
+
+  /** Word n-grams of `text` as strings. `sequence` is guarded: for
+    * size(words) < n it would generate DESCENDING indices and fabricate
+    * grams, so short docs explicitly produce an empty array.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Distinct n-grams, hashed to longs via the native `ngram_hash`
+    * expression — the at-scale form of the join key (8 bytes/gram, no
+    * per-gram string allocation). `ngram_hash` signs a shorter-than-n doc
+    * with one whole-doc window (the dedup semantics); decontamination wants
+    * "no full n-gram → clean", so short docs are guarded to empty here,
+    * keeping the hashed and string paths row-for-row identical.
+    */
+  def hashedNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(call_function("ngram_hash",
+        transform(ws, w => xxhash64(w)), lit(n))))
+  }
+
+  /** Per-document contamination report of `corpus` against `benchmark`:
+    * (doc_id, n_grams, n_contaminated, contaminated) where `n_grams` is the
+    * doc's distinct n-gram count and `n_contaminated` how many of those
+    * appear anywhere in the benchmark set. Docs shorter than `n` words have
+    * zero grams and are clean by definition.
+    *
+    * The benchmark gram set is distinct-aggregated and broadcast; Spark plans
+    * the probe as a broadcast left-semi-style join under the corpus-side
+    * explode, so the corpus is read exactly once, map-only before the final
+    * doc_id partial agg.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(c: Column): Column =
+      if (hashGrams) hashedNgrams(c, n).cast("array<string>")
+      else array_distinct(wordNgrams(c, n))
+    // (hashedNgrams is already distinct; the cast only aligns column types
+    // so both variants produce one report schema)
+    val benchGrams = benchmark
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    corpus
+      .select(col("doc_id"), explode_outer(grams(col("text"))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("gram")).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Deterministic benchmark split of the synthetic corpus: every 17th doc
+    * plays the eval set, the rest are the training corpus.
+    */
+  private def corpusBenchSplit(docs: DataFrame): (DataFrame, DataFrame) =
+    (docs.filter(col("doc_id") % 17 =!= 0), docs.filter(col("doc_id") % 17 === 0))
+
+  val queries: Map[String, Q] = Map(
+    // Per-doc contamination report, string n-grams (DuckDB-checkable)
+    "decontaminate_report" -> ((s, dir) => {
+      val (corpus, bench) = corpusBenchSplit(Tables.documents(s, dir))
+      contaminationReport(corpus, bench, n = 5).orderBy("doc_id")
+    }),
+
+    // Corpus-level contamination rate: one row the driver can eyeball
+    "decontaminate_rate" -> ((s, dir) => {
+      val (corpus, bench) = corpusBenchSplit(Tables.documents(s, dir))
+      contaminationReport(corpus, bench, n = 5)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated_docs"),
+          sum(col("n_contaminated")).cast("bigint").as("n_contaminated_grams"))
+    }),
+
+    // Hashed-gram variant (the 100 TB join key) — xxhash64 has no DuckDB
+    // twin, so this is a rows-only entry; DecontaminateSpec proves it flags
+    // the identical doc set as the string path.
+    "decontaminate_hashed" -> ((s, dir) => {
+      val (corpus, bench) = corpusBenchSplit(Tables.documents(s, dir))
+      contaminationReport(corpus, bench, n = 5, hashGrams = true)
+        .orderBy("doc_id")
+    })
+  )
+
+  private val gramsSql =
+    raw"""list_transform(
+            generate_series(1, greatest(len(w) - 4, 0)),
+            i -> array_to_string(w[i:i+4], ' '))"""
+
+  // DuckDB forbids subqueries inside lambdas, so membership is checked by
+  // exploding each doc's distinct grams and left-joining the benchmark set —
+  // the same plan shape as the Spark side.
+  private val reportSql =
+    raw"""WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, list_distinct($gramsSql) AS grams
+           FROM toks),
+         exploded AS (
+           SELECT grams.doc_id, g.gram
+           FROM grams, UNNEST(grams.grams) AS g(gram)),
+         bench AS (
+           SELECT DISTINCT gram FROM exploded WHERE doc_id % 17 = 0),
+         counts AS (
+           SELECT e.doc_id, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+           FROM exploded e LEFT JOIN bench b USING (gram)
+           WHERE e.doc_id % 17 <> 0
+           GROUP BY e.doc_id),
+         report AS (
+           SELECT grams.doc_id,
+                  CAST(COALESCE(counts.n_grams, 0) AS BIGINT) AS n_grams,
+                  CAST(COALESCE(counts.n_contaminated, 0) AS BIGINT) AS n_contaminated
+           FROM grams LEFT JOIN counts USING (doc_id)
+           WHERE grams.doc_id % 17 <> 0)"""
+
+  val oracle: Map[String, String] = Map(
+    "decontaminate_report" -> (reportSql +
+      """
+         SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated
+         FROM report ORDER BY doc_id"""),
+    "decontaminate_rate" -> (reportSql +
+      """
+         SELECT COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated_docs,
+                CAST(SUM(n_contaminated) AS BIGINT) AS n_contaminated_grams
+         FROM report""")
+  )
+}

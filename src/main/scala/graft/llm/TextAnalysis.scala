@@ -99,6 +99,41 @@ object TextAnalysis {
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) >= minLen)
 
+  /** Gopher-style repetition signals: how much of a document is the same
+    * word or word 2-gram repeated. High duplicate-word / top-bigram fractions
+    * mark boilerplate and degenerate generations (the line-based Gopher
+    * variants are meaningless on this corpus — docs are single-line).
+    *
+    * Shape: two explode → (doc_id, gram) partial-aggregations (map-side
+    * combine carries one row per distinct gram per doc into the shuffle) and
+    * a doc_id join — linear in corpus size, never O(doc_len²) per row the
+    * way a HOF mode-count would be. Ratios are exact integer ratios rounded
+    * to 4, so the DuckDB oracle agrees bitwise.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def stats(grams: DataFrame, prefix: String): DataFrame =
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as(s"n_${prefix}s"),
+          count(lit(1)).as(s"n_distinct_${prefix}s"),
+          max(col("cnt")).as(s"top_${prefix}_count"))
+    val wordStats = stats(tokens(docs, 1).withColumnRenamed("term", "gram"), "word")
+    val bigrams = docs.select(col("doc_id"),
+      explode(Decontaminate.wordNgrams(col("text"), 2)).as("gram"))
+    val bigramStats = stats(bigrams, "bigram").drop("n_distinct_bigrams")
+    docs.select("doc_id")
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(bigramStats, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_distinct_words", "top_word_count",
+        "n_bigrams", "top_bigram_count"))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - col("n_distinct_words").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("top_bigram_ratio",
+        round(col("top_bigram_count").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)), 4))
+  }
+
   /** Per-document salient terms: rank by (term frequency desc, document
     * frequency asc, term) — the tf-idf ordering expressed over exact
     * integers, so results are reproducible across engines with no float
@@ -142,6 +177,10 @@ object TextAnalysis {
 
     // Tokenizer-sizing stat: top-100 vocab coverage of the token stream
     "text_vocab_coverage" -> ((s, dir) => vocabCoverage(Tables.documents(s, dir))),
+
+    // Repetition signals: duplicate-word and top-bigram fractions per doc
+    "text_repetition" -> ((s, dir) =>
+      repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Quality-filter verdicts per doc (auditable rule flags)
     "text_quality_filter" -> ((s, dir) =>
@@ -214,6 +253,46 @@ object TextAnalysis {
                 CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
                 CAST(100 AS BIGINT) AS vocab_size
          FROM toks""",
+    "text_repetition" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, t.term AS gram
+           FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+           WHERE len(t.term) >= 1),
+         ws AS (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                  COUNT(*) AS n_distinct_words,
+                  CAST(MAX(cnt) AS BIGINT) AS top_word_count
+           FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+           GROUP BY doc_id),
+         wlists AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         bigrams AS (
+           SELECT doc_id, g.gram
+           FROM (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                     i -> array_to_string(w[i:i+1], ' ')) AS grams
+                 FROM wlists), UNNEST(grams) AS g(gram)),
+         bs AS (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                  CAST(MAX(cnt) AS BIGINT) AS top_bigram_count
+           FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(ws.n_words, 0) AS n_words,
+                COALESCE(ws.n_distinct_words, 0) AS n_distinct_words,
+                COALESCE(ws.top_word_count, 0) AS top_word_count,
+                COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+                COALESCE(bs.top_bigram_count, 0) AS top_bigram_count,
+                round(1.0 - CAST(COALESCE(ws.n_distinct_words, 0) AS DOUBLE)
+                  / GREATEST(COALESCE(ws.n_words, 0), 1), 4) AS dup_word_ratio,
+                round(CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE)
+                  / GREATEST(COALESCE(bs.n_bigrams, 0), 1), 4) AS top_bigram_ratio
+         FROM documents d
+         LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+         ORDER BY doc_id""",
     "text_quality_filter" ->
       raw"""WITH q AS (
            SELECT doc_id,
