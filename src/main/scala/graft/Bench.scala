@@ -78,7 +78,13 @@ object Bench {
     // round-4 single-shot sweep produced 5-9x bidirectional swings on
     // unchanged code; one repetition absorbs cold-Janino compilation).
     val sweepReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=<regex> restricts the sweep (and skips the
+    // reference phases) so a single entry can be timed in isolation. The
+    // driver never sets it, so round artifacts always carry the full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .flatMap { case (name, fn) =>
       try {
         val sec = median((1 to sweepReps).map(_ =>
           timeOnce { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }))
@@ -136,7 +142,7 @@ object Bench {
       Seq("write_append" -> w, "rewrite_data_files" -> c,
         "rewrite_manifests" -> m, "expire_snapshots" -> e)
     }
-    val refPhases: Seq[(String, Seq[Double])] = try {
+    val refPhases: Seq[(String, Seq[Double])] = if (only.isDefined) Nil else try {
       refPhaseRound(writeRows / 10) // warm-up, discarded
       val rounds = (1 to reps).map(_ => refPhaseRound(writeRows))
       rounds.head.map(_._1).map(phase =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, SimHash64, TopNgramCount}
 
 /** Session extensions: registers the engine's native functions so they are
   * usable from SQL and `expr(...)` in any session configured with
@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSim(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "top_ngram_count(array<string>, n) takes 2 arguments")
+        TopNgramCount(exprs.head, intLit(exprs(1), "top_ngram_count window"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

@@ -104,28 +104,23 @@ object TextAnalysis {
     * mark boilerplate and degenerate generations (the line-based Gopher
     * variants are meaningless on this corpus — docs are single-line).
     *
-    * Shape: two explode → (doc_id, gram) partial-aggregations (map-side
-    * combine carries one row per distinct gram per doc into the shuffle) and
-    * a doc_id join — linear in corpus size, never O(doc_len²) per row the
-    * way a HOF mode-count would be. Ratios are exact integer ratios rounded
-    * to 4, so the DuckDB oracle agrees bitwise.
+    * Shape: MAP-ONLY — per-doc mode counts run through the native
+    * `top_ngram_count` expression (one O(len) HashMap pass per row inside
+    * whole-stage codegen), never an exploded (doc_id, gram) shuffle of the
+    * token stream and never an interpreted HOF fold (both were tried and
+    * benched 4.7 s / 7.6 s at sf0.1; the native pass is ~0.5 s — see
+    * TopNgramCount's scaladoc). Ratios are exact integer ratios rounded to
+    * 4, so the DuckDB oracle (which states the same counts as group-bys)
+    * agrees bitwise.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    def stats(grams: DataFrame, prefix: String): DataFrame =
-      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(
-          sum(col("cnt")).as(s"n_${prefix}s"),
-          count(lit(1)).as(s"n_distinct_${prefix}s"),
-          max(col("cnt")).as(s"top_${prefix}_count"))
-    val wordStats = stats(tokens(docs, 1).withColumnRenamed("term", "gram"), "word")
-    val bigrams = docs.select(col("doc_id"),
-      explode(Decontaminate.wordNgrams(col("text"), 2)).as("gram"))
-    val bigramStats = stats(bigrams, "bigram").drop("n_distinct_bigrams")
-    docs.select("doc_id")
-      .join(wordStats, Seq("doc_id"), "left")
-      .join(bigramStats, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_words", "n_distinct_words", "top_word_count",
-        "n_bigrams", "top_bigram_count"))
+    val ws = filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
+    docs.select(col("doc_id"),
+        size(ws).cast("bigint").as("n_words"),
+        size(array_distinct(ws)).cast("bigint").as("n_distinct_words"),
+        call_function("top_ngram_count", ws, lit(1)).as("top_word_count"),
+        greatest(size(ws).cast("bigint") - 1L, lit(0L)).as("n_bigrams"),
+        call_function("top_ngram_count", ws, lit(2)).as("top_bigram_count"))
       .withColumn("dup_word_ratio",
         round(lit(1.0) - col("n_distinct_words").cast("double") /
           greatest(col("n_words"), lit(1L)), 4))
