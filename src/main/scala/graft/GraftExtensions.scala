@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, SimHash64, TopNgramCount}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, NgramStrings, SimHash64, TopNgramCount, XxHash64Array}
 
 /** Session extensions: registers the engine's native functions so they are
   * usable from SQL and `expr(...)` in any session configured with
@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSim(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("xxhash64_array"),
+      new ExpressionInfo(classOf[XxHash64Array].getName, "xxhash64_array"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "xxhash64_array(array<string>) takes 1 argument")
+        XxHash64Array(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_strings"),
+      new ExpressionInfo(classOf[NgramStrings].getName, "ngram_strings"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "ngram_strings(array<string>, n) takes 2 arguments")
+        NgramStrings(exprs.head, intLit(exprs(1), "ngram_strings window"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_ngram_count"),

@@ -29,30 +29,24 @@ object Decontaminate {
   private def words(text: Column): Column =
     filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"), w => w =!= "")
 
-  /** Word n-grams of `text` as strings. `sequence` is guarded: for
-    * size(words) < n it would generate DESCENDING indices and fabricate
-    * grams, so short docs explicitly produce an empty array.
+  /** Word n-grams of `text` as strings, via the native `ngram_strings`
+    * expression (full windows only — short docs produce an empty array; the
+    * composable transform/sequence/slice formulation ran its lambdas
+    * interpreted and dominated the decontamination entries' runtime).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    call_function("ngram_strings", words(text), lit(n))
 
-  /** Distinct n-grams, hashed to longs via the native `ngram_hash`
-    * expression — the at-scale form of the join key (8 bytes/gram, no
-    * per-gram string allocation). `ngram_hash` signs a shorter-than-n doc
-    * with one whole-doc window (the dedup semantics); decontamination wants
-    * "no full n-gram → clean", so short docs are guarded to empty here,
-    * keeping the hashed and string paths row-for-row identical.
+  /** Distinct n-grams hashed to longs — the at-scale form of the join key
+    * (8 bytes/gram): xxhash64 of each native-built gram string. Both steps
+    * are codegen'd single-pass expressions, and `ngram_strings`' full-window
+    * semantics (short doc → empty) keep the hashed and string paths
+    * row-for-row identical with no CaseWhen guard (a guard re-evaluates the
+    * regex tokenization per branch — it benched 3× the whole string path).
     */
-  def hashedNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) < n, array().cast("array<bigint>"))
-      .otherwise(array_distinct(call_function("ngram_hash",
-        transform(ws, w => xxhash64(w)), lit(n))))
-  }
+  def hashedNgrams(text: Column, n: Int): Column =
+    array_distinct(call_function("xxhash64_array",
+      call_function("ngram_strings", words(text), lit(n))))
 
   /** Per-document contamination report of `corpus` against `benchmark`:
     * (doc_id, n_grams, n_contaminated, contaminated) where `n_grams` is the
@@ -67,11 +61,12 @@ object Decontaminate {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int,
       hashGrams: Boolean = false): DataFrame = {
+    // both join sides use the same gram form, so the hashed variant joins on
+    // raw bigints (8-byte keys — the point of the scale path); the gram
+    // column never reaches the report schema
     def grams(c: Column): Column =
-      if (hashGrams) hashedNgrams(c, n).cast("array<string>")
+      if (hashGrams) hashedNgrams(c, n)
       else array_distinct(wordNgrams(c, n))
-    // (hashedNgrams is already distinct; the cast only aligns column types
-    // so both variants produce one report schema)
     val benchGrams = benchmark
       .select(explode(grams(col("text"))).as("gram")).distinct()
       .withColumn("_hit", lit(1))

@@ -62,7 +62,7 @@ object TextAnalysis {
   def ngramMinHash(text: Column, n: Int = 4): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
     array_min(call_function("ngram_hash",
-      transform(words, w => xxhash64(w)), lit(n)))
+      call_function("xxhash64_array", words), lit(n)))
   }
 
   /** Gopher-style quality-filter rules: documents pass when word count,
