@@ -34,6 +34,7 @@ object SparkEntry {
       graft.llm.TextAnalysis.queries ++
       graft.llm.Decontaminate.queries ++
       graft.llm.Retrieval.queries ++
+      graft.llm.Scrub.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Decontaminate.oracle ++
       graft.llm.Retrieval.oracle ++
+      graft.llm.Scrub.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++

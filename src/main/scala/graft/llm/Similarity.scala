@@ -40,6 +40,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Symmetric amax int8 quantization report — the storage-compression pass
+    * an embedding pipeline runs before indexing (4× smaller vectors, dot
+    * products stay proportional). Per vector: scale = max|x| / 127 and
+    * q_i = round(x_i / scale) ∈ [-127, 127] (the max element lands exactly
+    * on ±127, so no clamp is needed). Map-only, one pass.
+    *
+    * Output is hash-safe across engines: the quantized values reduce to
+    * INTEGER check sums (q_sum, q_l1, saturation count) plus the scale
+    * rounded to 6 — never a raw float column. All-zero vectors (scale 0)
+    * are excluded in both engines.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .filter(col("scale") > 0)
+      .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("bigint")))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        fold(col("q").cast("array<double>")).cast("bigint").as("q_sum"),
+        fold(transform(col("q"), x => abs(x).cast("double"))).cast("bigint").as("q_l1"),
+        size(filter(col("q"), x => abs(x) === 127)).cast("bigint").as("n_sat"),
+        size(col("q")).cast("bigint").as("dim"))
+
   /** Exact top-k cosine neighbors for each query vector (query set must be
     * small — it is broadcast). Output: (qid, vec_id, sim) with rank <= k.
     */
@@ -233,7 +258,11 @@ object Similarity {
       Tables.embeddings(s, dir)
         .groupBy(lshBucket(col("embedding")).as("bucket"))
         .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Symmetric int8 quantization report — per-vector, DuckDB-checked
+    "emb_quantize" -> ((s, dir) =>
+      quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -263,6 +292,24 @@ object Similarity {
     "emb_norms" ->
       """SELECT vec_id, label,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
-         FROM embeddings ORDER BY vec_id LIMIT 200"""
+         FROM embeddings ORDER BY vec_id LIMIT 200""",
+    "emb_quantize" ->
+      """WITH d AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM d),
+         qq AS (
+           SELECT vec_id, scale,
+                  list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+           FROM s WHERE scale > 0)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+                CAST(list_sum(q) AS BIGINT) AS q_sum,
+                CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+                CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+                CAST(len(q) AS BIGINT) AS dim
+         FROM qq ORDER BY vec_id"""
   )
 }
