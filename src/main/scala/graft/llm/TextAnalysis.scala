@@ -215,7 +215,10 @@ object TextAnalysis {
         .select(col("doc_id"), ngramMinHash(col("text")).as("sig"))
         .orderBy("doc_id")),
 
-    // BPE-ish subword counting (regex lookarounds — no RE2 twin → rows-only)
+    // BPE-ish subword counting. The Spark side splits on alnum/non-alnum
+    // boundaries with lookarounds (no RE2 twin), but the count it produces
+    // equals (# maximal alnum runs) + (# non-blank maximal non-alnum runs),
+    // which the oracle states lookaround-free — so the entry IS hash-checked.
     "text_subword_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), subwordCount(col("text")).as("n_subwords"))
@@ -248,6 +251,12 @@ object TextAnalysis {
                 CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
                 CAST(100 AS BIGINT) AS vocab_size
          FROM toks""",
+    "text_subword_count" ->
+      raw"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) +
+                len(list_filter(regexp_extract_all(text, '[^a-zA-Z0-9]+'),
+                                x -> trim(x) <> '')) AS INT) AS n_subwords
+         FROM documents ORDER BY doc_id""",
     "text_repetition" ->
       raw"""WITH toks AS (
            SELECT doc_id, t.term AS gram

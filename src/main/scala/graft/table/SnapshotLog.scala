@@ -162,14 +162,23 @@ object SnapshotLog {
   def dataPath(tableDir: String) = new Path(tableDir, DataDir)
 
   private def snapFileName(id: Long) = f"v$id%08d.json"
-  private def manifestFileName(seq: Long) = f"manifest-$seq%08d.json"
+  private def manifestFileName(maxId: Long, seq: Long) =
+    f"manifest-$maxId%08d-$seq%08d.json"
   // (\d+), not (\d{8}): ids beyond 8 digits must stay visible to load()
   private val SnapRe = "v(\\d+)\\.json".r
-  // Manifests carry their own sequence counter (NOT a snapshot id): every
-  // publish gets a fresh, create-if-absent name, so a re-publish for the same
-  // snapshot set (e.g. rewriteManifests after expireSnapshots) never renames
-  // over an existing doc — the failure mode that silently kept stale content.
-  private val ManifestRe = "manifest-(\\d+)\\.json".r
+  // Manifest names carry (maxCoveredSnapshotId, publishSeq) and readers pick
+  // the LEXICOGRAPHIC MAX of that pair, so the freshest COVERAGE always wins
+  // regardless of publish order. The seq component makes every publish a
+  // fresh create-if-absent name (a re-publish of the same coverage, e.g.
+  // rewriteManifests after expireSnapshots, never renames over an existing
+  // doc); the maxId component defeats the stale-publisher race — without it,
+  // a consolidator that loaded BEFORE newer commits landed could claim a
+  // HIGHER seq than a consolidator that covered them, and its deletion pass
+  // would remove both the newer manifest and (already-consolidated) newer
+  // snapshot docs: silent loss of the newest commits. With coverage in the
+  // name, the stale manifest sorts lower, deletes nothing fresher, and is
+  // itself ignored at load.
+  private val ManifestRe = "manifest-(\\d+)-(\\d+)\\.json".r
 
   def fs(conf: Configuration, dir: String): FileSystem = new Path(dir).getFileSystem(conf)
 
@@ -243,77 +252,127 @@ object SnapshotLog {
   /** All live snapshots, ascending by id: newest consolidated manifest (full
     * listings) plus any newer per-snapshot docs, each resolved against its
     * predecessor when delta-encoded.
+    *
+    * A doc that was LISTED but is GONE by the time it is read was deleted by
+    * a concurrent manifest consolidation — the listing is stale, and the
+    * whole load restarts against a fresh one (the new manifest covers the
+    * vanished doc). Treating it like an in-flight commit instead would
+    * silently truncate the lineage at the vanished id, and a committer
+    * working from that view would claim a FREED version name: its commit
+    * would succeed but stay forever invisible below the manifest's coverage
+    * — lost rows. Restarting is loud-safe: bounded attempts, then throw.
     */
   def load(conf: Configuration, tableDir: String): Seq[Snapshot] = {
-    val f = fs(conf, tableDir)
-    val dir = logPath(tableDir)
-    if (!f.exists(dir)) return Seq.empty
-    val names = f.listStatus(dir).map(_.getPath.getName)
-    val manifestSeqs = names.collect { case ManifestRe(n) => n.toLong }
-    val base: Seq[Snapshot] =
-      if (manifestSeqs.isEmpty) Seq.empty
-      else Serialization.read[List[Snapshot]](
-        readString(f, new Path(dir, manifestFileName(manifestSeqs.max))))
-    val upTo = if (base.isEmpty) -1L else base.map(_.snapshotId).max
-    val ids = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
-    // create-if-absent claims the id BEFORE the doc bytes land, so a reader
-    // racing a committer can see an empty/partial doc: retry briefly, then
-    // treat a still-unreadable doc (and everything after it) as an
-    // in-flight, uncommitted transaction — readers get the pre-commit
-    // state; the committer's own retry loop spins until its doc is visible.
-    var inFlight = false
-    val resolved = ids.foldLeft(base.sortBy(_.snapshotId).toList) { (acc, id) =>
-      if (inFlight) acc
-      else readSnapDoc(f, new Path(dir, snapFileName(id))) match {
-        case Some(doc) => acc :+ resolveDoc(doc, acc.lastOption)
-        case None => inFlight = true; acc
+    var attempt = 0
+    while (attempt < 50) {
+      loadOnce(conf, tableDir) match {
+        case Some(snaps) => return snaps
+        case None => attempt += 1; Thread.sleep(10)
       }
     }
-    resolved
+    throw new IllegalStateException(
+      s"snapshot log at $tableDir kept changing underneath $attempt loads")
   }
+
+  /** One listing-consistent load attempt; None = a listed doc vanished
+    * mid-read (concurrent consolidation) — re-list and try again.
+    */
+  private def loadOnce(conf: Configuration, tableDir: String): Option[Seq[Snapshot]] = {
+    val f = fs(conf, tableDir)
+    val dir = logPath(tableDir)
+    if (!f.exists(dir)) return Some(Seq.empty)
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val manifestKeys = names.collect { case ManifestRe(m, s) => (m.toLong, s.toLong) }
+    val base: Seq[Snapshot] =
+      if (manifestKeys.isEmpty) Seq.empty
+      else {
+        val (m, s) = manifestKeys.max
+        try Serialization.read[List[Snapshot]](
+          readString(f, new Path(dir, manifestFileName(m, s))))
+        catch {
+          // deleted by a fresher publisher between list and read
+          case _: java.io.FileNotFoundException => return None
+        }
+      }
+    val upTo = if (base.isEmpty) -1L else base.map(_.snapshotId).max
+    val ids = names.collect { case SnapRe(n) if n.toLong > upTo => n.toLong }.sorted
+    // create-if-absent claims the id BEFORE the doc bytes land (HDFS path —
+    // the local hard-link publish is all-or-nothing), so a reader racing a
+    // committer can see an empty/partial doc: retry briefly, then treat a
+    // still-unreadable doc (and everything after it) as an in-flight,
+    // uncommitted transaction — readers get the pre-commit state; the
+    // committer's own retry loop spins until its doc is visible.
+    var inFlight = false
+    var vanished = false
+    val resolved = ids.foldLeft(base.sortBy(_.snapshotId).toList) { (acc, id) =>
+      if (inFlight || vanished) acc
+      else readSnapDoc(f, new Path(dir, snapFileName(id))) match {
+        case SnapFound(doc) => acc :+ resolveDoc(doc, acc.lastOption)
+        case SnapInFlight => inFlight = true; acc
+        case SnapVanished => vanished = true; acc
+      }
+    }
+    if (vanished) None else Some(resolved)
+  }
+
+  private sealed trait SnapRead
+  private case class SnapFound(doc: SnapDoc) extends SnapRead
+  private case object SnapInFlight extends SnapRead
+  private case object SnapVanished extends SnapRead
 
   /** A writer that died between create and write+close leaves a permanently
     * empty doc: reads then pay the retry budget once per load and serve the
     * pre-commit state, while writers exhaust their id retries — the same
     * recovery posture as a held Iceberg commit lock; removeOrphanFiles plus
-    * manual doc removal is the operator escape hatch.
+    * manual doc removal is the operator escape hatch. A doc that VANISHES
+    * (FileNotFound) was consolidated away concurrently — reported distinctly
+    * so load() re-lists instead of serving a truncated lineage.
     */
-  private def readSnapDoc(f: FileSystem, p: Path): Option[SnapDoc] = {
+  private def readSnapDoc(f: FileSystem, p: Path): SnapRead = {
     var attempt = 0
     while (attempt < 100) {
-      val s = try readString(f, p) catch { case _: java.io.IOException => "" }
+      val s = try readString(f, p) catch {
+        case _: java.io.FileNotFoundException => return SnapVanished
+        case _: java.io.IOException => ""
+      }
       if (s.nonEmpty) {
-        try return Some(Serialization.read[SnapDoc](s))
+        try return SnapFound(Serialization.read[SnapDoc](s))
         catch { case _: Throwable => /* partially written, retry */ }
       }
       Thread.sleep(5)
       attempt += 1
     }
-    None
+    SnapInFlight
   }
 
-  /** Publish a consolidated manifest doc under a fresh sequence number
-    * (create-if-absent; retries on a concurrent publisher), and only after a
-    * verified publish delete the superseded per-snapshot docs and older
-    * manifests. On publish failure nothing is deleted.
+  /** Publish a consolidated manifest doc under a fresh
+    * (coverage, sequence) name (create-if-absent; retries on a concurrent
+    * publisher), and only after a verified publish delete per-snapshot docs
+    * the published coverage subsumes and manifests whose (coverage, seq)
+    * sorts STRICTLY BELOW ours — a concurrently published manifest covering
+    * newer snapshots is never touched, and at load it wins over this one
+    * (see ManifestRe). On publish failure nothing is deleted.
     */
-  private def publishManifest(f: FileSystem, dir: Path, snaps: Seq[Snapshot]): Boolean = {
+  private[table] def publishManifest(f: FileSystem, dir: Path, snaps: Seq[Snapshot]): Boolean = {
     val maxId = snaps.map(_.snapshotId).max
-    val existing = f.listStatus(dir).map(_.getPath.getName).collect { case ManifestRe(n) => n.toLong }
+    val existing = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestRe(_, s) => s.toLong }
     var seq = (if (existing.isEmpty) 0L else existing.max) + 1
     var published = false
     var attempts = 0
     val doc = Serialization.write(snaps.toList)
     while (!published && attempts < 10) {
       attempts += 1
-      if (publishAtomic(f, new Path(dir, manifestFileName(seq)), doc)) published = true
+      if (publishAtomic(f, new Path(dir, manifestFileName(maxId, seq)), doc)) published = true
       else seq += 1
     }
     if (!published) return false
     f.listStatus(dir).map(_.getPath).foreach { p =>
       p.getName match {
         case SnapRe(n) if n.toLong <= maxId => f.delete(p, false)
-        case ManifestRe(n) if n.toLong < seq => f.delete(p, false)
+        case ManifestRe(m, s)
+          if m.toLong < maxId || (m.toLong == maxId && s.toLong < seq) =>
+          f.delete(p, false)
         case _ =>
       }
     }

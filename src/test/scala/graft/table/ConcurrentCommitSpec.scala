@@ -72,6 +72,76 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(rowCounts === rowCounts.sorted)
   }
 
+  test("a STALE manifest publisher cannot hide newer commits (coverage beats seq)") {
+    import spark.implicits._
+    val dir = scratchDir("stale-manifest")
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+    val t = GraftTable.create(spark, dir, schema)
+    (0 until 5).foreach(i => t.append(Seq((i.toLong, 0L)).toDF("k", "v")))
+    val conf = spark.sessionState.newHadoopConf()
+    // a consolidator loads its snapshot list here (covers <= 6: create + 5)...
+    val staleView = SnapshotLog.load(conf, dir)
+    // ...then two more commits land and a FRESH consolidator runs: it
+    // publishes coverage 8 and deletes the per-snapshot docs it subsumes
+    (5 until 7).foreach(i => t.append(Seq((i.toLong, 0L)).toDF("k", "v")))
+    assert(SnapshotLog.rewriteManifests(conf, dir) === 8)
+    // the stale consolidator finally publishes its OLD list; under seq-only
+    // naming it would claim the highest sequence, win every subsequent load,
+    // and delete the fresh manifest — silently dropping commits 7 and 8
+    assert(SnapshotLog.publishManifest(
+      SnapshotLog.fs(conf, dir), SnapshotLog.logPath(dir), staleView))
+    val after = SnapshotLog.load(conf, dir)
+    assert(after.map(_.snapshotId) === (1L to 8L), "stale manifest must lose at load")
+    assert(t.readLatest().count() === 7, "no rows lost to the stale publisher")
+    assertFilesOnDisk(t)
+  }
+
+  test("appends racing rewriteManifests consolidators lose nothing") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-manifest")
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+    GraftTable.create(spark, dir, schema)
+    val nWriters = 4
+    val perThread = 3
+    val pool = Executors.newFixedThreadPool(nWriters + 2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (0 until nWriters).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until perThread).foreach { i =>
+            new GraftTable(spark, dir).append(
+              Seq(((th * perThread + i).toLong, th.toLong)).toDF("k", "v"))
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    (0 until 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try while (!stop.get()) {
+            graft.maintenance.Maintenance.rewriteManifests(new GraftTable(spark, dir))
+            Thread.sleep(3)
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    Thread.sleep(4000)
+    stop.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "threads timed out")
+    assert(failures.isEmpty, s"failed: ${Option(failures.peek()).map(_.toString)}")
+    val t = GraftTable.load(spark, dir)
+    assert(t.readLatest().count() === (nWriters * perThread).toLong)
+    assert(t.snapshotsList.size === nWriters * perThread + 1)
+    assertLinearLineage(t)
+    assertFilesOnDisk(t)
+  }
+
   test("appends racing a concurrent schema evolution abort-and-retry, never mis-register") {
     import spark.implicits._
     val dir = scratchDir("concurrent-evolve")
