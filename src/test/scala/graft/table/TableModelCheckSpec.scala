@@ -50,7 +50,7 @@ class TableModelCheckSpec extends SparkSpec {
       }
 
       (1 to 12).foreach { _ =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
               nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
@@ -93,6 +93,11 @@ class TableModelCheckSpec extends SparkSpec {
               history = history.filter { case (k, _) => retained.contains(k) }
               sync("expire")
             }
+          case 6 =>
+            // manifest consolidation is metadata-only: every snapshot (and
+            // all history) must survive byte-identically
+            Maintenance.rewriteManifests(t)
+            sync("rewrite-manifests")
         }
       }
       // every retained snapshot still reads back its recorded state
