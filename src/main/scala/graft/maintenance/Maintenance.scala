@@ -7,6 +7,19 @@ import graft.table.{GraftTable, SnapshotLog}
 /** Table maintenance procedures (SURVEY.md §2.10, M1-M4) — the analogs of
   * Iceberg's `rewrite_data_files`, `rewrite_manifests`, `expire_snapshots`,
   * and orphan-file removal (ref blob_dfs/blob-dfs_bench.py:140-155).
+  *
+  * Concurrency contract: every procedure is safe to run while COMMITS race
+  * it (compaction aborts on a conflicting commit via basedOn validation;
+  * consolidation is metadata-only and coverage-ordered — see
+  * SnapshotLog.publishManifest; ConcurrentCommitSpec stresses both). Two
+  * MAINTENANCE procedures racing each other, however, are the operator's
+  * job to serialize — same as Iceberg's filesystem tables: e.g. a
+  * rewriteManifests that loaded before a concurrent expireSnapshots
+  * published can re-surface the expired snapshot METADATA whose data files
+  * expiry already deleted. The failure is loud (time travel to such a
+  * snapshot fails at scan; the latest snapshot and all live reads are
+  * unaffected) and the next expiry re-trims, but a maintenance scheduler
+  * should still run these one at a time per table.
   */
 object Maintenance {
 
