@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.TableQueries.queries ++
       graft.queries.HarnessQueries.queries ++
       graft.queries.ScaleQueries.queries ++
+      graft.operators.Sessionize.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Decontaminate.queries ++
       graft.llm.Retrieval.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.TableQueries.oracle ++
       graft.queries.HarnessQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++
+      graft.operators.Sessionize.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Decontaminate.oracle ++
       graft.llm.Retrieval.oracle ++
