@@ -58,7 +58,9 @@ object Dml {
     */
   private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
     val planned = t.latest
-    val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
+    // tagged at the scan: plain input_file_name() over the read is ambiguous
+    // once merge-on-read deletes add their own file sources to the plan
+    val withFile = t.readSnapshotTagged(planned, "_file")
     val touched = toRelative(t,
       withFile.filter(pred).select("_file").distinct().collect().map(_.getString(0)))
     warnCeiling(touched.size)
@@ -105,6 +107,58 @@ object Dml {
     t.commitRewrite(rewritten, untouched, "delete", basedOn = Some(planned))
   }
 
+  /** Merge-on-read DELETE by explicit keys (the Iceberg v2 equality-delete
+    * write, the Flink-CDC delete shape): `keys`' columns name table columns;
+    * each tuple deletes every live row equal on all of them (null-safe).
+    * Writes ONE small delete file + a metadata commit — no data file is
+    * opened, read, or rewritten, so cost is O(batch) regardless of how many
+    * of the table's files hold matching rows. Reads reconcile via a
+    * broadcast anti-join until `Maintenance.materializeDeletes` folds the
+    * deletes in. Composes with concurrent appends (the delete is the later
+    * commit and applies to them).
+    */
+  def deleteMorKeys(t: GraftTable, keys: DataFrame): Snapshot =
+    t.commitMorDelta(keys, None, "delete-mor")
+
+  /** Merge-on-read `DELETE FROM t WHERE pred`: enumerate the distinct
+    * `keyCols` tuples of matching rows (one pushed-down scan — read-only,
+    * unlike COW's rewrite), then commit them as an equality-delete file.
+    * `keyCols` must functionally identify the rows to delete: every live row
+    * sharing a matching row's key tuple is deleted with it (choose a unique
+    * key, or exactly the predicate columns). Serializable like COW delete:
+    * aborts if a commit lands between planning and publish.
+    */
+  def deleteMor(t: GraftTable, pred: Column, keyCols: Seq[String]): Snapshot = {
+    val planned = t.latest
+    val keys = t.readSnapshot(planned).filter(pred)
+      .select(keyCols.map(col): _*).distinct()
+    t.commitMorDelta(keys, None, "delete-mor", basedOn = Some(planned))
+  }
+
+  /** Merge-on-read UPSERT (the Flink-CDC / Iceberg upsert-mode write): ONE
+    * commit that equality-deletes `source`'s key tuples and appends
+    * `source`'s rows. Existing rows with a source key disappear (their files
+    * predate the commit), the new versions land as ordinary data files —
+    * MERGE semantics at O(batch) write cost, deferring reconciliation to
+    * reads. A duplicated source key raises (the MERGE cardinality guard:
+    * two versions of the same key in one batch have no defined winner).
+    */
+  def upsertMor(t: GraftTable, source: DataFrame, keyCols: Seq[String]): Snapshot = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val guarded = source.withColumn("_src_cnt", count(lit(1)).over(w))
+      .select(source.columns.map { c =>
+        // the guard rides the first key column — always in the output, so
+        // Catalyst cannot prune it; the window reuses the write's clustering
+        if (c == keyCols.head)
+          when(col("_src_cnt") <= 1, col(c)).otherwise(raise_error(concat(
+            lit("UPSERT cardinality violation: source has multiple rows for key "),
+            col(c).cast("string")))).as(c)
+        else col(c)
+      }.toSeq: _*)
+    t.commitMorDelta(guarded.select(keyCols.map(col): _*), Some(guarded), "upsert-mor")
+  }
+
   /** D3/J1/J2 — `MERGE INTO t USING source ON t.key = source.key`
     * (ref merge_sales_events.sql:4-21, mixed-op spec
     * ICEBERG-Interoperability-Test-Spec.md:72 "20% updates, 5% deletes,
@@ -141,7 +195,7 @@ object Dml {
     // size-gated hint; a large source shuffles its key column only).
     val planned = t.latest
     val srcKeys = planKeys(source, key, broadcastKeyThresholdBytes)
-    val withFile = t.readSnapshot(planned).withColumn("_file", input_file_name())
+    val withFile = t.readSnapshotTagged(planned, "_file")
     val touched = toRelative(t,
       withFile.join(srcKeys, Seq(key), "left_semi")
         .select("_file").distinct().collect().map(_.getString(0)))

@@ -52,6 +52,34 @@ object Maintenance {
     Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
   }
 
+  /** Materialize merge-on-read equality deletes back into data files (the
+    * Iceberg `rewrite_data_files` + `rewrite_position_delete_files` pair in
+    * one procedure): rewrite exactly the data files some delete still
+    * applies to (`writtenAt < appliedAt`) reading them WITH deletes applied,
+    * keep every other file by reference, and drop the delete entries — no
+    * kept file is affected by construction. Physical delete files stay on
+    * disk for older snapshots (time travel) until expiry/orphan removal.
+    *
+    * At 100 TB this bounds read-side anti-join depth: run it when the
+    * accumulated delete count starts to tax scans, same cadence as
+    * compaction. Returns None when the table carries no deletes.
+    */
+  def materializeDeletes(t: GraftTable): Option[graft.table.Snapshot] = {
+    val planned = t.latest
+    if (planned.deletes.isEmpty) return None
+    val maxApplied = planned.deletes.map(_.appliedAt).max
+    val (affected, keep) = planned.files.partition(_.writtenAt < maxApplied)
+    if (affected.isEmpty) {
+      // nothing the deletes can touch: commit a metadata-only drop
+      return Some(t.commitRewrite(
+        t.readFiles(Nil), keep, "materialize-deletes",
+        basedOn = Some(planned), clearDeletes = true))
+    }
+    val df = t.readFiles(affected) // merge-on-read: deletes applied
+    Some(t.commitRewrite(df, keep, "materialize-deletes",
+      basedOn = Some(planned), clearDeletes = true))
+  }
+
   /** M2 — manifest rewrite: consolidate the snapshot log
     * (ref `rewrite_manifests`, blob-dfs_bench.py:146-149).
     */
@@ -68,10 +96,11 @@ object Maintenance {
     if (snaps.size <= retainLast) return 0
     val (expired, retained) = snaps.splitAt(snaps.size - retainLast)
     if (!SnapshotLog.replaceAll(conf, t.tableDir, retained)) return 0
-    val live = retained.flatMap(_.files.map(_.path)).toSet
+    val live = retained.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     val fs = SnapshotLog.fs(conf, t.tableDir)
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
-    val dead = expired.flatMap(_.files.map(_.path)).toSet -- live
+    val dead = expired.flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet -- live
     // parallel deletes: expiring thousands of dead files must not serialize
     // driver-side round-trips (same rationale as the commit-path publishes)
     import scala.collection.parallel.CollectionConverters._
@@ -93,7 +122,8 @@ object Maintenance {
     val fs = SnapshotLog.fs(conf, t.tableDir)
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
     if (!fs.exists(dataRoot)) return Nil
-    val live = SnapshotLog.load(conf, t.tableDir).flatMap(_.files.map(_.path)).toSet
+    val live = SnapshotLog.load(conf, t.tableDir)
+      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     val it = fs.listFiles(dataRoot, true)
     val rootStr = fs.makeQualified(dataRoot).toString
     val orphans = scala.collection.mutable.ArrayBuffer[String]()

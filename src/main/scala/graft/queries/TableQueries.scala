@@ -61,6 +61,57 @@ object TableQueries {
       checksum(t.readLatest())
     }),
 
+    // Merge-on-read DELETE (the Iceberg v2 equality-delete path): the commit
+    // writes a small delete file and rewrites ZERO data files — proven in the
+    // oracle-checked output by `data_files_rewritten` (set difference of the
+    // file lists around the delete) — while the read-back reconciles via the
+    // broadcast anti-join.
+    "t_mor_delete" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val t = GraftTable.create(s, scratch("mor_delete"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 70))
+      t.append(base.filter(col("o_orderkey") >= 70 && col("o_orderkey") < 140))
+      t.append(base.filter(col("o_orderkey") >= 140))
+      val filesBefore = t.latest.files.map(_.path).toSet
+      Dml.deleteMor(t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+      val rewritten = (t.latest.files.map(_.path).toSet -- filesBefore).size.toLong
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("data_files_rewritten", lit(rewritten))
+        .withColumn("n_delete_files", lit(t.latest.deletes.size.toLong))
+    }),
+
+    // Merge-on-read UPSERT (the Flink-CDC shape): ONE commit equality-deletes
+    // the source keys and appends the new versions; `n_commits` proves the
+    // atomicity (create + append + upsert = 3 snapshots), and the content
+    // matches the COW merge's oracle on the same slice.
+    "t_mor_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("mor_upsert"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      val source = base.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 150)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Dml.upsertMor(t, source, Seq("o_orderkey"))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("n_commits", lit(t.snapshotsList.size.toLong))
+    }),
+
+    // Delete materialization: fold merge-on-read deletes back into data
+    // files; content is unchanged (same oracle as the pre-materialize state)
+    // and the delete list drains to zero.
+    "t_mor_materialize" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val t = GraftTable.create(s, scratch("mor_materialize"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      t.append(base.filter(col("o_orderkey") >= 100))
+      Dml.deleteMor(t, col("o_orderkey") % 5 === 0, Seq("o_orderkey"))
+      Maintenance.materializeDeletes(t)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("n_delete_files_after", lit(t.latest.deletes.size.toLong))
+    }),
+
     // D3/J1 — MERGE upsert: doubled-price source overlaps half the target
     "t_merge_upsert" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
@@ -485,6 +536,22 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag <> 'R'""",
+    "t_mor_delete" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(0 AS BIGINT) AS data_files_rewritten,
+           CAST(1 AS BIGINT) AS n_delete_files
+         FROM orders WHERE o_orderkey < 200 AND o_orderkey % 7 <> 0""",
+    "t_mor_upsert" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(3 AS BIGINT) AS n_commits
+         FROM orders WHERE o_orderkey < 150""",
+    "t_mor_materialize" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(0 AS BIGINT) AS n_delete_files_after
+         FROM orders WHERE o_orderkey < 200 AND o_orderkey % 5 <> 0""",
     "t_merge_upsert" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price

@@ -65,6 +65,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .toDF("file_path", "row_count", "size_bytes", "written_at_snapshot")
   }
 
+  /** Equality-delete-file listing metadata table (the `.deletes` analog of
+    * Iceberg's metadata tables; empty when the table carries no
+    * merge-on-read deletes).
+    */
+  def deleteFiles(): DataFrame = {
+    import spark.implicits._
+    latest.deletes.map(d => (d.path, d.keyCols.mkString(","), d.rowCount, d.sizeBytes, d.appliedAt))
+      .toDF("file_path", "key_cols", "row_count", "size_bytes", "applied_at_snapshot")
+  }
+
   def readLatest(): DataFrame = readSnapshot(latest)
 
   /** T1 — `VERSION AS OF <id>` (ref time_travel_validate.sql:6-12). */
@@ -103,10 +113,24 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * (per-commit grouping grew the plan — an N-way union of N scans — with
     * every append).
     */
-  def readSnapshot(snap: Snapshot): DataFrame = {
+  def readSnapshot(snap: Snapshot): DataFrame = readSnapshotImpl(snap, None)
+
+  /** Read with each row's originating file path attached as `fileCol`,
+    * evaluated AT THE SCAN — `input_file_name()` over the result would be
+    * ambiguous once merge-on-read deletes add their own file sources to the
+    * plan (Spark rejects multi-source `input_file_name`), so DML planning
+    * uses this instead.
+    */
+  private[graft] def readSnapshotTagged(snap: Snapshot, fileCol: String): DataFrame =
+    readSnapshotImpl(snap, Some(fileCol))
+
+  private def readSnapshotImpl(snap: Snapshot, fileCol: Option[String]): DataFrame = {
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    if (snap.files.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+      return fileCol.fold(empty)(c => empty.withColumn(c, lit(null).cast("string")))
+    }
     // Self-contained-format guard: every live writtenAt must have its
     // write-time schema in the snapshot's own schemas map. A doc written by
     // the pre-self-contained format deserializes with schemas/chain empty and
@@ -120,6 +144,19 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val chainIds = snap.chain.map(_.snapshotId).sorted
     def epochOf(writtenAt: Long): Long =
       chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
+    // Merge-on-read deletes need each row's file `writtenAt` (a delete
+    // applies iff writtenAt < appliedAt). The filename→writtenAt map rides a
+    // broadcast join keyed on the part-file NAME (globally unique — Spark
+    // part names embed the write job's uuid; verified below), which
+    // sidesteps URI-escaping mismatches between `input_file_name()` and
+    // filesystem-qualified paths. Zero cost when no deletes exist.
+    val needWrittenAt = snap.deletes.nonEmpty
+    if (needWrittenAt) {
+      val names = snap.files.map(_.path.split('/').last)
+      require(names.distinct.size == names.size,
+        s"snapshot ${snap.snapshotId} in $tableDir has colliding part-file names; " +
+          "cannot resolve merge-on-read delete applicability")
+    }
     // Schema json joins the key as a guard: same-epoch files must agree on
     // their physical schema to share a scan.
     val groups = snap.files.groupBy(f =>
@@ -127,10 +164,15 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val parts = groups.toSeq.sortBy(_._1).map { case ((epoch, schemaJson), entries) =>
       val physSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val paths = entries.map(e => s"$dataRoot/${e.path}")
-      val raw = spark.read
+      val raw0 = spark.read
         .option("basePath", dataRoot)
         .schema(physSchema)
         .parquet(paths: _*)
+      val raw1 = fileCol.fold(raw0)(c => raw0.withColumn(c, input_file_name()))
+      val raw = if (needWrittenAt)
+        raw1.withColumn(WrittenAtCol,
+          element_at(split(input_file_name(), "/"), -1))
+      else raw1
       // Replay evolution committed after this epoch — from the snapshot's own
       // carried chain, never other (expirable) docs. No chain step lies in
       // (epoch, writtenAt] by the definition of epoch, so filtering from the
@@ -141,8 +183,86 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       ops.foldLeft(raw)(applyEvolution)
     }
     val unified = parts.reduce(_.unionByName(_))
+    val live = if (needWrittenAt) applyDeletes(snap, unified) else unified
     // Present columns in the target snapshot's declared order.
-    unified.select(logical.fieldNames.map(col).toSeq: _*)
+    live.select((logical.fieldNames.toSeq ++ fileCol).map(col): _*)
+  }
+
+  /** Filter out rows matched by the snapshot's equality-delete files (the
+    * Iceberg v2 merge-on-read read path). Each group of delete files sharing
+    * a key-column set becomes ONE anti-join; the delete side is tiny relative
+    * to data (bounded by un-materialized delete commits), so Catalyst
+    * broadcasts it and the data side neither shuffles nor rewrites.
+    *
+    * Matching is null-safe (`<=>`) per key column — a null key value in a
+    * delete tuple deletes rows with null in that column, the Iceberg
+    * equality-delete semantic — plus the `writtenAt < appliedAt` applicability
+    * bound, so rows (re-)inserted at or after the delete commit survive.
+    *
+    * Key-column names are DELETE-TIME names: a rename committed after the
+    * delete is mapped forward through the evolution chain; the data-side
+    * column (already evolved by replay) is compared against the delete tuple
+    * cast to its current type (type widening).
+    */
+  private def applyDeletes(snap: Snapshot, data: DataFrame): DataFrame = {
+    val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val writtenAtByName = snap.files
+      .map(f => (f.path.split('/').last, f.writtenAt)).toMap
+    // filename → writtenAt via a small literal map; O(files-in-snapshot)
+    // entries but evaluated per-row without a join. For very large file
+    // counts a broadcast-join map would win; at the 800k-file design point a
+    // map literal in the plan is too big, so: broadcast join below.
+    import spark.implicits._
+    val fileMap = writtenAtByName.toSeq.toDF(WrittenAtCol, "_gf_written_at")
+    val withW = data
+      .join(broadcast(fileMap), Seq(WrittenAtCol), "left")
+      // a filename that fails to resolve would silently mis-apply deletes;
+      // fail loudly instead (cannot happen unless the layout contract broke)
+      .withColumn("_gf_written_at",
+        when(col("_gf_written_at").isNull,
+          raise_error(concat(lit("cannot resolve writtenAt for data file "),
+            col(WrittenAtCol))).cast("long"))
+          .otherwise(col("_gf_written_at")))
+    val dataRoot = SnapshotLog.dataPath(tableDir).toString
+    val byKeys = snap.deletes.groupBy(_.keyCols)
+    val filtered = byKeys.toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(withW) { case (df, (keyCols, entries)) =>
+        val delSide = entries.map { d =>
+          spark.read.parquet(s"$dataRoot/${d.path}")
+            .withColumn("_gf_applied_at", lit(d.appliedAt))
+        }.reduce(_.unionByName(_))
+        // Map each delete-time key name forward through renames committed
+        // after the delete, per entry (two deletes sharing key NAMES can
+        // still resolve differently when a rename landed between their
+        // commits), and cast the delete tuple to the column's current type.
+        val resolvedByEntry = entries.map(d =>
+          d.appliedAt -> keyCols.map(k => GraftTable.currentName(snap, k, d.appliedAt)))
+        def antiJoin(data: DataFrame, del: DataFrame,
+            delToCur: Seq[(String, String)]): DataFrame = {
+          val cond = delToCur.map { case (delName, curName) =>
+            val curType = logical.find(_.name == curName).map(_.dataType)
+              .getOrElse(throw new IllegalStateException(
+                s"delete key column $curName no longer in schema of $tableDir"))
+            col(s"_gf_data.$curName") <=> col(s"_gf_del.$delName").cast(curType)
+          }.reduce(_ && _) &&
+            (col("_gf_data._gf_written_at") < col("_gf_del._gf_applied_at"))
+          data.alias("_gf_data").join(del.alias("_gf_del"), cond, "left_anti")
+        }
+        // all entries in the group must resolve identically to share a join
+        val distinctRes = resolvedByEntry.map(_._2).distinct
+        if (distinctRes.size == 1)
+          antiJoin(df, delSide, keyCols.zip(distinctRes.head))
+        else
+          // renames diverged between delete commits in this group: apply each
+          // entry as its own anti-join (rare; correctness over plan width)
+          entries.foldLeft(df) { (acc, d) =>
+            val one = spark.read.parquet(s"$dataRoot/${d.path}")
+              .withColumn("_gf_applied_at", lit(d.appliedAt))
+            antiJoin(acc, one,
+              keyCols.map(k => k -> GraftTable.currentName(snap, k, d.appliedAt)))
+          }
+      }
+    filtered.drop(WrittenAtCol, "_gf_written_at")
   }
 
   /** Evolution-aware read of a subset of the latest snapshot's files
@@ -331,7 +451,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * concurrent rewrite may have replaced files this plan kept.
     */
   def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String,
-      basedOn: Option[Snapshot] = None): Snapshot = {
+      basedOn: Option[Snapshot] = None, clearDeletes: Boolean = false): Snapshot = {
     val planned = basedOn.getOrElse(latest)
     val written = writeDataFiles(df, planned.snapshotId + 1)
     commitWithRetry { parent =>
@@ -340,12 +460,96 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         throw new java.util.ConcurrentModificationException(
           s"table advanced to ${p.snapshotId} since rewrite planned at ${planned.snapshotId}")
       val files = (keepFiles ++ written).toList
+      // Equality deletes ride along: rewritten output was read with deletes
+      // APPLIED and carries writtenAt = the new id ≥ every appliedAt, so the
+      // carried deletes no longer touch it; kept files still need them.
+      // `clearDeletes` (delete materialization) drops them once no kept file
+      // is affected — the caller proves that by rewriting every affected file.
+      val deletes = if (clearDeletes) Nil else p.deletes
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, p.schemaJson,
         p.partitionCols, files,
         Map("added-files" -> written.size.toString), Nil,
         schemasFor(files, p.schemas + ((p.snapshotId + 1).toString -> p.schemaJson)),
-        p.chain)
+        p.chain, deletes)
     }
+  }
+
+  /** Merge-on-read commit primitive (the Iceberg v2 equality-delete write
+    * path): ONE commit that adds an equality-delete file holding `keys`'
+    * tuples and, when `appendDf` is given, appends its rows as new data
+    * files — the Flink-CDC upsert shape. No existing data file is opened or
+    * rewritten: at 100 TB a keyed delete or upsert batch costs O(batch), not
+    * O(matched files), with the reconciliation deferred to reads (broadcast
+    * anti-join) and ultimately to `Maintenance.materializeDeletes`.
+    *
+    * The delete applies to data files with `writtenAt < appliedAt` (this
+    * commit's id): rows appended by THIS commit survive, so upsert = delete
+    * keys + insert rows atomically.
+    *
+    * When `basedOn` is given the commit aborts if the table advanced past it
+    * (serializable planning — the predicate-scan delete path uses this); when
+    * None the commit retries against the current parent (blind keyed deletes
+    * and upserts compose with concurrent appends: the delete is simply the
+    * later commit and applies to them).
+    */
+  def commitMorDelta(keys: DataFrame, appendDf: Option[DataFrame], operation: String,
+      basedOn: Option[Snapshot] = None): Snapshot = {
+    val keyCols = keys.schema.fieldNames.toList
+    require(keyCols.nonEmpty, "merge-on-read delete needs at least one key column")
+    val cur = schema
+    keyCols.foreach { k =>
+      require(cur.fieldNames.contains(k),
+        s"delete key column $k is not a column of $tableDir")
+    }
+    appendDf.foreach { df =>
+      require(shapeOf(df.schema) == shapeOf(cur),
+        s"$operation append schema does not match table $tableDir")
+    }
+    val planned = basedOn.getOrElse(latest)
+    val delWritten = writeDeleteFile(keys)
+    val dataWritten = appendDf.map(writeDataFiles(_, planned.snapshotId + 1)).getOrElse(Nil)
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("MOR delta on empty table"))
+      if (basedOn.isDefined && p.snapshotId != planned.snapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table advanced to ${p.snapshotId} since MOR delete planned at ${planned.snapshotId}")
+      val id = p.snapshotId + 1
+      val files = (p.files ++ dataWritten.map(_.copy(writtenAt = id))).toList
+      val delEntries = delWritten.map(_.copy(keyCols = keyCols, appliedAt = id))
+      Snapshot(id, Some(p.snapshotId), clock(), operation, p.schemaJson,
+        p.partitionCols, files,
+        Map("added-delete-files" -> delEntries.size.toString,
+          "added-files" -> dataWritten.size.toString), Nil,
+        schemasFor(files, p.schemas + (id.toString -> p.schemaJson)),
+        p.chain, (p.deletes ++ delEntries).toList)
+    }
+  }
+
+  /** Write `keys` as parquet under `data/_deletes/` (the underscore keeps
+    * data-scan partition discovery blind to it) and return entries with
+    * placeholder keyCols/appliedAt (the commit loop fills them in).
+    */
+  private def writeDeleteFile(keys: DataFrame): Seq[DeleteEntry] = {
+    val dataRoot = SnapshotLog.dataPath(tableDir)
+    val delDir = new org.apache.hadoop.fs.Path(dataRoot, DeletesDir)
+    val stage = new org.apache.hadoop.fs.Path(dataRoot,
+      s".stage-del-${java.util.UUID.randomUUID().toString.take(8)}")
+    // ONE delete file per commit: a delete batch is keys, not data — small
+    // relative to the table by construction — and a single file keeps the
+    // read-side anti-join union exactly as wide as the number of
+    // un-materialized delete COMMITS.
+    keys.coalesce(1).write.mode("errorifexists").parquet(stage.toString)
+    hfs.mkdirs(delDir)
+    val staged = listParquetFiles(stage)
+    val entries = staged.map { s =>
+      val dest = new org.apache.hadoop.fs.Path(delDir, s.getName)
+      require(hfs.rename(s, dest), s"could not publish delete file $s to $dest")
+      val st = hfs.getFileStatus(dest)
+      val (rows, _) = footerMeta(dest)
+      DeleteEntry(s"$DeletesDir/${s.getName}", Nil, rows, st.getLen, 0L)
+    }
+    hfs.delete(stage, true)
+    entries
   }
 
   /** Prune a schemas map to the writtenAt ids the file list still references,
@@ -368,7 +572,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, newSchema.json,
         p.partitionCols, p.files, Map.empty, List(op),
         schemasFor(p.files, p.schemas),
-        p.chain :+ EvolutionStep(p.snapshotId + 1, List(op)))
+        p.chain :+ EvolutionStep(p.snapshotId + 1, List(op)), p.deletes)
     }
 
   /** Column shape (names + types, order- and nullability-insensitive) used to
@@ -412,12 +616,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       // write-time schema (the shape check above rejects the only way the
       // final id's schema could differ from the write-time schema)
       val files = (keep ++ written.map(_.copy(writtenAt = id))).toList
+      // append keeps the parent's equality deletes (they apply only to files
+      // with writtenAt below their commit, never the rows appended here); a
+      // full overwrite replaces all content, so deletes reset with it
+      val deletes = if (parentFiles) parent.map(_.deletes).getOrElse(Nil) else Nil
       Snapshot(id, parent.map(_.snapshotId), clock(), operation, schemaJson,
         parent.map(_.partitionCols).getOrElse(Nil), files,
         extraSummary + ("added-files" -> written.size.toString), Nil,
         schemasFor(files,
           parent.map(_.schemas).getOrElse(Map.empty) + (id.toString -> schemaJson)),
-        parent.map(_.chain).getOrElse(Nil))
+        parent.map(_.chain).getOrElse(Nil), deletes)
     }
   }
 
@@ -601,6 +809,34 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 }
 
 object GraftTable {
+
+  /** Helper-column name carrying each row's part-file name during a
+    * merge-on-read read (dropped before the result surfaces).
+    */
+  private[table] val WrittenAtCol = "_gf_file"
+
+  /** Directory under `data/` holding equality-delete files. */
+  private[table] val DeletesDir = "_deletes"
+
+  /** Forward-map a column name recorded at snapshot `since` to its name at
+    * `snap` by replaying renames committed in (since, snap] — the inverse
+    * direction of `writeTimeName` (which maps a CURRENT name back to
+    * write-time). Used to resolve equality-delete key columns recorded
+    * before a rename. An `add` op can never capture the tracked name: the
+    * name existed at `since`, so an add of the same string is only legal
+    * after a rename moved the tracked column away — which this replay
+    * follows first.
+    */
+  private[table] def currentName(snap: Snapshot, name: String, since: Long): String = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    snap.chain
+      .filter(st => st.snapshotId > since && st.snapshotId <= snap.snapshotId)
+      .flatMap(_.ops)
+      .foldLeft(name) { (cur, op) =>
+        val m = org.json4s.jackson.JsonMethods.parse(op).extract[Map[String, String]]
+        if (m.getOrElse("op", "?") == "rename" && m("from") == cur) m("to") else cur
+      }
+  }
 
   /** S5 — CREATE TABLE with partition columns (ref create_sales_events.sql:1-19).
     * Partition transforms map to derived columns the caller adds before append.

@@ -33,6 +33,29 @@ case class FileEntry(
     writtenAt: Long = 0L,
     stats: Map[String, List[String]] = Map.empty)
 
+/** One equality-delete file tracked by a snapshot (the Iceberg v2
+  * equality-delete-file analog: a parquet file of key tuples; a data row is
+  * live iff no delete committed AFTER its file was written matches its key).
+  *
+  * @param path      path relative to the table's `data/` root (under
+  *                  `_deletes/` — the underscore keeps the data scan's
+  *                  partition discovery blind to it)
+  * @param keyCols   equality columns AT DELETE TIME (delete-time physical
+  *                  names; reads map them forward through later renames)
+  * @param rowCount  key tuples in the file
+  * @param sizeBytes file length
+  * @param appliedAt snapshot id of the delete commit — the delete applies
+  *                  exactly to data files with `writtenAt < appliedAt`, so
+  *                  rows appended in the same commit (upsert) or later
+  *                  (re-insert) are never affected
+  */
+case class DeleteEntry(
+    path: String,
+    keyCols: List[String],
+    rowCount: Long,
+    sizeBytes: Long,
+    appliedAt: Long)
+
 /** One schema-evolution commit's ops, carried forward in every descendant
   * snapshot so evolution replay never needs another snapshot doc.
   */
@@ -80,7 +103,8 @@ case class Snapshot(
     summary: Map[String, String],
     evolution: List[String] = Nil,
     schemas: Map[String, String] = Map.empty,
-    chain: List[EvolutionStep] = Nil)
+    chain: List[EvolutionStep] = Nil,
+    deletes: List[DeleteEntry] = Nil)
 
 /** Persistence for the snapshot log: `<table>/_graft_log/v<N>.json`, one doc per
   * snapshot, committed by atomic create-if-absent (optimistic concurrency;
@@ -123,7 +147,10 @@ object SnapshotLog {
       chain: List[EvolutionStep] = Nil,
       files: Option[List[FileEntry]] = None,
       added: Option[List[FileEntry]] = None,
-      removedPaths: Option[List[String]] = None)
+      removedPaths: Option[List[String]] = None,
+      deletes: Option[List[DeleteEntry]] = None,
+      addedDeletes: Option[List[DeleteEntry]] = None,
+      removedDeletePaths: Option[List[String]] = None)
 
   private def toDoc(snap: Snapshot, parent: Option[Snapshot]): SnapDoc = {
     val base = SnapDoc(snap.snapshotId, snap.parentId, snap.committedAt, snap.operation,
@@ -135,27 +162,55 @@ object SnapshotLog {
         val snapPaths = snap.files.map(_.path).toSet
         val added = snap.files.filterNot(e => parentPaths.contains(e.path))
         val removed = p.files.map(_.path).filterNot(snapPaths.contains)
+        // delete-file entries delta-encode the same way (append-mostly:
+        // removals only at materialization/expiry)
+        val parentDelPaths = p.deletes.map(_.path).toSet
+        val snapDelPaths = snap.deletes.map(_.path).toSet
+        val addedDel = snap.deletes.filterNot(e => parentDelPaths.contains(e.path))
+        val removedDel = p.deletes.map(_.path).filterNot(snapDelPaths.contains)
+        val withDel =
+          if (addedDel.size + removedDel.size < snap.deletes.size)
+            base.copy(addedDeletes = Some(addedDel),
+              removedDeletePaths = Some(removedDel))
+          else base.copy(deletes = Some(snap.deletes))
         // a path is written exactly once, so kept entries never mutate and
         // (added, removed) reconstructs the list exactly
         if (added.size + removed.size < snap.files.size)
-          base.copy(added = Some(added), removedPaths = Some(removed))
-        else base.copy(files = Some(snap.files))
-      case _ => base.copy(files = Some(snap.files))
+          withDel.copy(added = Some(added), removedPaths = Some(removed))
+        else withDel.copy(files = Some(snap.files))
+      case _ => base.copy(files = Some(snap.files), deletes = Some(snap.deletes))
     }
   }
 
   private def resolveDoc(doc: SnapDoc, prev: Option[Snapshot]): Snapshot = {
-    val files = doc.files.getOrElse {
+    def parentOf: Snapshot = {
       val p = prev.getOrElse(throw new IllegalStateException(
         s"delta snapshot doc ${doc.snapshotId} has no resolvable parent"))
       require(doc.parentId.contains(p.snapshotId),
         s"delta snapshot doc ${doc.snapshotId} chains to ${doc.parentId}, not ${p.snapshotId}")
+      p
+    }
+    val files = doc.files.getOrElse {
+      val p = parentOf
       val removed = doc.removedPaths.getOrElse(Nil).toSet
       p.files.filterNot(e => removed.contains(e.path)) ++ doc.added.getOrElse(Nil)
     }
+    val deletes = doc.deletes.getOrElse {
+      if (doc.addedDeletes.isEmpty && doc.removedDeletePaths.isEmpty) {
+        // pre-MOR doc: a full-list doc carries deletes=Some above, so a doc
+        // with NO delete fields at all is either older than this format
+        // (never had deletes) or a delta doc with an unchanged empty list —
+        // both resolve to the parent's list (Nil for pre-format docs)
+        prev.map(_.deletes).getOrElse(Nil)
+      } else {
+        val p = parentOf
+        val removed = doc.removedDeletePaths.getOrElse(Nil).toSet
+        p.deletes.filterNot(e => removed.contains(e.path)) ++ doc.addedDeletes.getOrElse(Nil)
+      }
+    }
     Snapshot(doc.snapshotId, doc.parentId, doc.committedAt, doc.operation,
       doc.schemaJson, doc.partitionCols, files, doc.summary, doc.evolution,
-      doc.schemas, doc.chain)
+      doc.schemas, doc.chain, deletes)
   }
 
   def logPath(tableDir: String) = new Path(tableDir, LogDir)
