@@ -94,7 +94,12 @@ object Maintenance {
     val conf = t.spark.sessionState.newHadoopConf()
     val snaps = SnapshotLog.load(conf, t.tableDir)
     if (snaps.size <= retainLast) return 0
-    val (expired, retained) = snaps.splitAt(snaps.size - retainLast)
+    // tags pin snapshots past retain-last (the Iceberg ref-aware expiry):
+    // a tagged snapshot and its files survive until the tag is dropped
+    val pinned = t.tags.values.toSet
+    val keepIds = snaps.takeRight(retainLast).map(_.snapshotId).toSet ++ pinned
+    val (retained, expired) = snaps.partition(s => keepIds(s.snapshotId))
+    if (expired.isEmpty) return 0
     if (!SnapshotLog.replaceAll(conf, t.tableDir, retained)) return 0
     val live = retained.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     val fs = SnapshotLog.fs(conf, t.tableDir)

@@ -61,6 +61,57 @@ object TableQueries {
       checksum(t.readLatest())
     }),
 
+    // Incremental append scan (Iceberg incremental read): rows appended in
+    // (fromId, toId] only — the CDC consumption primitive. A compaction
+    // inside the range is content-preserving and skipped; the oracle is the
+    // 2nd+3rd slices exactly.
+    "t_incremental_read" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+      val t = GraftTable.create(s, scratch("incremental_read"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      val fromId = t.latest.snapshotId
+      t.append(base.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+      Maintenance.rewriteDataFiles(t, minInputFiles = 2) // content-preserving, skipped
+      t.append(base.filter(col("o_orderkey") >= 200))
+      t.readIncremental(fromId, t.latest.snapshotId)
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // Rollback procedure: a bad COW delete is undone by a NEW commit that
+    // restores the earlier state; history stays linear (4 snapshots:
+    // create, append, delete, rollback) and the bad commit stays
+    // time-travelable until expiry.
+    "t_rollback" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val t = GraftTable.create(s, scratch("rollback"), base.schema)
+      t.append(base)
+      val good = t.latest.snapshotId
+      Dml.delete(t, col("o_orderkey") % 3 === 0) // the "bad" commit
+      t.rollbackTo(good)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("n_snapshots", lit(t.snapshotsList.size.toLong))
+    }),
+
+    // Tag refs: a tag pins its snapshot through expiry (retain-last-1 would
+    // otherwise drop it); the tagged read reproduces the first slice while
+    // the latest read sees everything.
+    "t_tags" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val t = GraftTable.create(s, scratch("tags"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      t.createTag("train-v1", t.latest.snapshotId)
+      t.append(base.filter(col("o_orderkey") >= 100))
+      Maintenance.expireSnapshots(t, retainLast = 1)
+      val tagged = t.readTag("train-v1")
+        .agg(count(lit(1)).as("tagged_rows"),
+          dbl(sum(dec(col("o_totalprice")))).as("tagged_price"))
+      val all = t.readLatest().agg(count(lit(1)).as("row_count"))
+      tagged.crossJoin(all)
+    }),
+
     // Merge-on-read DELETE (the Iceberg v2 equality-delete path): the commit
     // writes a small delete file and rewrites ZERO data files — proven in the
     // oracle-checked output by `data_files_rewritten` (set difference of the
@@ -536,6 +587,22 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag <> 'R'""",
+    "t_incremental_read" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key
+         FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300""",
+    "t_rollback" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(4 AS BIGINT) AS n_snapshots
+         FROM orders WHERE o_orderkey < 200""",
+    "t_tags" ->
+      """SELECT
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100) AS tagged_rows,
+           (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+              FROM orders WHERE o_orderkey < 100) AS tagged_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
     "t_mor_delete" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,

@@ -393,6 +393,111 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     }
   }
 
+  /** Incremental append scan (the Iceberg incremental-read analog:
+    * `option("start-snapshot-id", …).option("end-snapshot-id", …)`): rows
+    * APPENDED in snapshots (fromId, toId], read with toId's schema. The CDC
+    * consumption primitive — a downstream pipeline processes each new batch
+    * without rescanning the table.
+    *
+    * Content-preserving commits inside the range (compaction, manifest
+    * rewrite, schema/partition evolution, delete materialization) are
+    * skipped — their net content change is nil, and the rows they rewrote
+    * are credited to their ORIGINAL append. Any content-CHANGING non-append
+    * commit in range (DML, MOR delete/upsert, overwrite, rollback) raises:
+    * an append-only incremental read over it would silently misreport the
+    * delta (Iceberg's incremental scan raises the same way).
+    */
+  def readIncremental(fromId: Long, toId: Long): DataFrame = {
+    val snaps = snapshotsList
+    require(fromId < toId, s"need fromId < toId, got ($fromId, $toId]")
+    val to = snaps.find(_.snapshotId == toId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId in $tableDir"))
+    require(fromId == 0 || snaps.exists(_.snapshotId == fromId),
+      s"no snapshot $fromId in $tableDir (expired?)")
+    val range = snaps.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+    val contentPreserving = Set("create", "rewrite-data-files", "materialize-deletes",
+      "add-column", "rename-column", "widen-column", "evolve-partitioning")
+    val bad = range.filterNot(s =>
+      s.operation == "append" || contentPreserving(s.operation))
+    require(bad.isEmpty,
+      s"incremental read over ($fromId, $toId] crosses content-changing commit(s) " +
+        bad.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ") +
+        s" in $tableDir — append-only incremental semantics cannot represent them")
+    val appendIds = range.filter(_.operation == "append").map(_.snapshotId).toSet
+    // the appended files, from each appending snapshot's own doc (a later
+    // in-range compaction may have dropped them from toId's list — they
+    // remain on disk and in their commit's doc until expiry)
+    val appended = range.filter(s => appendIds(s.snapshotId))
+      .flatMap(s => s.files.filter(_.writtenAt == s.snapshotId))
+    val schemas = range.filter(s => appendIds(s.snapshotId))
+      .map(s => s.snapshotId.toString -> s.schemas(s.snapshotId.toString)).toMap
+    // deletes cannot apply: in-range MOR commits raise above, and any delete
+    // with appliedAt ≤ fromId only touches files written before it
+    readSnapshot(to.copy(files = appended.toList, schemas = schemas, deletes = Nil))
+  }
+
+  /** Roll the table back to `snapshotId`'s state as a NEW commit (the
+    * Iceberg `rollback_to_snapshot` procedure): history stays linear — the
+    * bad commits remain inspectable via time travel until expiry — and
+    * concurrent readers just see another snapshot land.
+    */
+  def rollbackTo(snapshotId: Long): Snapshot = {
+    val target = snapshotsList.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId in $tableDir"))
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("rollback on empty table"))
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "rollback",
+        target.schemaJson, target.partitionCols, target.files,
+        Map("rolled-back-to" -> snapshotId.toString), Nil,
+        target.schemas, target.chain, target.deletes)
+    }
+  }
+
+  /** Create an immutable named tag pinning `snapshotId` (the Iceberg tag
+    * ref): `expireSnapshots` retains tagged snapshots regardless of
+    * retain-last, so a tag is a durable audit/reproducibility point (e.g.
+    * "the snapshot this model trained on"). Create-if-absent: re-tagging an
+    * existing name is an error, not a silent move.
+    */
+  def createTag(name: String, snapshotId: Long): Unit = {
+    require(TagNameRe.matches(name),
+      s"tag name must match ${TagNameRe.regex}, got '$name'")
+    require(snapshotsList.exists(_.snapshotId == snapshotId),
+      s"no snapshot $snapshotId in $tableDir")
+    val p = new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir), s"tag-$name.json")
+    val doc = org.json4s.jackson.Serialization.write(
+      Map("name" -> name, "snapshotId" -> snapshotId.toString))(SnapshotLog.formats)
+    require(SnapshotLog.publishAtomicAt(hfs, p, doc), s"tag $name already exists in $tableDir")
+  }
+
+  /** All tags, name → pinned snapshot id. */
+  def tags: Map[String, Long] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return Map.empty
+    hfs.listStatus(dir).map(_.getPath).flatMap { p =>
+      p.getName match {
+        case TagFileRe(_) =>
+          val m = org.json4s.jackson.JsonMethods.parse(
+            SnapshotLog.readStringAt(hfs, p)).extract[Map[String, String]]
+          Some(m("name") -> m("snapshotId").toLong)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(name: String): DataFrame = {
+    val id = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name in $tableDir"))
+    readVersionAsOf(id)
+  }
+
+  /** Drop a tag (the pinned snapshot becomes expirable again). */
+  def deleteTag(name: String): Boolean =
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      SnapshotLog.logPath(tableDir), s"tag-$name.json"), false)
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
@@ -493,7 +598,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * later commit and applies to them).
     */
   def commitMorDelta(keys: DataFrame, appendDf: Option[DataFrame], operation: String,
-      basedOn: Option[Snapshot] = None): Snapshot = {
+      basedOn: Option[Snapshot] = None,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val keyCols = keys.schema.fieldNames.toList
     require(keyCols.nonEmpty, "merge-on-read delete needs at least one key column")
     val cur = schema
@@ -518,7 +624,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       val delEntries = delWritten.map(_.copy(keyCols = keyCols, appliedAt = id))
       Snapshot(id, Some(p.snapshotId), clock(), operation, p.schemaJson,
         p.partitionCols, files,
-        Map("added-delete-files" -> delEntries.size.toString,
+        extraSummary ++ Map("added-delete-files" -> delEntries.size.toString,
           "added-files" -> dataWritten.size.toString), Nil,
         schemasFor(files, p.schemas + (id.toString -> p.schemaJson)),
         p.chain, (p.deletes ++ delEntries).toList)
@@ -817,6 +923,10 @@ object GraftTable {
 
   /** Directory under `data/` holding equality-delete files. */
   private[table] val DeletesDir = "_deletes"
+
+  /** Tag names: filesystem- and JSON-safe. */
+  private[table] val TagNameRe = "[A-Za-z0-9._-]{1,128}".r
+  private[table] val TagFileRe = "tag-([A-Za-z0-9._-]{1,128})\\.json".r
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse

@@ -280,6 +280,14 @@ object SnapshotLog {
       }
     }
 
+  /** Public faces of the atomic-publish / read primitives for sibling
+    * metadata files that share the log's concurrency story (e.g. tag refs).
+    */
+  private[table] def publishAtomicAt(fs: FileSystem, p: Path, s: String): Boolean =
+    publishAtomic(fs, p, s)
+  private[table] def readStringAt(fs: FileSystem, p: Path): String =
+    readString(fs, p)
+
   private def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {

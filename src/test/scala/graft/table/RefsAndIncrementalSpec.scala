@@ -1,0 +1,116 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dml.Dml
+import graft.gen.Synthesize
+import graft.maintenance.Maintenance
+
+/** Incremental append scans (CDC consumption), rollback, and tag refs. */
+class RefsAndIncrementalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newSalesTable(): GraftTable = {
+    val dir = scratchDir("refs-")
+    val t = GraftTable.create(spark, dir, graft.model.Schemas.salesEvents)
+    t.append(Synthesize.salesEvents8(spark).filter(col("event_id") <= 4))
+    t
+  }
+
+  private def slice(lo: Int, hi: Int) =
+    Synthesize.salesEvents8(spark).filter(col("event_id") > lo && col("event_id") <= hi)
+
+  test("readIncremental returns exactly the rows appended in range") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    t.append(slice(4, 6))
+    t.append(slice(6, 8))
+    val inc = t.readIncremental(from, t.latest.snapshotId)
+      .select("event_id").as[Long].collect().sorted
+    assert(inc === Array(5L, 6L, 7L, 8L))
+  }
+
+  test("a compaction inside the range is skipped, not double-counted") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    t.append(slice(4, 5))
+    t.append(slice(5, 6))
+    assert(Maintenance.rewriteDataFiles(t, minInputFiles = 2).isDefined)
+    t.append(slice(6, 7))
+    val inc = t.readIncremental(from, t.latest.snapshotId)
+      .select("event_id").as[Long].collect().sorted
+    assert(inc === Array(5L, 6L, 7L))
+  }
+
+  test("schema evolution inside the range reads appended rows at target schema") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    t.append(slice(4, 6))
+    t.renameColumn("sku", "product_sku")
+    t.append(slice(6, 8).withColumnRenamed("sku", "product_sku"))
+    val inc = t.readIncremental(from, t.latest.snapshotId)
+    assert(inc.columns.contains("product_sku"))
+    assert(inc.select("event_id").as[Long].collect().sorted === Array(5L, 6L, 7L, 8L))
+  }
+
+  test("a content-changing commit in range raises") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    t.append(slice(4, 6))
+    Dml.delete(t, col("event_id") === 5)
+    val e = intercept[IllegalArgumentException] {
+      t.readIncremental(from, t.latest.snapshotId)
+    }
+    assert(e.getMessage.contains("content-changing"))
+  }
+
+  test("rollback restores the target state as a new linear commit") {
+    val t = newSalesTable()
+    val good = t.latest.snapshotId
+    Dml.delete(t, col("event_id") <= 2)
+    assert(t.readLatest().count() === 2)
+    val rb = t.rollbackTo(good)
+    assert(rb.operation === "rollback")
+    assert(rb.parentId.contains(good + 1)) // linear: parent is the bad commit
+    assert(t.readLatest().count() === 4)
+    // the bad commit remains time-travelable
+    assert(t.readVersionAsOf(good + 1).count() === 2)
+  }
+
+  test("rollback across schema evolution restores the old schema") {
+    val t = newSalesTable()
+    val good = t.latest.snapshotId
+    t.renameColumn("sku", "product_sku")
+    t.rollbackTo(good)
+    assert(t.schema.fieldNames.contains("sku"))
+    assert(t.readLatest().select("sku").count() === 4)
+  }
+
+  test("tags pin snapshots through expiry; deleteTag unpins") {
+    val t = newSalesTable()
+    t.createTag("v1", t.latest.snapshotId)
+    t.append(slice(4, 8))
+    t.append(slice(4, 4)) // empty append just to advance history
+    Maintenance.expireSnapshots(t, retainLast = 1)
+    // tagged snapshot survived with its files
+    assert(t.readTag("v1").count() === 4)
+    assert(t.readLatest().count() === 8)
+    // duplicate tag name is an error, not a silent move
+    intercept[IllegalArgumentException] { t.createTag("v1", t.latest.snapshotId) }
+    assert(t.deleteTag("v1"))
+    assert(t.tags.isEmpty)
+    // now expirable: next expiry drops it
+    Maintenance.expireSnapshots(t, retainLast = 1)
+    intercept[IllegalArgumentException] { t.readTag("v1") }
+  }
+
+  test("tag names are validated and listed") {
+    val t = newSalesTable()
+    intercept[IllegalArgumentException] { t.createTag("bad/name", t.latest.snapshotId) }
+    intercept[IllegalArgumentException] { t.createTag("x", 999L) }
+    t.createTag("release-1.0", t.latest.snapshotId)
+    assert(t.tags === Map("release-1.0" -> t.latest.snapshotId))
+  }
+}
