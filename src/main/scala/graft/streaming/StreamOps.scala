@@ -98,6 +98,28 @@ object StreamOps {
     if (lastCommittedBatchId(t).forall(batchId > _))
       t.append(batch, extraSummary = Map("stream-batch-id" -> batchId.toString))
 
+  /** Exactly-once streaming UPSERT sink (the Flink-CDC-into-Iceberg shape,
+    * built on merge-on-read): each micro-batch is reduced to its LAST
+    * version per key (`orderCols` descending — (key, orderCols) must be
+    * unique for a deterministic winner), then committed as ONE equality-
+    * delete + append via `commitMorDelta` — O(batch) regardless of table
+    * size, no data-file rewrite, with the batch id durable in the same
+    * commit for the same at-least-once → exactly-once upgrade as
+    * `ingestBatch`. Cross-batch ordering is the stream's: a later batch
+    * wins, which is CDC's contract (upstream emits versions in order).
+    */
+  def upsertBatch(t: graft.table.GraftTable, keyCols: Seq[String], orderCols: Seq[String])
+      (batch: DataFrame, batchId: Long): Unit =
+    if (lastCommittedBatchId(t).forall(batchId > _)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      val lastPerKey = batch.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      t.commitMorDelta(lastPerKey.select(keyCols.map(col): _*), Some(lastPerKey),
+        "upsert-mor", extraSummary = Map("stream-batch-id" -> batchId.toString))
+    }
+
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.
     * `maxFilesPerTrigger` forces multi-batch execution so incremental state
@@ -215,6 +237,59 @@ object StreamOps {
         .withColumn("n_stream_commits", lit(streamCommits.toLong))
     }),
 
+    // Streaming upsert sink: events keyed by user_id, last version per user
+    // wins. The source is range-partitioned on (ts, event_id) so micro-batch
+    // order follows event time and the cross-batch winner equals the global
+    // last-by-(ts, event_id) — which is exactly what the DuckDB window
+    // oracle computes. A second run from a fresh checkpoint replays every
+    // batch and all are skipped (exactly-once), proven by n_upsert_commits.
+    "stream_upsert_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/root/repo/target/graft-scratch/stream_upsert_sink"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      val events = graft.queries.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      // part-00000..3 cover ascending (ts, event_id) bands (range
+      // partitioner contract). The file-stream source orders by modification
+      // time, which one write job does NOT stratify — so the parts are
+      // published under band names with PINNED ascending mtimes, making
+      // batch order = event-time order deterministically.
+      events.repartitionByRange(4, col("ts"), col("event_id"))
+        .write.parquet(s"$root/stage")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sessionState.newHadoopConf())
+      val srcDir = new org.apache.hadoop.fs.Path(s"$root/src")
+      fs.mkdirs(srcDir)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/stage"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = new org.apache.hadoop.fs.Path(srcDir, f"band-$i%02d.parquet")
+        require(fs.rename(p, dest), s"could not publish $p")
+        fs.setTimes(dest, 1000L * (i + 1), -1)
+      }
+      val t = graft.table.GraftTable.create(s, s"$root/table", events.schema)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream
+          .foreachBatch(upsertBatch(t, Seq("user_id"), Seq("ts", "event_id")) _)
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> all batches skipped
+      val upsertCommits = t.snapshotsList.count(_.summary.contains("stream-batch-id"))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("event_id")).as("id_sum"))
+        .withColumn("n_upsert_commits", lit(upsertCommits.toLong))
+    }),
+
     "stream_user_totals" -> ((s, dir) => {
       import s.implicits._
       runAvailableNow(s, dir, "stream_user_totals",
@@ -243,6 +318,13 @@ object StreamOps {
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
               CAST(4 AS BIGINT) AS n_stream_commits
          FROM events""",
+    "stream_upsert_sink" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(4 AS BIGINT) AS n_upsert_commits
+         FROM (SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
     "stream_interval_join" ->
       """WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
             p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
