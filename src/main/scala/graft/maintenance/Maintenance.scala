@@ -52,6 +52,108 @@ object Maintenance {
     Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
   }
 
+  /** Z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(...)')`
+    * analog): rewrite the table clustered on the interleaved bit order of
+    * `cols`' QUANTILE-BUCKET ids, so file-level min/max bounds become narrow
+    * on EVERY listed column at once and `planBetween`/`readBetween` skip
+    * files for predicates on any of them — a linear sort only ever serves
+    * its leading column.
+    *
+    * Scale shape: one `approxQuantile` pass computes 256 bucket boundaries
+    * per column (sampled driver-side, O(cols × 256) memory — never data);
+    * bucket ids are a codegen'd fold over the broadcast-literal boundary
+    * array; the z-value drives ONE `repartitionByRange` + partition-local
+    * sort. No global single-partition window anywhere (rank-via-window
+    * z-ordering pulls the table through one task — the classic scale trap).
+    * Rank-by-quantile also makes the interleave skew-robust: each bucket
+    * holds ~1/256 of ROWS, not 1/256 of the value range.
+    *
+    * Columns must be numeric/date/timestamp (ordered in their physical
+    * domain). Rewrites the WHOLE table (like a full OPTIMIZE); live
+    * merge-on-read deletes are materialized by the rewrite.
+    */
+  def zorderRewrite(t: GraftTable, cols: Seq[String],
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Option[graft.table.Snapshot] = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order needs 2..8 columns (8 bits each in a 64-bit z-value), got $cols")
+    val planned = t.latest
+    if (planned.files.isEmpty) return None
+    // a hive-partitioned write re-clusters rows by partition column and
+    // would undo the z-range layout; z-order the partition columns into the
+    // sort instead of partitioning, or evolve to unpartitioned first
+    require(planned.partitionCols.isEmpty,
+      s"z-order rewrite requires an unpartitioned table; ${t.tableDir} is " +
+        s"partitioned by ${planned.partitionCols.mkString(", ")}")
+    val schema = t.schema
+    cols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in ${t.tableDir}"))
+      require(zorderable(f.dataType), s"column $c: ${f.dataType.simpleString} is not " +
+        "z-orderable (numeric/date/timestamp only)")
+    }
+    val totalBytes = planned.files.map(_.sizeBytes).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val out = zordered(t, planned, cols, targetFiles)
+    Some(t.commitRewrite(out, Nil, "zorder-rewrite",
+      basedOn = Some(planned), clearDeletes = true))
+  }
+
+  /** The z-clustered DataFrame `zorderRewrite` writes (exposed separately so
+    * specs can audit the physical plan without committing).
+    */
+  private[graft] def zorderPlanForAudit(t: GraftTable, cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    zordered(t, t.latest, cols, 16)
+
+  private def zordered(t: GraftTable, planned: graft.table.Snapshot,
+      cols: Seq[String], targetFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = t.readSnapshot(planned)
+    val asDouble = cols.map(c => s"_zq_$c" -> col(c).cast("double"))
+    val withD = asDouble.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+    // 255 interior cut points per column ≈ 256 equal-ROW-count buckets;
+    // relativeError 0.01 keeps the sample pass cheap and the buckets honest
+    val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
+    val cuts = withD.stat.approxQuantile(asDouble.map(_._1).toArray, probs, 0.01)
+    val zCol = morton(cols.zip(cuts).map { case (c, bounds) =>
+      bucketOf(col(c).cast("double"), bounds)
+    })
+    withD.withColumn("_z", zCol)
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop(asDouble.map(_._1) :+ "_z": _*)
+  }
+
+  private val Buckets = 256 // 8 bits per dimension
+
+  /** Bucket id of `v` against sorted cut points: the number of cuts ≤ v —
+    * a codegen'd fold over the literal boundary array (no UDF, no join).
+    * Nulls land in bucket 0 (sorted first, harmless for clustering).
+    */
+  private def bucketOf(v: org.apache.spark.sql.Column,
+      bounds: Array[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val arr = lit(bounds)
+    aggregate(arr, lit(0),
+      (acc, b) => acc + when(v.isNotNull && v >= b, 1).otherwise(0))
+  }
+
+  /** Morton (z-curve) interleave of the per-dimension bucket ids: bit i of
+    * dimension d lands at position i*D + d, so the curve alternates bits
+    * across dimensions and nearby z-values are nearby in every dimension.
+    */
+  private def morton(buckets: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val d = buckets.size
+    val bits = (0 until 8).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, dim) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)).cast("long"), i * d + dim)
+      }
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
   /** Materialize merge-on-read equality deletes back into data files (the
     * Iceberg `rewrite_data_files` + `rewrite_position_delete_files` pair in
     * one procedure): rewrite exactly the data files some delete still
@@ -78,6 +180,16 @@ object Maintenance {
     val df = t.readFiles(affected) // merge-on-read: deletes applied
     Some(t.commitRewrite(df, keep, "materialize-deletes",
       basedOn = Some(planned), clearDeletes = true))
+  }
+
+  private def zorderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
   }
 
   /** M2 — manifest rewrite: consolidate the snapshot log

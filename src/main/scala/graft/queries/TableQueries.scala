@@ -112,6 +112,25 @@ object TableQueries {
       tagged.crossJoin(all)
     }),
 
+    // Z-order clustering rewrite: after clustering on (event_id, user_id),
+    // a narrow range on EITHER column provably skips files (booleans in the
+    // oracle-checked output), while content is byte-identical to the source.
+    "t_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val t = GraftTable.create(s, scratch("zorder"), ev.schema)
+      t.append(ev.repartition(8))
+      val target = math.max(1L, t.latest.files.map(_.sizeBytes).sum / 16)
+      Maintenance.zorderRewrite(t, Seq("event_id", "user_id"), target)
+      val nEvents = ev.count()
+      val (selE, totE) = t.planBetween(t.latest, "event_id", nEvents / 2, nEvents / 2 + nEvents / 20)
+      val (selU, totU) = t.planBetween(t.latest, "user_id", 3L, 3L)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .withColumn("pruned_event", lit(selE.size * 2 < totE))
+        .withColumn("pruned_user", lit(selU.size * 2 < totU))
+    }),
+
     // Merge-on-read DELETE (the Iceberg v2 equality-delete path): the commit
     // writes a small delete file and rewrites ZERO data files — proven in the
     // oracle-checked output by `data_files_rewritten` (set difference of the
@@ -603,6 +622,12 @@ object TableQueries {
            (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               FROM orders WHERE o_orderkey < 100) AS tagged_price,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
+    "t_zorder" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           true AS pruned_event, true AS pruned_user
+         FROM events""",
     "t_mor_delete" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
