@@ -112,6 +112,26 @@ object TableQueries {
       tagged.crossJoin(all)
     }),
 
+    // Row-level changelog (CDC diff): appends surface as inserts, a MOR
+    // delete as deletes, an upsert as delete-of-preimage + insert — grouped
+    // by change type so the oracle can reconstruct every branch from the
+    // same source slice.
+    "t_changelog" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("changelog"), base.schema)
+      val from = t.latest.snapshotId
+      t.append(base.filter(col("o_orderkey") < 200))
+      Dml.deleteMor(t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+      val source = base.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 300)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Dml.upsertMor(t, source, Seq("o_orderkey"))
+      t.readChangelog(from, t.latest.snapshotId)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("row_count"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("change_type")
+    }),
+
     // Z-order clustering rewrite: after clustering on (event_id, user_id),
     // a narrow range on EITHER column provably skips files (booleans in the
     // oracle-checked output), while content is byte-identical to the source.
@@ -622,6 +642,18 @@ object TableQueries {
            (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               FROM orders WHERE o_orderkey < 100) AS tagged_price,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
+    "t_changelog" ->
+      """WITH ch AS (
+           SELECT 'insert' AS t, o_orderkey AS k FROM orders WHERE o_orderkey < 200
+           UNION ALL SELECT 'delete', o_orderkey FROM orders
+             WHERE o_orderkey < 200 AND o_orderkey % 7 = 0
+           UNION ALL SELECT 'delete', o_orderkey FROM orders
+             WHERE o_orderkey >= 100 AND o_orderkey < 200 AND o_orderkey % 7 <> 0
+           UNION ALL SELECT 'insert', o_orderkey FROM orders
+             WHERE o_orderkey >= 100 AND o_orderkey < 300)
+         SELECT t AS change_type, COUNT(*) AS row_count,
+                CAST(SUM(k) AS BIGINT) AS key_sum
+         FROM ch GROUP BY 1 ORDER BY 1""",
     "t_zorder" ->
       """SELECT COUNT(*) AS row_count,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -408,15 +408,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * delta (Iceberg's incremental scan raises the same way).
     */
   def readIncremental(fromId: Long, toId: Long): DataFrame = {
-    val snaps = snapshotsList
-    require(fromId < toId, s"need fromId < toId, got ($fromId, $toId]")
-    val to = snaps.find(_.snapshotId == toId)
-      .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId in $tableDir"))
-    require(fromId == 0 || snaps.exists(_.snapshotId == fromId),
-      s"no snapshot $fromId in $tableDir (expired?)")
-    val range = snaps.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    val contentPreserving = Set("create", "rewrite-data-files", "materialize-deletes",
-      "add-column", "rename-column", "widen-column", "evolve-partitioning")
+    val (to, range) = changeRange(fromId, toId)
     val bad = range.filterNot(s =>
       s.operation == "append" || contentPreserving(s.operation))
     require(bad.isEmpty,
@@ -434,6 +426,120 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // deletes cannot apply: in-range MOR commits raise above, and any delete
     // with appliedAt ≤ fromId only touches files written before it
     readSnapshot(to.copy(files = appended.toList, schemas = schemas, deletes = Nil))
+  }
+
+  /** Commits whose net content change is nil — skippable by incremental and
+    * changelog reads (rewritten rows are credited to their original commit).
+    */
+  private val ContentPreservingOps = Set("create", "rewrite-data-files",
+    "materialize-deletes", "zorder-rewrite",
+    "add-column", "rename-column", "widen-column", "evolve-partitioning")
+  private def contentPreserving = ContentPreservingOps
+
+  /** Resolve and validate a change-consumption range: `toId` exists,
+    * `fromId` exists (or 0 for "since the beginning"), and the live
+    * snapshots in (fromId, toId] form an UNBROKEN parent chain — tag-aware
+    * expiry can leave the log non-contiguous, and a gapped range would
+    * silently omit the expired commits' changes.
+    */
+  private def changeRange(fromId: Long, toId: Long): (Snapshot, Seq[Snapshot]) = {
+    val snaps = snapshotsList
+    require(fromId < toId, s"need fromId < toId, got ($fromId, $toId]")
+    val to = snaps.find(_.snapshotId == toId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $toId in $tableDir"))
+    require(fromId == 0 || snaps.exists(_.snapshotId == fromId),
+      s"no snapshot $fromId in $tableDir (expired?)")
+    val range = snaps.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+    val ids = range.map(_.snapshotId).toSet
+    range.foreach { s =>
+      val chained = s.parentId match {
+        case None => fromId == 0
+        case Some(p) => p == fromId || ids.contains(p)
+      }
+      require(chained,
+        s"snapshot ${s.snapshotId}'s parent ${s.parentId.getOrElse("none")} is not " +
+          s"live in ($fromId, $toId] of $tableDir — intermediate commits were " +
+          "expired and their changes cannot be reconstructed")
+    }
+    (to, range)
+  }
+
+  /** Row-level changelog over (fromId, toId] (the Iceberg changelog-scan /
+    * Delta CDF analog): every row appended or deleted in the range, in the
+    * TARGET snapshot's schema, with `_change_type` ('insert' | 'delete') and
+    * `_commit_snapshot_id` columns. An upsert appears as its delete half
+    * (matched pre-images, read from the pre-commit state) plus its insert
+    * half — the Iceberg changelog convention.
+    *
+    * Supported commits in range: appends (inserts), merge-on-read
+    * delete/upsert (deletes reconstructed by semi-joining the pre-commit
+    * state against the commit's delete files — O(delete batch) extra read,
+    * which is why MOR makes CDC cheap), and content-preserving maintenance
+    * (no rows). Copy-on-write DML and overwrites raise: their row diff is
+    * not recorded and reconstructing it would re-read both sides of every
+    * rewritten file.
+    */
+  def readChangelog(fromId: Long, toId: Long): DataFrame = {
+    val (to, range) = changeRange(fromId, toId)
+    val rowLevel = Set("append", "delete-mor", "upsert-mor")
+    val bad = range.filterNot(s => rowLevel(s.operation) || contentPreserving(s.operation))
+    require(bad.isEmpty,
+      s"changelog over ($fromId, $toId] crosses commit(s) without row-level change " +
+        "tracking: " + bad.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ") +
+        s" in $tableDir — copy-on-write rewrites do not record their row diff")
+    val logical = DataType.fromJson(to.schemaJson).asInstanceOf[StructType]
+    val dataRoot = SnapshotLog.dataPath(tableDir).toString
+    val bySnap = snapshotsList.map(s => s.snapshotId -> s).toMap
+    // Read `files` evolved to toId's schema: toId's chain replays evolution;
+    // write-time schemas come from the carrying snapshot's own
+    // self-contained map (never another, possibly-expired doc).
+    def readAtTarget(files: List[FileEntry], schemas: Map[String, String],
+        deletes: List[DeleteEntry]): DataFrame =
+      readSnapshot(to.copy(files = files, schemas = schemas, deletes = deletes))
+    val parts = range.filter(s => rowLevel(s.operation)).flatMap { s =>
+      val inserts = {
+        val added = s.files.filter(_.writtenAt == s.snapshotId)
+        if (added.isEmpty) None
+        else Some(readAtTarget(added, s.schemas, Nil)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+      }
+      val deletes = {
+        val added = s.deletes.filter(_.appliedAt == s.snapshotId)
+        if (added.isEmpty) None
+        else {
+          // pre-commit state at toId's schema; the commit's deletes apply to
+          // every pre-commit file (all writtenAt < appliedAt), so a plain
+          // null-safe semi-join on the key tuples yields the deleted rows
+          val parent = bySnap(s.parentId.getOrElse(
+            throw new IllegalStateException(s"MOR commit ${s.snapshotId} has no parent")))
+          val pre = readAtTarget(parent.files, parent.schemas, parent.deletes)
+          val matched = added.map { d =>
+            val del = spark.read.parquet(s"$dataRoot/${d.path}")
+            val cond = d.keyCols.map { k =>
+              val cur = GraftTable.currentName(to, k, d.appliedAt)
+              val curType = logical.find(_.name == cur).map(_.dataType)
+                .getOrElse(throw new IllegalStateException(
+                  s"delete key column $cur no longer in schema of $tableDir"))
+              col(s"_gf_pre.$cur") <=> col(s"_gf_del.$k").cast(curType)
+            }.reduce(_ && _)
+            pre.alias("_gf_pre").join(del.alias("_gf_del"), cond, "left_semi")
+          }.reduce(_.unionByName(_)).distinct()
+          Some(matched
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        }
+      }
+      inserts.toSeq ++ deletes.toSeq
+    }
+    val outCols = logical.fieldNames.toSeq ++ Seq("_change_type", "_commit_snapshot_id")
+    if (parts.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+      empty.withColumn("_change_type", lit("").cast("string"))
+        .withColumn("_commit_snapshot_id", lit(0L))
+        .filter(lit(false)).select(outCols.map(col): _*)
+    } else parts.reduce(_.unionByName(_)).select(outCols.map(col): _*)
   }
 
   /** Roll the table back to `snapshotId`'s state as a NEW commit (the

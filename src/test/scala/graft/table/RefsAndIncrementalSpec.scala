@@ -106,6 +106,71 @@ class RefsAndIncrementalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readTag("v1") }
   }
 
+  test("readChangelog emits inserts and MOR deletes with commit ids") {
+    val t = newSalesTable() // events 1..4, snapshot 2
+    val from = t.latest.snapshotId
+    t.append(slice(4, 6)) // +5, 6 at snapshot 3
+    Dml.deleteMorKeys(t, Seq(2L, 5L).toDF("event_id")) // snapshot 4
+    val log = t.readChangelog(from, t.latest.snapshotId)
+      .select("event_id", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._2, r._1))
+    assert(log === Array(
+      (5L, "insert", from + 1), (6L, "insert", from + 1),
+      (2L, "delete", from + 2), (5L, "delete", from + 2)))
+  }
+
+  test("readChangelog renders an upsert as delete-of-preimage plus insert") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    val src = Synthesize.salesEvents8(spark).filter(col("event_id").isin(1, 2))
+      .withColumn("qty", col("qty") + 100)
+      .unionByName(Synthesize.salesEvents8(spark)
+        .filter(col("event_id") === 3).withColumn("event_id", lit(99L)))
+    Dml.upsertMor(t, src, Seq("event_id"))
+    val log = t.readChangelog(from, t.latest.snapshotId)
+      .select("event_id", "qty", "_change_type")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._3, r._1))
+    // deletes carry the PRE-image qty; inserts the new values; 99 is new
+    assert(log.filter(_._3 == "delete").map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 3), (2L, 5)))
+    assert(log.filter(_._3 == "insert").map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 103), (2L, 105), (99L, 2)))
+  }
+
+  test("readChangelog raises on copy-on-write commits and skips maintenance") {
+    val t = newSalesTable()
+    val from = t.latest.snapshotId
+    t.append(slice(4, 6))
+    t.append(slice(6, 8))
+    assert(Maintenance.rewriteDataFiles(t, minInputFiles = 2).isDefined)
+    val log = t.readChangelog(from, t.latest.snapshotId)
+    assert(log.filter(col("_change_type") === "insert").count() === 4)
+    assert(log.filter(col("_change_type") === "delete").count() === 0)
+    Dml.delete(t, col("event_id") === 1) // COW: no row-level diff recorded
+    val e = intercept[IllegalArgumentException] {
+      t.readChangelog(from, t.latest.snapshotId)
+    }
+    assert(e.getMessage.contains("row-level"))
+  }
+
+  test("change reads refuse gapped ranges left by tag-aware expiry") {
+    val t = newSalesTable()
+    t.createTag("pin", t.latest.snapshotId)
+    t.append(slice(4, 5)) // will be expired
+    t.append(slice(5, 6))
+    t.append(slice(6, 7))
+    Maintenance.expireSnapshots(t, retainLast = 2)
+    // live log: pinned snapshot 2 + last two; snapshot 3 is gone
+    val pinned = t.tags("pin")
+    val e = intercept[IllegalArgumentException] {
+      t.readIncremental(pinned, t.latest.snapshotId)
+    }
+    assert(e.getMessage.contains("expired"))
+    intercept[IllegalArgumentException] {
+      t.readChangelog(pinned, t.latest.snapshotId)
+    }
+  }
+
   test("tag names are validated and listed") {
     val t = newSalesTable()
     intercept[IllegalArgumentException] { t.createTag("bad/name", t.latest.snapshotId) }
