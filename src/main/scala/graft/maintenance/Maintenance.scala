@@ -213,7 +213,9 @@ object Maintenance {
     val (retained, expired) = snaps.partition(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return 0
     if (!SnapshotLog.replaceAll(conf, t.tableDir, retained)) return 0
-    val live = retained.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    // branch-staged files are invisible to the main log but must survive
+    val live = retained.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet ++
+      t.branchReferencedPaths
     val fs = SnapshotLog.fs(conf, t.tableDir)
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
     val dead = expired.flatMap(s =>
@@ -240,7 +242,8 @@ object Maintenance {
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
     if (!fs.exists(dataRoot)) return Nil
     val live = SnapshotLog.load(conf, t.tableDir)
-      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet ++
+      t.branchReferencedPaths
     val it = fs.listFiles(dataRoot, true)
     val rootStr = fs.makeQualified(dataRoot).toString
     val orphans = scala.collection.mutable.ArrayBuffer[String]()

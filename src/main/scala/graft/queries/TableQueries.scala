@@ -112,6 +112,24 @@ object TableQueries {
       tagged.crossJoin(all)
     }),
 
+    // Write-audit-publish: a branch stages the second slice invisibly
+    // (rows_during_audit proves main stayed at the first slice), the audit
+    // reads the staged state, and publish fast-forwards main in one commit.
+    "t_wap" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("wap"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      t.createBranch("stage")
+      t.appendToBranch("stage", base.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+      val auditRows = t.readBranch("stage").count()
+      val mainDuring = t.readLatest().count()
+      t.publishBranch("stage")
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("rows_during_audit", lit(mainDuring))
+        .withColumn("rows_at_audit", lit(auditRows))
+    }),
+
     // Row-level changelog (CDC diff): appends surface as inserts, a MOR
     // delete as deletes, an upsert as delete-of-preimage + insert — grouped
     // by change type so the oracle can reconstruct every branch from the
@@ -642,6 +660,12 @@ object TableQueries {
            (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               FROM orders WHERE o_orderkey < 100) AS tagged_price,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
+    "t_wap" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100) AS rows_during_audit,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS rows_at_audit
+         FROM orders WHERE o_orderkey < 200""",
     "t_changelog" ->
       """WITH ch AS (
            SELECT 'insert' AS t, o_orderkey AS k FROM orders WHERE o_orderkey < 200

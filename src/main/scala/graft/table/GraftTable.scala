@@ -604,6 +604,151 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     hfs.delete(new org.apache.hadoop.fs.Path(
       SnapshotLog.logPath(tableDir), s"tag-$name.json"), false)
 
+  // ---- Branch refs: write-audit-publish staging (the Iceberg WAP flow) ----
+
+  /** One branch head: the staged snapshot (self-contained, never in the main
+    * log) plus the main snapshot it is based on.
+    */
+  private case class BranchHead(base: Long, seq: Long, snapshot: Snapshot)
+
+  private def branchHead(name: String): Option[BranchHead] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return None
+    val seqs = hfs.listStatus(dir).map(_.getPath.getName).collect {
+      case BranchFileRe(n, seq) if n == name => seq.toLong
+    }
+    if (seqs.isEmpty) return None
+    val seq = seqs.max
+    val doc = org.json4s.jackson.JsonMethods.parse(SnapshotLog.readStringAt(hfs,
+      new org.apache.hadoop.fs.Path(dir, branchFileName(name, seq))))
+    val base = (doc \ "base").extract[Long]
+    val snap = (doc \ "snapshot").extract[Snapshot]
+    Some(BranchHead(base, seq, snap))
+  }
+
+  private def branchFileName(name: String, seq: Long) = f"branch-$name-$seq%08d.json"
+
+  private def writeBranchHead(name: String, base: Long, seq: Long, snap: Snapshot): Boolean = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val doc = org.json4s.jackson.Serialization.write(Map(
+      "base" -> base, "snapshot" -> snap))
+    SnapshotLog.publishAtomicAt(hfs,
+      new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir),
+        branchFileName(name, seq)), doc)
+  }
+
+  /** Create a staging branch at the current main state (the start of a
+    * write-audit-publish cycle). The branch lives OUTSIDE the main log:
+    * main readers never see staged commits.
+    */
+  def createBranch(name: String): Unit = {
+    require(TagNameRe.matches(name),
+      s"branch name must match ${TagNameRe.regex}, got '$name'")
+    require(branchHead(name).isEmpty, s"branch $name already exists in $tableDir")
+    val base = latest
+    require(writeBranchHead(name, base.snapshotId, 0L, base),
+      s"branch $name already exists in $tableDir")
+  }
+
+  /** All branch names with their base main-snapshot ids. */
+  def branches: Map[String, Long] = {
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return Map.empty
+    val names = hfs.listStatus(dir).map(_.getPath.getName).collect {
+      case BranchFileRe(n, _) => n
+    }.distinct
+    names.flatMap(n => branchHead(n).map(h => n -> h.base)).toMap
+  }
+
+  /** Audit read of a branch's staged state. */
+  def readBranch(name: String): DataFrame =
+    readSnapshot(branchHead(name).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name in $tableDir")).snapshot)
+
+  /** Every data/delete file referenced by any live branch head — maintenance
+    * must treat staged files as live (they are invisible to the main log).
+    */
+  private[graft] def branchReferencedPaths: Set[String] =
+    branches.keySet.flatMap(n => branchHead(n).toSeq.flatMap(h =>
+      h.snapshot.files.map(_.path) ++ h.snapshot.deletes.map(_.path)))
+
+  /** Stage an append on a branch: data files land under `data/` like any
+    * commit (immutable, shared layout) but are referenced only by the branch
+    * head, so main readers cannot see them until publish. Schema evolution
+    * on a branch is not supported — staged files carry the base snapshot's
+    * schema, which is what makes publish a metadata-only fast-forward.
+    */
+  def appendToBranch(name: String, df: DataFrame): Unit = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val head = branchHead(name).getOrElse(
+        throw new IllegalArgumentException(s"no branch $name in $tableDir"))
+      val cur = DataType.fromJson(head.snapshot.schemaJson).asInstanceOf[StructType]
+      require(shapeOf(df.schema) == shapeOf(cur),
+        s"branch append schema does not match $tableDir@$name")
+      // staged files carry writtenAt = the BASE snapshot id: their physical
+      // schema IS the base schema (no branch evolution), so main's
+      // writtenAt→schema invariant holds verbatim after publish
+      val written = writeDataFiles(df, head.base)
+      val snap = head.snapshot.copy(
+        files = head.snapshot.files ++ written.map(_.copy(writtenAt = head.base)),
+        schemas = head.snapshot.schemas +
+          (head.base.toString -> head.snapshot.schemaJson),
+        summary = Map("staged-appends" ->
+          (head.snapshot.summary.getOrElse("staged-appends", "0").toInt + 1).toString))
+      if (writeBranchHead(name, head.base, head.seq + 1, snap)) return
+      // a concurrent branch append won this seq: clean our staged files and
+      // retry against the fresh head
+      written.foreach(e => hfs.delete(
+        new org.apache.hadoop.fs.Path(SnapshotLog.dataPath(tableDir), e.path), false))
+    }
+    throw new IllegalStateException(s"could not stage append on $tableDir@$name")
+  }
+
+  /** Publish a branch: fast-forward main to the audited staged state as ONE
+    * commit (metadata-only — staged files are already in place). The WAP
+    * contract is strict: if main advanced past the branch base, the audit
+    * no longer describes what publish would produce, so it raises instead
+    * (re-branch from the new main and re-audit). The branch ref is dropped
+    * after a successful publish.
+    */
+  def publishBranch(name: String): Snapshot = {
+    val head = branchHead(name).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name in $tableDir"))
+    val snap = commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("publish on empty table"))
+      if (p.snapshotId != head.base)
+        throw new java.util.ConcurrentModificationException(
+          s"main advanced to ${p.snapshotId} since branch $name based on ${head.base}: " +
+            "the audited state is stale — re-branch and re-audit")
+      val files = head.snapshot.files
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "publish-branch",
+        p.schemaJson, p.partitionCols, files,
+        Map("published-branch" -> name,
+          "added-files" -> (files.size - p.files.size).toString), Nil,
+        schemasFor(files, head.snapshot.schemas + ((p.snapshotId + 1).toString -> p.schemaJson)),
+        p.chain, head.snapshot.deletes)
+    }
+    dropBranch(name)
+    snap
+  }
+
+  /** Drop a branch ref. Staged files it alone referenced become orphans
+    * (removed by the next `removeOrphanFiles`).
+    */
+  def dropBranch(name: String): Boolean = {
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return false
+    val mine = hfs.listStatus(dir).map(_.getPath).filter(p => p.getName match {
+      case BranchFileRe(n, _) => n == name
+      case _ => false
+    })
+    mine.foreach(p => hfs.delete(p, false))
+    mine.nonEmpty
+  }
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
@@ -1033,6 +1178,7 @@ object GraftTable {
   /** Tag names: filesystem- and JSON-safe. */
   private[table] val TagNameRe = "[A-Za-z0-9._-]{1,128}".r
   private[table] val TagFileRe = "tag-([A-Za-z0-9._-]{1,128})\\.json".r
+  private[table] val BranchFileRe = "branch-([A-Za-z0-9._-]{1,128})-(\\d+)\\.json".r
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse
