@@ -7,12 +7,14 @@ import graft.dml.Dml
 import graft.maintenance.Maintenance
 
 /** Model-based randomized check of the table layer: a seeded random sequence
-  * of appends, COW deletes/updates/merges, compactions, and snapshot expiry
+  * of appends, COW deletes/updates/merges, merge-on-read keyed
+  * deletes/upserts, delete materialization, compactions, and snapshot expiry
   * runs against both a GraftTable and a trivial in-memory model; after every
   * op the table must read back exactly the model, and every retained
   * historical snapshot must still read back the model state recorded when it
   * was committed. Directed specs pin individual behaviors — this hunts for
-  * interactions between them (e.g. merge after delete after compaction).
+  * interactions between them (e.g. COW update over live MOR deletes after
+  * compaction).
   */
 class TableModelCheckSpec extends SparkSpec {
   import spark.implicits._
@@ -49,8 +51,8 @@ class TableModelCheckSpec extends SparkSpec {
         }
       }
 
-      (1 to 12).foreach { _ =>
-        rnd.nextInt(7) match {
+      (1 to 14).foreach { _ =>
+        rnd.nextInt(9) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
               nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
@@ -98,6 +100,32 @@ class TableModelCheckSpec extends SparkSpec {
             // all history) must survive byte-identically
             Maintenance.rewriteManifests(t)
             sync("rewrite-manifests")
+          case 7 =>
+            // merge-on-read keyed delete: some live ids, some misses — and
+            // occasionally materialize the accumulated deletes away
+            if (model.nonEmpty && rnd.nextBoolean()) {
+              val ids = rnd.shuffle(model.map(_._1)).take(1 + rnd.nextInt(4)) :+ (nextId + 100)
+              Dml.deleteMorKeys(t, ids.toDF("id"))
+              val gone = ids.toSet
+              model = model.filterNot(x => gone.contains(x._1))
+              sync(s"delete-mor(${ids.size})")
+            } else {
+              Maintenance.materializeDeletes(t)
+              sync("materialize-deletes")
+            }
+          case 8 =>
+            // merge-on-read upsert over a window around the newest ids —
+            // the MOR twin of case 4's COW merge (same model transition)
+            val lo = math.max(1L, nextId - 4)
+            val srcRows = (lo to nextId + 1).map(i =>
+              (i, 900 + rnd.nextInt(10), "u")).toVector
+            nextId += 1
+            Dml.upsertMor(t, srcRows.toDF("id", "qty", "tag"), Seq("id"))
+            val byId = srcRows.map(r => r._1 -> r).toMap
+            model = model.map(x => byId.getOrElse(x._1, x))
+            val present = model.map(_._1).toSet
+            model ++= srcRows.filterNot(r => present.contains(r._1))
+            sync(s"upsert-mor(${srcRows.size})")
         }
       }
       // every retained snapshot still reads back its recorded state
