@@ -72,6 +72,59 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(rowCounts === rowCounts.sorted)
   }
 
+  test("MOR keyed deletes racing appenders serialize by commit order") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-mor")
+    val schema = Seq((1L, 1L)).toDF("k", "v").schema
+    val t0 = GraftTable.create(spark, dir, schema)
+    // seed keys 0..49 so deleters always have targets
+    t0.append((0 until 50).map(i => (i.toLong, 0L)).toDF("k", "v"))
+    val pool = Executors.newFixedThreadPool(6)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 4 appender threads add fresh key ranges; 2 deleter threads MOR-delete
+    // seeded keys — deletes never target appended keys, so the final state
+    // is order-independent: (seed minus deleted) plus all appends
+    (0 until 4).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until 2).foreach { i =>
+            val base = 1000 + (th * 2 + i) * 10
+            new GraftTable(spark, dir).append(
+              (0 until 10).map(j => ((base + j).toLong, th.toLong)).toDF("k", "v"))
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    (0 until 2).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            val keys = (th * 10 until th * 10 + 10).map(_.toLong)
+            graft.dml.Dml.deleteMorKeys(new GraftTable(spark, dir), keys.toDF("k"))
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek()).map(_.toString)}")
+    val t = GraftTable.load(spark, dir)
+    // 50 seeded − 20 deleted + 80 appended
+    assert(t.readLatest().count() === 110L)
+    assert(t.readLatest().filter(col("k") < 20).count() === 0L)
+    assert(t.readLatest().filter(col("k") >= 20 && col("k") < 50).count() === 30L)
+    assertLinearLineage(t)
+    assertFilesOnDisk(t)
+    val delPaths = t.latest.deletes.map(_.path)
+    assert(delPaths.size === 2)
+    val root = SnapshotLog.dataPath(t.tableDir).toString
+    delPaths.foreach(p => assert(new java.io.File(s"$root/$p").isFile))
+  }
+
   test("a STALE manifest publisher cannot hide newer commits (coverage beats seq)") {
     import spark.implicits._
     val dir = scratchDir("stale-manifest")
