@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "p3_pruned_window_agg", "a2_checksums", "j3_join_agg_revenue",
       "p4_inlist_lookup", "emb_cosine_topk", "dedup_minhash_lsh",
-      "asof_join", "range_join", "sample_stratified", "text_top_terms")
+      "asof_join", "range_join", "sample_stratified", "text_top_terms",
+      "t_mor_delete", "t_changelog", "t_zorder")
     val spark = graft.queries.Tables.configure(
       SparkSession.builder().master("local[4]"), "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

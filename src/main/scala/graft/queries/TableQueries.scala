@@ -112,6 +112,21 @@ object TableQueries {
       tagged.crossJoin(all)
     }),
 
+    // Partitions metadata table: per-partition file/row counts from snapshot
+    // metadata alone (no data file opened) — the oracle recomputes the same
+    // rollup from the raw data. Two appends per partition prove cross-commit
+    // aggregation; n_files stays metadata-derived but data-checkable row
+    // counts anchor the hash.
+    "t_partitions_meta" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 400)
+        .withColumn("bucket", (col("o_orderkey") % 4).cast("string"))
+      val t = GraftTable.create(s, scratch("partitions_meta"), base.schema,
+        partitionCols = Seq("bucket"))
+      t.append(base.filter(col("o_orderkey") < 200))
+      t.append(base.filter(col("o_orderkey") >= 200))
+      t.partitions().select("partition", "total_rows").orderBy("partition")
+    }),
+
     // Write-audit-publish: a branch stages the second slice invisibly
     // (rows_during_audit proves main stayed at the first slice), the audit
     // reads the staged state, and publish fast-forwards main in one commit.
@@ -660,6 +675,11 @@ object TableQueries {
            (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               FROM orders WHERE o_orderkey < 100) AS tagged_price,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
+    "t_partitions_meta" ->
+      """SELECT 'bucket=' || CAST(o_orderkey % 4 AS VARCHAR) AS partition,
+           COUNT(*) AS total_rows
+         FROM orders WHERE o_orderkey < 400
+         GROUP BY 1 ORDER BY 1""",
     "t_wap" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,

@@ -75,6 +75,44 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .toDF("file_path", "key_cols", "row_count", "size_bytes", "applied_at_snapshot")
   }
 
+  /** Partition-level metadata table (the Iceberg `.partitions` analog):
+    * per-partition file and row counts plus total bytes, computed from
+    * snapshot METADATA alone — no data file is opened, so it stays O(files)
+    * driver work at any data scale. Rows with unknown counts (-1) are
+    * surfaced as-is rather than silently summed away.
+    */
+  def partitions(): DataFrame = {
+    import spark.implicits._
+    val snap = latest
+    snap.files.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        val key = snap.partitionCols.map(c => s"$c=${pv.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+          .mkString("/")
+        (key, fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "n_files", "total_rows", "total_bytes")
+  }
+
+  /** Ref listing (the Iceberg `.refs` analog): tags and branches with the
+    * snapshot each points at (a branch row carries its BASE main snapshot).
+    */
+  def refs(): DataFrame = {
+    import spark.implicits._
+    val tagRows = tags.toSeq.map { case (n, id) => (n, "tag", id) }
+    val branchRows = branches.toSeq.map { case (n, base) => (n, "branch", base) }
+    (tagRows ++ branchRows).sortBy(r => (r._2, r._1))
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** Commit history metadata table (the Iceberg `.history` analog). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    snapshotsList.map(s => (new java.sql.Timestamp(s.committedAt), s.snapshotId,
+      s.parentId, s.operation))
+      .toDF("made_current_at", "snapshot_id", "parent_id", "operation")
+  }
+
   def readLatest(): DataFrame = readSnapshot(latest)
 
   /** T1 — `VERSION AS OF <id>` (ref time_travel_validate.sql:6-12). */

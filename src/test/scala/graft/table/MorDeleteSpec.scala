@@ -196,6 +196,29 @@ class MorDeleteSpec extends SparkSpec {
     assert(reloaded.latest.deletes.size === 2)
   }
 
+  test("stats pruning stays sound over live MOR deletes") {
+    val dir = scratchDir("mor-prune-")
+    val t = GraftTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k bigint, v string"))
+    t.append((1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    t.append((11L to 20L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    Dml.deleteMorKeys(t, (1L to 10L).toDF("k"))
+    // file bounds predate the delete: the emptied file is conservatively
+    // KEPT by planning (bounds only ever widen), and the read-side
+    // anti-join makes the result exact anyway
+    val (sel, total) = t.planBetween(t.latest, "k", 1L, 5L)
+    assert(total === 2 && sel.size === 1) // second file pruned by bounds
+    assert(t.readBetween("k", 1L, 5L).count() === 0) // deletes win at read
+    assert(t.readBetween("k", 11L, 15L).count() === 5)
+    // after materialization the emptied file disappears physically and the
+    // same range prunes everything
+    Maintenance.materializeDeletes(t)
+    val (sel2, _) = t.planBetween(t.latest, "k", 1L, 5L)
+    assert(t.readBetween("k", 1L, 5L).count() === 0)
+    assert(sel2.forall(f => f.stats.get("k").forall(st =>
+      new java.math.BigDecimal(st(1)).longValue >= 1L)))
+  }
+
   test("deleteFiles metadata table lists live delete files") {
     val t = newSalesTable()
     Dml.deleteMorKeys(t, Seq(1L, 2L).toDF("event_id"))

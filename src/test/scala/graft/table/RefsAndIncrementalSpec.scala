@@ -171,6 +171,29 @@ class RefsAndIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("partitions()/refs()/history() metadata tables reflect table state") {
+    import org.apache.spark.sql.Row
+    val dir = scratchDir("meta-")
+    val df = Synthesize.salesEvents8(spark)
+      .withColumn("bucket", (col("event_id") % 2).cast("string"))
+    val t = GraftTable.create(spark, dir, df.schema, partitionCols = Seq("bucket"))
+    t.append(df.filter(col("event_id") <= 4))
+    t.append(df.filter(col("event_id") > 4))
+    val parts = t.partitions().collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("bucket=0", "bucket=1"))
+    assert(parts.map(_.getLong(2)).sum === 8L) // total_rows from metadata
+    assert(parts.forall(_.getLong(1) >= 2L))   // files from both commits
+    t.createTag("v1", t.latest.snapshotId)
+    t.createBranch("b")
+    val refRows = t.refs().collect()
+    assert(refRows.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("v1", "tag"), ("b", "branch")))
+    val hist = t.history().orderBy("snapshot_id").collect()
+    assert(hist.map(_.getString(3)).toSeq === Seq("create", "append", "append"))
+    t.dropBranch("b")
+    assert(t.refs().filter(col("type") === "branch").count() === 0)
+  }
+
   test("tag names are validated and listed") {
     val t = newSalesTable()
     intercept[IllegalArgumentException] { t.createTag("bad/name", t.latest.snapshotId) }
