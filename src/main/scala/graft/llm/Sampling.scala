@@ -32,12 +32,57 @@ object Sampling {
     docs.filter(bucket(col("text")) < pct)
   }
 
+  /** Fine-grained hash bucket 0..999999 (same md5 prefix as `bucket`, more
+    * resolution for data-dependent rates).
+    */
+  private def bucket6(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 6), 16, 10).cast("bigint") % 1000000L
+
+  /** Temperature-weighted source mixing (the multilingual alpha-sampling
+    * step of training-data assembly, mT5/XLM-R style): source i with n_i
+    * rows keeps rate r_i = (n_min / n_i)^(1-alpha), so at alpha < 1 small
+    * sources are boosted toward full retention while dominant sources are
+    * damped — expected picks from source i ∝ n_i^alpha. One map-side-
+    * combined count per source (O(sources) on the driver), then a map-only
+    * codegen'd filter: at 100 TB the mix rides the scan with one tiny agg.
+    *
+    * alpha = 0.5 keeps the arithmetic to IEEE-exact divide + sqrt, making
+    * row membership bit-reproducible across engines (pow is not
+    * correctly-rounded everywhere; sqrt is) — the oracle-checked setting.
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val counts = docs.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMix on an empty corpus")
+    val nMin = counts.values.min
+    val thresholds = counts.map { case (src, n) =>
+      val rate =
+        if (alpha == 0.5) math.sqrt(nMin.toDouble / n)
+        else math.pow(nMin.toDouble / n, 1 - alpha)
+      src -> math.floor(rate * 1000000L).toLong
+    }
+    val thr = thresholds.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(bucket6(col("text")) < thr)
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified deterministic sample: halve English, keep 10% Chinese,
     // 25% everything else; per-stratum counts + id checksum
     "sample_stratified" -> ((s, dir) =>
       stratifiedSample(Tables.documents(s, dir), "lang",
         Map("en" -> 50, "zh" -> 10), defaultPct = 25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy("lang")),
+
+    // Temperature mixing at alpha=0.5 over the language column: the
+    // smallest language keeps ~100%, dominant ones are damped toward
+    // sqrt-proportional representation; per-source counts + id checksum
+    "sample_temperature" -> ((s, dir) =>
+      temperatureMix(Tables.documents(s, dir), "lang", alpha = 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
         .orderBy("lang"))
@@ -49,6 +94,15 @@ object Sampling {
          FROM documents
          WHERE CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 <
                CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 25 END
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+              m AS (SELECT MIN(n) AS nmin FROM c),
+              r AS (SELECT lang, CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS thr
+                    FROM c, m)
+         SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST(('0x' || substr(md5(d.text), 1, 6)) AS BIGINT) % 1000000 < r.thr
+         GROUP BY d.lang ORDER BY d.lang"""
   )
 }

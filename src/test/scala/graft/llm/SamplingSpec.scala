@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling and temperature-weighted source mixing. */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(nBig: Int, nSmall: Int) = {
+    val big = (1 to nBig).map(i => (i.toLong, "big", s"document body number $i"))
+    val small = (1 to nSmall).map(i => ((10000 + i).toLong, "small", s"rare text $i"))
+    (big ++ small).toDF("doc_id", "lang", "text")
+  }
+
+  test("temperatureMix damps dominant sources and spares the smallest") {
+    val docs = corpus(nBig = 1000, nSmall = 50)
+    val kept = Sampling.temperatureMix(docs, "lang", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // smallest source: rate 1.0 → everything survives
+    assert(kept("small") === 50L)
+    // dominant source: rate sqrt(50/1000) ≈ 0.224 → roughly a fifth kept
+    assert(kept("big") > 120L && kept("big") < 330L, s"big kept ${kept("big")}")
+  }
+
+  test("temperatureMix is deterministic and alpha=1 keeps everything") {
+    val docs = corpus(nBig = 300, nSmall = 30)
+    val a = Sampling.temperatureMix(docs, "lang", 0.5).select("doc_id")
+      .as[Long].collect().sorted
+    val b = Sampling.temperatureMix(docs.repartition(7), "lang", 0.5).select("doc_id")
+      .as[Long].collect().sorted
+    assert(a === b) // membership is content-hash-pure: partitioning-invariant
+    assert(Sampling.temperatureMix(docs, "lang", 1.0).count() === 330L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", 0.0)
+    }
+  }
+
+  test("the mix filter is map-only (no shuffle beyond the count agg)") {
+    val docs = corpus(nBig = 100, nSmall = 10)
+    val plan = Sampling.temperatureMix(docs, "lang", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix filter must ride the scan:\n$plan")
+  }
+}
