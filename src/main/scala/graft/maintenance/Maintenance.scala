@@ -21,6 +21,33 @@ import graft.table.{GraftTable, SnapshotLog}
   * unaffected) and the next expiry re-trims, but a maintenance scheduler
   * should still run these one at a time per table.
   */
+/** Thresholds for `Maintenance.maintainTable` — when each procedure is
+  * worth its cost. Defaults suit steady incremental ingest.
+  *
+  * @param targetFileSizeBytes compaction target (also the small-file bound)
+  * @param minInputFiles       per-partition small-file count that triggers
+  *                            compaction
+  * @param maxDeleteFiles      materialize merge-on-read deletes once this
+  *                            many delete files have accumulated (bounds
+  *                            read-side anti-join depth)
+  * @param maxSnapshotDocs     consolidate the log into a manifest once this
+  *                            many per-snapshot docs exist
+  * @param retainLast          snapshots to retain at expiry; 0 = never expire
+  */
+case class MaintenancePolicy(
+    targetFileSizeBytes: Long = 512L * 1024 * 1024,
+    minInputFiles: Int = 2,
+    maxDeleteFiles: Int = 8,
+    maxSnapshotDocs: Int = 16,
+    retainLast: Int = 0)
+
+/** What one `maintainTable` pass actually did. */
+case class MaintenanceReport(
+    materializedDeletes: Boolean,
+    compacted: Boolean,
+    manifestsConsolidated: Int,
+    snapshotsExpired: Int)
+
 object Maintenance {
 
   /** M1 — compaction: coalesce small files into ~`targetFileSizeBytes` files
@@ -230,6 +257,38 @@ object Maintenance {
     finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
       .forkJoinPool.shutdown()
     expired.size
+  }
+
+  /** One policy-driven maintenance pass (the scheduled "table service" an
+    * operator runs per table, analog of Iceberg's maintenance actions
+    * chained): materialize merge-on-read deletes once they stack past the
+    * policy bound, then binpack-compact, then consolidate the snapshot log,
+    * then expire — in that order, because materialization before compaction
+    * avoids rewriting the same partitions twice, consolidation wants the
+    * post-compaction log, and expiry wants everything else settled. Each
+    * step is individually skippable by its threshold, so an idle table is a
+    * cheap metadata-only no-op pass. Single-runner contract per table (see
+    * the class doc on racing maintenance procedures).
+    */
+  def maintainTable(t: GraftTable,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val materialized =
+      if (t.latest.deletes.size > policy.maxDeleteFiles)
+        materializeDeletes(t).isDefined
+      else false
+    val compacted = rewriteDataFiles(t, policy.targetFileSizeBytes,
+      policy.minInputFiles).isDefined
+    val conf = t.spark.sessionState.newHadoopConf()
+    val logDir = SnapshotLog.logPath(t.tableDir)
+    val fs = SnapshotLog.fs(conf, t.tableDir)
+    val nDocs =
+      if (!fs.exists(logDir)) 0
+      else fs.listStatus(logDir).count(_.getPath.getName.matches("v\\d+\\.json"))
+    val consolidated =
+      if (nDocs > policy.maxSnapshotDocs) rewriteManifests(t) else 0
+    val expired =
+      if (policy.retainLast > 0) expireSnapshots(t, policy.retainLast) else 0
+    MaintenanceReport(materialized, compacted, consolidated, expired)
   }
 
   /** M4 — orphan-file removal (spec ICEBERG-Interoperability-Test-Spec.md:85,104):

@@ -112,6 +112,28 @@ object TableQueries {
       tagged.crossJoin(all)
     }),
 
+    // Policy-driven maintenance pass: accumulated MOR deletes + small files
+    // + a long log trigger all four procedures in one call; the report
+    // fields are deterministic (commit counts, not file counts) and content
+    // is exactly the source minus the deleted keys.
+    "t_maintain" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+      val t = GraftTable.create(s, scratch("maintain"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 100))
+      t.append(base.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+      t.append(base.filter(col("o_orderkey") >= 200))
+      Dml.deleteMor(t, col("o_orderkey") % 9 === 0, Seq("o_orderkey"))
+      Dml.deleteMor(t, col("o_orderkey") % 11 === 0, Seq("o_orderkey"))
+      val report = Maintenance.maintainTable(t, graft.maintenance.MaintenancePolicy(
+        maxDeleteFiles = 1, maxSnapshotDocs = 3, retainLast = 2))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("materialized", lit(report.materializedDeletes))
+        .withColumn("compacted", lit(report.compacted))
+        .withColumn("n_consolidated", lit(report.manifestsConsolidated.toLong))
+        .withColumn("n_expired", lit(report.snapshotsExpired.toLong))
+    }),
+
     // Partitions metadata table: per-partition file/row counts from snapshot
     // metadata alone (no data file opened) — the oracle recomputes the same
     // rollup from the raw data. Two appends per partition prove cross-commit
@@ -675,6 +697,13 @@ object TableQueries {
            (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               FROM orders WHERE o_orderkey < 100) AS tagged_price,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 200) AS row_count""",
+    "t_maintain" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           true AS materialized, true AS compacted,
+           CAST(8 AS BIGINT) AS n_consolidated, CAST(6 AS BIGINT) AS n_expired
+         FROM orders
+         WHERE o_orderkey < 300 AND o_orderkey % 9 <> 0 AND o_orderkey % 11 <> 0""",
     "t_partitions_meta" ->
       """SELECT 'bucket=' || CAST(o_orderkey % 4 AS VARCHAR) AS partition,
            COUNT(*) AS total_rows
