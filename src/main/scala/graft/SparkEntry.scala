@@ -36,6 +36,7 @@ object SparkEntry {
       graft.llm.Decontaminate.queries ++
       graft.llm.Retrieval.queries ++
       graft.llm.Scrub.queries ++
+      graft.llm.Pipeline.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.llm.Decontaminate.oracle ++
       graft.llm.Retrieval.oracle ++
       graft.llm.Scrub.oracle ++
+      graft.llm.Pipeline.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
