@@ -52,15 +52,105 @@ object Dml {
   private def warnCeiling(touched: Int): Unit =
     plannedFilesWarning(touched.toLong).foreach(w => System.err.println(s"[graft.dml] $w"))
 
+  /** Conjunctive per-column range bounds extracted from a DML predicate's
+    * expression tree — the metadata-pruning hook for COW planning. Only
+    * top-level AND conjuncts comparing a bare column to a literal
+    * contribute; anything else (OR, NOT, computed expressions, null
+    * literals, null-safe equality — whose null matches no min/max range)
+    * contributes nothing, which is CONSERVATIVE: missing bounds mean more
+    * candidate files, never fewer. Literal values are Catalyst-internal
+    * (UTF8String, epoch-micros/days), which is exactly `planBetween`'s
+    * physical comparison domain.
+    */
+  private[dml] def predicateBounds(t: GraftTable, planned: Snapshot,
+      pred: Column): Map[String, (Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // Column no longer exposes its expression directly (Spark 4 split the
+    // Column API from Catalyst); analyzing a filter over an EMPTY relation
+    // with the table schema resolves the predicate without touching data.
+    val schema = org.apache.spark.sql.types.DataType.fromJson(planned.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val empty = t.spark.createDataFrame(
+      t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved: Seq[Expression] = empty.filter(pred).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    if (resolved.isEmpty) return Map.empty
+    // the analyzer wraps literals in implicit casts (110 → cast(110 as
+    // bigint)); any foldable subtree evaluates to its internal constant
+    def lit(e: Expression): Option[Any] = e match {
+      case e if e.foldable && !e.exists(_.isInstanceOf[AttributeReference]) =>
+        Option(e.eval(null)).map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case Cast(a: AttributeReference, _, _, _) => None // cast changes the domain
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, v) => (for (n <- attr(a); x <- lit(v)) yield (n, Some(x), Some(x))).toSeq ++
+        (for (n <- attr(v); x <- lit(a)) yield (n, Some(x), Some(x))).toSeq
+      case GreaterThan(a, v) => (for (n <- attr(a); x <- lit(v)) yield (n, Some(x), None)).toSeq ++
+        (for (n <- attr(v); x <- lit(a)) yield (n, None, Some(x))).toSeq
+      case GreaterThanOrEqual(a, v) => (for (n <- attr(a); x <- lit(v)) yield (n, Some(x), None)).toSeq ++
+        (for (n <- attr(v); x <- lit(a)) yield (n, None, Some(x))).toSeq
+      case LessThan(a, v) => (for (n <- attr(a); x <- lit(v)) yield (n, None, Some(x))).toSeq ++
+        (for (n <- attr(v); x <- lit(a)) yield (n, Some(x), None)).toSeq
+      case LessThanOrEqual(a, v) => (for (n <- attr(a); x <- lit(v)) yield (n, None, Some(x))).toSeq ++
+        (for (n <- attr(v); x <- lit(a)) yield (n, Some(x), None)).toSeq
+      case _ => Nil
+    }
+    resolved.flatMap(walk).groupBy(_._1).map { case (c, bs) =>
+      // Any ONE conjunct bound per side is a sound superset range (all
+      // conjuncts hold simultaneously, so each alone keeps at least the
+      // matching files); picking the first avoids comparing Any-typed
+      // literals here. Multiple conjuncts on one column are rare enough
+      // that the lost tightness doesn't matter.
+      val los = bs.flatMap(_._2)
+      val his = bs.flatMap(_._3)
+      c -> (los.headOption, his.headOption)
+    }
+  }
+
+  /** The files a DML predicate could possibly touch, pre-shrunk by snapshot
+    * metadata (stats + partition-value pruning via `planBetween`) BEFORE any
+    * data file is opened. At 100 TB this is the difference between a
+    * planning scan over every file and one over the handful whose bounds
+    * intersect the predicate. Always a superset of the truly-matching files.
+    */
+  private[dml] def planningCandidates(t: GraftTable, planned: Snapshot,
+      pred: Column): (Seq[FileEntry], Int) = {
+    val total = planned.files.size
+    val bounds = scala.util.Try(predicateBounds(t, planned, pred))
+      .getOrElse(Map.empty[String, (Option[Any], Option[Any])])
+    val candidates = bounds.foldLeft(planned.files: Seq[FileEntry]) {
+      case (files, (c, (lo, hi))) =>
+        if (lo.isEmpty && hi.isEmpty) files
+        else scala.util.Try(
+          t.planBetween(planned.copy(files = files.toList), c, lo.orNull, hi.orNull)._1
+        ).getOrElse(files) // unknown column / unexpected literal: keep all
+    }
+    (candidates, total)
+  }
+
   /** Split a snapshot's files into (files containing rows matching pred,
     * files provably untouched), remembering the snapshot the plan is based
-    * on — commitRewrite validates nothing advanced past it.
+    * on — commitRewrite validates nothing advanced past it. The planning
+    * scan itself runs only over metadata-pruned candidate files; files the
+    * snapshot's stats exclude are untouched without being opened.
     */
   private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
     val planned = t.latest
+    val (candidates, _) = planningCandidates(t, planned, pred)
     // tagged at the scan: plain input_file_name() over the read is ambiguous
     // once merge-on-read deletes add their own file sources to the plan
-    val withFile = t.readSnapshotTagged(planned, "_file")
+    val withFile = t.readSnapshotTagged(
+      planned.copy(files = candidates.toList), "_file")
     val touched = toRelative(t,
       withFile.filter(pred).select("_file").distinct().collect().map(_.getString(0)))
     warnCeiling(touched.size)

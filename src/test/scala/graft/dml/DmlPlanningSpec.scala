@@ -40,6 +40,50 @@ class DmlPlanningSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("DML planning pre-prunes candidate files from predicate bounds") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("dml-prune-"),
+      Seq((1L, "a")).toDF("k", "v").schema)
+    (0 until 4).foreach { i =>
+      t.append((i * 100 until i * 100 + 100).map(j => (j.toLong, s"v$j"))
+        .toDF("k", "v").coalesce(1))
+    }
+    val planned = t.latest
+    // range predicate on the stats-tracked column: one candidate file
+    val (c1, total) = Dml.planningCandidates(t, planned,
+      col("k") >= 110 && col("k") <= 150)
+    assert(total === 4 && c1.size === 1)
+    // point predicate, literal on the left
+    val (c2, _) = Dml.planningCandidates(t, planned, lit(305L) === col("k"))
+    assert(c2.size === 1)
+    // OR cannot bound: conservative full candidate set
+    val (c3, _) = Dml.planningCandidates(t, planned,
+      col("k") === 5 || col("k") === 305)
+    assert(c3.size === 4)
+    // predicate on an untracked expression: full set
+    val (c4, _) = Dml.planningCandidates(t, planned, length(col("v")) > 2)
+    assert(c4.size === 4)
+    // end-to-end: the pruned plan still yields exact DML results
+    Dml.update(t, col("k") >= 110 && col("k") <= 150, Map("v" -> lit("upd")))
+    assert(t.readLatest().filter(col("v") === "upd").count() === 41)
+    assert(t.readLatest().count() === 400)
+    Dml.delete(t, col("k") === 305)
+    assert(t.readLatest().count() === 399)
+  }
+
+  test("predicate bounds follow renames (pruning stays sound across evolution)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("dml-prune-ev-"),
+      Seq((1L, "a")).toDF("k", "v").schema)
+    t.append((0L until 100L).map(j => (j, s"v$j")).toDF("k", "v").coalesce(1))
+    t.append((100L until 200L).map(j => (j, s"v$j")).toDF("k", "v").coalesce(1))
+    t.renameColumn("k", "key")
+    val (c, total) = Dml.planningCandidates(t, t.latest, col("key") < 50)
+    assert(total === 2 && c.size === 1) // old-name stats resolved via lineage
+    Dml.delete(t, col("key") < 50)
+    assert(t.readLatest().count() === 150)
+  }
+
   test("MERGE with duplicate source keys on a matched row raises a cardinality violation") {
     import spark.implicits._
     val dir = scratchDir("merge-dup-")
