@@ -285,7 +285,22 @@ object Dml {
     // size-gated hint; a large source shuffles its key column only).
     val planned = t.latest
     val srcKeys = planKeys(source, key, broadcastKeyThresholdBytes)
-    val withFile = t.readSnapshotTagged(planned, "_file")
+    // Metadata-prune the matched-file planning scan by the SOURCE's key
+    // range: files whose key bounds miss [min(src), max(src)] cannot hold a
+    // matched row and go straight to untouched without being opened. One
+    // tiny 2-value agg over the source buys O(candidate files) planning for
+    // clustered targets (e.g. a CDC batch of recent keys against a
+    // key-ordered table). Sound: pruning only narrows the MATCHED side.
+    val keyRange = scala.util.Try {
+      val r = source.agg(min(col(key)), max(col(key))).collect()(0)
+      (Option(r.get(0)), Option(r.get(1)))
+    }.getOrElse((None, None))
+    val candidates = keyRange match {
+      case (Some(lo), Some(hi)) =>
+        scala.util.Try(t.planBetween(planned, key, lo, hi)._1).getOrElse(planned.files)
+      case _ => planned.files
+    }
+    val withFile = t.readSnapshotTagged(planned.copy(files = candidates.toList), "_file")
     val touched = toRelative(t,
       withFile.join(srcKeys, Seq(key), "left_semi")
         .select("_file").distinct().collect().map(_.getString(0)))

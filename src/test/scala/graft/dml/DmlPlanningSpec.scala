@@ -84,6 +84,29 @@ class DmlPlanningSpec extends SparkSpec {
     assert(t.readLatest().count() === 150)
   }
 
+  test("MERGE planning prunes by source key range and keeps results exact") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("merge-prune-"),
+      Seq((1L, "a")).toDF("k", "v").schema)
+    (0 until 4).foreach { i =>
+      t.append((i * 100 until i * 100 + 100).map(j => (j.toLong, s"v$j"))
+        .toDF("k", "v").coalesce(1))
+    }
+    val fileFor0 = t.latest.files.map(_.path).toSet
+    // source keys 150..159 (updates) + 1000..1004 (inserts): only the
+    // 100-199 file can hold matches; the others go untouched by metadata
+    val src = ((150L until 160L) ++ (1000L until 1005L)).map(k => (k, s"s$k")).toDF("k", "v")
+    Dml.merge(t, src, "k", Map("v" -> col("src.v")), insertNotMatched = true)
+    val out = t.readLatest()
+    assert(out.count() === 405)
+    assert(out.filter(col("k") === 155).select("v").as[String].head === "s155")
+    assert(out.filter(col("k") === 1002).count() === 1)
+    assert(out.filter(col("k") === 5).select("v").as[String].head === "v5")
+    // the three out-of-range files were kept by reference, not rewritten
+    val kept = t.latest.files.map(_.path).toSet.intersect(fileFor0)
+    assert(kept.size === 3, s"expected 3 untouched files, kept $kept")
+  }
+
   test("MERGE with duplicate source keys on a matched row raises a cardinality violation") {
     import spark.implicits._
     val dir = scratchDir("merge-dup-")
