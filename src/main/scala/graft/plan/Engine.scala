@@ -54,15 +54,21 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
   }
 
   override def execute(statement: String): StatementResult = {
-    pruneGraftViews(statement)
-    val df = spark.sql(statement)
-    if (Sql.capturesRows(statement)) {
-      val rows = df.take(maxResultRows).map(r =>
-        r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap)
-      StatementResult(statement, rows.toSeq, None)
-    } else {
-      df.collect()
-      StatementResult(statement, Nil, None)
+    // SQL DML over a registered snapshot table routes to the table layer's
+    // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
+    // views); the refreshed state is re-registered before the next statement
+    // by pruneGraftViews' per-statement reset.
+    SqlDml.tryExecute(spark, statement, graftViews.toMap).getOrElse {
+      pruneGraftViews(statement)
+      val df = spark.sql(statement)
+      if (Sql.capturesRows(statement)) {
+        val rows = df.take(maxResultRows).map(r =>
+          r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap)
+        StatementResult(statement, rows.toSeq, None)
+      } else {
+        df.collect()
+        StatementResult(statement, Nil, None)
+      }
     }
   }
 

@@ -280,6 +280,48 @@ object HarnessQueries {
         .toDF("row_count", "sum_qty", "n_files_scanned", "n_files_total")
     }),
 
+    // SQL-surface DML routed to the table layer (the reference's own script
+    // shapes: update_sales_events.sql, delete_sales_events.sql, the
+    // snowflake merge_sales_events.sql): UPDATE, DELETE, and a MERGE with
+    // matched-update + not-matched-insert run as plain SQL statements
+    // through the engine, each committing a copy-on-write snapshot; the
+    // final read rides the hash-checked output with the snapshot count as
+    // proof all three DML statements committed.
+    "h_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val data = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+      val t = GraftTable.create(s, scratch("sql_dml"), data.schema)
+      t.append(data)
+      Tables.orders(s, dir).createOrReplaceTempView("h_sqldml_orders_src")
+      val engine = new SparkSqlEngine(s)
+      engine.registerGraftTable("sales", t)
+      // additive, not multiplicative: the update must stay exact at 2dp so
+      // the decimal-cast checksum is engine-portable (Fmt's half-up/half-even
+      // rule; SqlDmlSpec covers the multiplicative shape)
+      engine.execute(
+        "UPDATE sales SET o_totalprice = o_totalprice + 100.0 WHERE o_orderstatus = 'F'")
+      engine.execute("DELETE FROM sales WHERE o_orderkey % 10 = 7")
+      engine.execute("""
+        MERGE INTO sales AS tgt
+        USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+               FROM h_sqldml_orders_src WHERE o_orderkey >= 280 AND o_orderkey < 320) AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice, o_orderdate, o_orderpriority)
+        VALUES (src.o_orderkey, src.o_custkey, src.o_orderstatus,
+          src.o_totalprice, src.o_orderdate, src.o_orderpriority)""")
+      val res = engine.execute(
+        """SELECT COUNT(*) AS row_count,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+           FROM sales""")
+      val m = res.rows.head
+      Seq((m("row_count").asInstanceOf[Long], m("sum_price").asInstanceOf[Double],
+        t.snapshotsList.size.toLong))
+        .toDF("row_count", "sum_price", "n_snapshots")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -304,6 +346,25 @@ object HarnessQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "h_sql_dml" ->
+      """WITH upd AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 100.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey < 300),
+         del AS (SELECT * FROM upd WHERE o_orderkey % 10 <> 7),
+         src AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+                 FROM orders WHERE o_orderkey >= 280 AND o_orderkey < 320),
+         merged AS (
+           SELECT d.o_orderkey, COALESCE(s.o_totalprice, d.o_totalprice) AS o_totalprice
+           FROM del d LEFT JOIN src s ON d.o_orderkey = s.o_orderkey
+           UNION ALL
+           SELECT s.o_orderkey, s.o_totalprice FROM src s
+           WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = s.o_orderkey))
+         SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(5 AS BIGINT) AS n_snapshots
+         FROM merged""",
     "h_sql_pruned_read" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

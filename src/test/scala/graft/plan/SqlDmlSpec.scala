@@ -1,0 +1,106 @@
+package graft.plan
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** SQL-surface DML routed through the engine to the table layer: the
+  * statement shapes the reference harness runs (UPDATE ... SET/WHERE,
+  * DELETE ... WHERE, MERGE with a VALUES source, matched UPDATE / DELETE
+  * and NOT MATCHED INSERT), plus strict refusal of shapes the table layer
+  * cannot honor one-for-one.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def mkTable(name: String): (SparkSqlEngine, GraftTable) = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5.0, "app"),
+      (2L, 11L, 6.0, "web"),
+      (4L, 12L, 7.0, "app"),
+      (8L, 13L, 8.0, "store")
+    ).toDF("event_id", "tenant_id", "price", "channel")
+    val t = GraftTable.create(spark, scratchDir(name), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("sales", t)
+    (eng, t)
+  }
+
+  test("UPDATE ... SET ... WHERE routes to copy-on-write update") {
+    val (eng, t) = mkTable("sqldml-upd")
+    // the reference's update shape (update_sales_events.sql:1-3)
+    eng.execute("UPDATE sales SET price = price * 2 WHERE event_id = 1")
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "price").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 6.0), (4L, 7.0), (8L, 8.0)))
+    // and the next engine read sees the new state through the view
+    val res = eng.execute("SELECT SUM(price) AS s FROM sales")
+    assert(res.rows.head("s") == 31.0)
+  }
+
+  test("DELETE FROM ... WHERE routes to copy-on-write delete") {
+    val (eng, t) = mkTable("sqldml-del")
+    eng.execute("DELETE FROM sales WHERE event_id = 8")
+    assert(t.readLatest().count() == 3L)
+    assert(t.latest.operation == "delete")
+  }
+
+  test("MERGE with VALUES source: matched update + not matched insert") {
+    val (eng, t) = mkTable("sqldml-merge")
+    eng.execute("""
+      MERGE INTO sales AS tgt
+      USING (
+        SELECT * FROM VALUES (2, 99, 50.0, 'kiosk'), (9, 14, 15.0, 'store')
+          AS updates(event_id, tenant_id, price, channel)
+      ) AS src
+      ON tgt.event_id = src.event_id
+      WHEN MATCHED THEN UPDATE SET price = src.price, channel = src.channel
+      WHEN NOT MATCHED THEN INSERT (event_id, tenant_id, price, channel)
+        VALUES (src.event_id, src.tenant_id, src.price, src.channel)""")
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "tenant_id", "price", "channel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(rows == Seq(
+      (1L, 10L, 5.0, "app"),
+      (2L, 11L, 50.0, "kiosk"), // updated: price+channel, tenant untouched
+      (4L, 12L, 7.0, "app"),
+      (8L, 13L, 8.0, "store"),
+      (9L, 14L, 15.0, "store"))) // inserted
+  }
+
+  test("MERGE delete branch and qualified update expressions") {
+    val (eng, t) = mkTable("sqldml-merge-del")
+    eng.execute("""
+      MERGE INTO sales AS t
+      USING (SELECT * FROM VALUES (4, CAST(1 AS BIGINT)), (2, CAST(0 AS BIGINT))
+               AS s(event_id, kill)) AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED AND s.kill = 1 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price = t.price + 100""")
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 5.0), (2L, 106.0), (8L, 8.0))) // 4 deleted, 2 updated
+  }
+
+  test("unsupported shapes raise with the construct named; non-DML falls through") {
+    val (eng, _) = mkTable("sqldml-unsupported")
+    val e = intercept[UnsupportedOperationException] {
+      eng.execute("""
+        MERGE INTO sales AS t USING (SELECT 1 AS event_id) AS s
+        ON t.event_id = s.event_id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // a plain read is untouched by the router
+    assert(eng.execute("SELECT COUNT(*) AS c FROM sales").rows.head("c") == 4L)
+    // DML on an unregistered relation is not intercepted (fails loudly in
+    // spark.sql, exactly as before the router existed)
+    intercept[Exception] {
+      eng.execute("DELETE FROM not_registered WHERE x = 1")
+    }
+  }
+}
