@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+
+/** Exactly-once table-to-table CDC mirroring — the CONSUMPTION half of the
+  * streaming story (`StreamOps.ingestBatch`/`upsertBatch` are the ingest
+  * half): a follower table tracks a source table by replaying the source's
+  * row-level changelog in O(delta) per cycle, never rescanning either table.
+  *
+  * Offset bookkeeping is the transactional-sink trick used by the streaming
+  * sink: the last mirrored source snapshot id rides the TARGET's own commit
+  * summary, so the offset is durable in the same atomic commit as the data
+  * it covers. A crash between read and commit re-reads the same range; a
+  * crash after the commit makes the next cycle a no-op — at-least-once
+  * driving upgraded to exactly-once state.
+  *
+  * Each cycle applies the range's NET effect as ONE `commitMorDelta`:
+  * equality-delete every affected key + insert each key's final rows, which
+  * makes replay CONVERGENT — even a lost offset (marker expired with old
+  * snapshots) just replays a wider range into the same final state.
+  *
+  * 100 TB design: the changelog read is O(rows changed in range) (appends
+  * read only their own files; MOR delete reconstruction semi-joins the
+  * delete batch), the net-effect reduction shuffles O(delta) rows by key,
+  * and the apply commit is O(delta) — source table size never appears.
+  * Requires a CDC-friendly source history (append/MOR commits);
+  * `readChangelog` raises loudly on copy-on-write rewrites in range.
+  */
+object TableFollow {
+
+  /** Summary key carrying the last mirrored source snapshot id. */
+  private[streaming] val OffsetKey = "follow-src-snapshot"
+
+  /** Last source snapshot id the target has durably mirrored (metadata-only
+    * scan of the target's snapshot summaries).
+    */
+  def lastFollowedOffset(dst: GraftTable): Option[Long] =
+    dst.snapshotsList.flatMap(_.summary.get(OffsetKey)).map(_.toLong).maxOption
+
+  /** Mirror everything the source committed since the last cycle. Returns
+    * the new offset when a commit landed, None when there was nothing to do
+    * (no new source commits, or only content-preserving maintenance in
+    * range — the offset then stays put and the next cycle re-checks the
+    * same cheap empty range).
+    */
+  def follow(src: GraftTable, dst: GraftTable, keyCols: Seq[String]): Option[Long] = {
+    val from = lastFollowedOffset(dst).getOrElse(0L)
+    val to = src.latest.snapshotId
+    if (to <= from) return None
+    mirror(src, dst, keyCols, from, to)
+  }
+
+  /** Apply the net effect of the source changelog over (fromId, toId] to the
+    * target as one atomic delete+insert commit carrying the offset marker.
+    */
+  private def mirror(src: GraftTable, dst: GraftTable, keyCols: Seq[String],
+      fromId: Long, toId: Long): Option[Long] = {
+    val chg = src.readChangelog(fromId, toId)
+    // Net effect per key: rows at the key's MAXIMAL commit in range decide.
+    // An upsert commit emits delete+insert under one id — the insert rows
+    // are the final state; a delete-only maximal commit means the key is
+    // gone; an append's multiple rows per key all survive together.
+    val keyC = keyCols.map(col)
+    val maxCommit = max(col("_commit_snapshot_id")).over(Window.partitionBy(keyC: _*))
+    val lastRows = chg.withColumn("_max_commit", maxCommit)
+      .filter(col("_commit_snapshot_id") === col("_max_commit"))
+    val finalRows = lastRows.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_snapshot_id", "_max_commit")
+    val affectedKeys = chg.select(keyC: _*).distinct()
+    if (affectedKeys.isEmpty) return None // maintenance-only range: no state change
+    dst.commitMorDelta(affectedKeys, Some(finalRows), "follow-cdc",
+      extraSummary = Map(OffsetKey -> toId.toString))
+    Some(toId)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dml.Dml
+import graft.table.GraftTable
+
+/** Exactly-once CDC mirroring between snapshot tables: incremental cycles,
+  * idempotent retries, convergent replay after a lost offset, and loud
+  * refusal on non-CDC-friendly source history.
+  */
+class TableFollowSpec extends SparkSpec {
+
+  private def content(t: GraftTable) =
+    t.readLatest().orderBy("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def mkPair(name: String) = {
+    import spark.implicits._
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    val src = GraftTable.create(spark, scratchDir(s"$name-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir(s"$name-dst"), schema)
+    (src, dst)
+  }
+
+  test("incremental cycles mirror appends, upserts, and deletes exactly") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow")
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+
+    val off1 = TableFollow.follow(src, dst, Seq("k"))
+    assert(off1.contains(src.latest.snapshotId))
+    assert(content(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // nothing new: a second cycle is a durable no-op
+    assert(TableFollow.follow(src, dst, Seq("k")).isEmpty)
+    val nSnapsBefore = dst.snapshotsList.size
+    assert(dst.snapshotsList.size == nSnapsBefore)
+
+    // upsert (2 → b2, 4 inserted), then delete key 1, then follow once
+    Dml.upsertMor(src, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    Dml.deleteMorKeys(src, Seq(1L).toDF("k"))
+    val off2 = TableFollow.follow(src, dst, Seq("k"))
+    assert(off2.contains(src.latest.snapshotId))
+    assert(content(dst) == Seq((2L, "b2"), (3L, "c"), (4L, "d")))
+    assert(content(dst) == content(src))
+    // one atomic commit applied both source commits' net effect
+    assert(dst.latest.operation == "follow-cdc")
+  }
+
+  test("replay from a lost offset converges to the same state") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow-replay")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Dml.upsertMor(src, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    TableFollow.follow(src, dst, Seq("k"))
+    assert(content(dst) == Seq((1L, "a2"), (2L, "b")))
+
+    // a fresh follower with NO offset replays the whole history (the
+    // lost-marker case) into the same final state
+    val dst2 = GraftTable.create(spark, scratchDir("follow-replay-dst2"),
+      src.schema)
+    TableFollow.follow(src, dst2, Seq("k"))
+    assert(content(dst2) == content(dst))
+  }
+
+  test("append with duplicate keys mirrors every row, not a per-key winner") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow-dup")
+    src.append(Seq((1L, "a"), (1L, "a-again"), (2L, "b")).toDF("k", "v"))
+    TableFollow.follow(src, dst, Seq("k"))
+    assert(content(dst) == Seq((1L, "a"), (1L, "a-again"), (2L, "b")))
+  }
+
+  test("copy-on-write commit in range raises loudly") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow-cow")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Dml.delete(src, col("k") === 1L) // COW: no row-level change tracking
+    val e = intercept[IllegalArgumentException] {
+      TableFollow.follow(src, dst, Seq("k"))
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+  }
+}
