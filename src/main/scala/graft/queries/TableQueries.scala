@@ -61,6 +61,33 @@ object TableQueries {
       checksum(t.readLatest())
     }),
 
+    // Metadata-only aggregates (the Iceberg aggregate-pushdown analog):
+    // COUNT(*)/MIN/MAX answered purely from snapshot metadata — per-file row
+    // counts and footer bounds over two commits — with NO data file opened
+    // (MetadataAggSpec proves it by deleting the data dir first). Values
+    // still hash-match the oracle's full scan; long, double, and timestamp
+    // families all resolve through the same physical-bound rendering.
+    "t_meta_agg" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+      val t = GraftTable.create(s, scratch("meta_agg"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 250))
+      t.append(base.filter(col("o_orderkey") >= 250))
+      val cnt = t.countRowsFromMetadata().getOrElse(
+        sys.error("metadata count must be available on a delete-free table"))
+      val (mnK, mxK) = t.minMaxFromMetadata("o_orderkey").getOrElse(
+        sys.error("o_orderkey bounds must be available"))
+      val (mnP, mxP) = t.minMaxFromMetadata("o_totalprice").getOrElse(
+        sys.error("o_totalprice bounds must be available"))
+      val (mnD, mxD) = t.minMaxFromMetadata("o_orderdate").getOrElse(
+        sys.error("o_orderdate bounds must be available"))
+      Seq((cnt, mnK.asInstanceOf[Long], mxK.asInstanceOf[Long],
+        mnP.asInstanceOf[Double], mxP.asInstanceOf[Double],
+        mnD.asInstanceOf[java.time.LocalDateTime], mxD.asInstanceOf[java.time.LocalDateTime]))
+        .toDF("row_count", "min_key", "max_key", "min_price", "max_price",
+          "min_date", "max_date")
+    }),
+
     // Incremental append scan (Iceberg incremental read): rows appended in
     // (fromId, toId] only — the CDC consumption primitive. A compaction
     // inside the range is content-preserving and skipped; the oracle is the
@@ -77,6 +104,35 @@ object TableQueries {
         .agg(count(lit(1)).as("row_count"),
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
           min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // Exactly-once CDC mirroring (TableFollow): a follower table replays the
+    // source's changelog in two cycles — appends first, then a MOR upsert +
+    // keyed delete applied as one net-effect commit — and must equal the
+    // source bit-for-bit (mirror_diff = symmetric exceptAll count, 0).
+    // n_dst_commits = create + two follow commits proves the O(delta) cycle
+    // count; the oracle derives the same final state from the source parquet.
+    "t_follow_cdc" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val src = GraftTable.create(s, scratch("follow_src"), base.schema)
+      val dst = GraftTable.create(s, scratch("follow_dst"), base.schema)
+      src.append(base.filter(col("o_orderkey") < 150))
+      graft.streaming.TableFollow.follow(src, dst, Seq("o_orderkey"))
+      Dml.upsertMor(src,
+        base.filter(col("o_orderkey") >= 100)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        Seq("o_orderkey"))
+      Dml.deleteMorKeys(src,
+        base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      graft.streaming.TableFollow.follow(src, dst, Seq("o_orderkey"))
+      val diff = dst.readLatest().exceptAll(src.readLatest()).count() +
+        src.readLatest().exceptAll(dst.readLatest()).count()
+      dst.readLatest().agg(
+          count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .withColumn("mirror_diff", lit(diff))
+        .withColumn("n_dst_commits", lit(dst.snapshotsList.size.toLong))
     }),
 
     // Rollback procedure: a bad COW delete is undone by a NEW commit that
@@ -681,11 +737,29 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag <> 'R'""",
+    "t_meta_agg" ->
+      """SELECT COUNT(*) AS row_count,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+         FROM orders WHERE o_orderkey < 500""",
     "t_incremental_read" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            MIN(o_orderkey) AS min_key
          FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300""",
+    "t_follow_cdc" ->
+      """WITH final AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey < 100 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 1000.0 FROM orders
+           WHERE o_orderkey >= 100 AND o_orderkey < 200 AND o_orderkey % 7 <> 0)
+         SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           CAST(0 AS BIGINT) AS mirror_diff, CAST(3 AS BIGINT) AS n_dst_commits
+         FROM final""",
     "t_rollback" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,

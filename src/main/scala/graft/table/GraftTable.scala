@@ -361,7 +361,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .dataType
     val prunable = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-           StringType | TimestampType | DateType => true
+           StringType | TimestampType | TimestampNTZType | DateType => true
       case _ => false // decimal/binary/nested orderings are engine-specific
     }
     if (!prunable) return (snap.files, snap.files.size)
@@ -410,6 +410,81 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       }
     }
     (selected, snap.files.size)
+  }
+
+  /** Metadata-only `COUNT(*)` (the Iceberg aggregate-pushdown analog): the
+    * snapshot's per-file row counts sum to the exact table count without
+    * opening any data file — at 100 TB the difference between a full scan
+    * and O(files) driver arithmetic. None when metadata cannot answer
+    * exactly: a pending merge-on-read delete removes rows no file entry
+    * accounts for, and an unknown per-file count (-1) leaves the sum
+    * undefined — callers fall back to a scan.
+    */
+  def countRowsFromMetadata(snap: Snapshot): Option[Long] =
+    if (snap.deletes.nonEmpty || snap.files.exists(_.rowCount < 0)) None
+    else Some(snap.files.map(_.rowCount).sum)
+
+  def countRowsFromMetadata(): Option[Long] = countRowsFromMetadata(latest)
+
+  /** Metadata-only `MIN(col)`/`MAX(col)` from the per-file footer bounds.
+    * Exact — not approximate — when every file answers for itself:
+    *  - every live file resolves `colName` through the evolution chain to a
+    *    write-time column with recorded stats (a file written before the
+    *    column existed, or with an all-null/statless column, yields None);
+    *  - the column is numeric, date, or timestamp: parquet footer bounds for
+    *    those are exact extremes of the non-null values, matching SQL
+    *    MIN/MAX null-skipping semantics. Strings are excluded — writers may
+    *    TRUNCATE binary bounds, which widens them past the true extremes;
+    *  - no merge-on-read delete is pending (a delete could remove the
+    *    extreme row without touching file metadata);
+    *  - no NaN poisoning (parquet drops stats on NaN-containing chunks, so
+    *    surviving float bounds are comparable).
+    * Returns values in the column's LOGICAL type (timestamp/date bounds are
+    * stored as raw micros/epoch-days and converted back). None = scan.
+    */
+  def minMaxFromMetadata(colName: String, snapArg: Option[Snapshot] = None)
+      : Option[(Any, Any)] = {
+    import org.apache.spark.sql.types._
+    val snap = snapArg.getOrElse(latest)
+    if (snap.deletes.nonEmpty || snap.files.isEmpty) return None
+    val dt = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      .find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName"))
+      .dataType
+    val exact = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           TimestampType | TimestampNTZType | DateType => true
+      case _ => false // string bounds may be writer-truncated; others untracked
+    }
+    if (!exact) return None
+    val chainIds = snap.chain.map(_.snapshotId).sorted
+    def epochOf(writtenAt: Long): Long =
+      chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
+    val nameAt: Map[Long, Option[String]] =
+      snap.files.map(f => epochOf(f.writtenAt)).distinct
+        .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
+    // Exact ordering keys: Double for float/double columns (doubles ARE the
+    // domain; NaN rejected), BigDecimal otherwise (int64 micros past 2^53
+    // must not round through a double).
+    val floating = dt == FloatType || dt == DoubleType
+    def parseable(s: String): Boolean =
+      if (floating) scala.util.Try(java.lang.Double.parseDouble(s))
+        .toOption.exists(!_.isNaN)
+      else scala.util.Try(new java.math.BigDecimal(s)).isSuccess
+    def lt(a: String, b: String): Boolean =
+      if (floating) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
+      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    val perFile: Seq[Option[(String, String)]] = snap.files.map { f =>
+      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys)).flatMap {
+        case List(mn, mx) if parseable(mn) && parseable(mx) => Some((mn, mx))
+        case _ => None
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None
+    val bounds = perFile.flatten
+    val mn = bounds.map(_._1).reduce((a, b) => if (lt(a, b)) a else b)
+    val mx = bounds.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)
+    Some((GraftTable.fromPhysicalBound(dt, mn), GraftTable.fromPhysicalBound(dt, mx)))
   }
 
   /** Read rows with `colName` in `[lo, hi]` through stats pruning: the file
@@ -1059,9 +1134,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // write.distribution-mode=hash (ref framework.yaml:139): cluster rows by
     // partition columns before a partitioned write, else every task emits a
     // file per partition value — task-count × partition-count tiny files.
-    // (At 100 TB this pairs with target-file-size splitting per partition.)
+    // REBALANCE, not plain repartition, is the target-file-size half of the
+    // story: hash repartitioning maps every partition VALUE to exactly one
+    // task — one file per value per commit regardless of size, so a hot
+    // partition at 100 TB becomes one multi-GB single-task file. The AQE
+    // rebalance keeps the same single shuffle and the same value clustering,
+    // but splits shuffle partitions past
+    // `spark.sql.adaptive.advisoryPartitionSizeInBytes` and coalesces tiny
+    // ones — bounded file sizes AND write parallelism on skewed partitions
+    // (the Iceberg `write.target-file-size-bytes` + hash-distribution pair).
     val distributed =
-      if (partCols.nonEmpty) df.repartition(partCols.map(col): _*) else df
+      if (partCols.nonEmpty) df.hint("rebalance", partCols: _*) else df
     val sorted =
       if (sortCols.nonEmpty) distributed.sortWithinPartitions(sortCols.map(col): _*)
       else distributed
@@ -1319,6 +1402,17 @@ object GraftTable {
           (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
         case n => n.toString // already epoch-micros
       }
+      case TimestampNTZType => v match {
+        // NTZ physical micros are the wall-clock value at UTC by definition
+        case d: java.time.LocalDateTime =>
+          val inst = d.toInstant(java.time.ZoneOffset.UTC)
+          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+        case s: String =>
+          val inst = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC)
+          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+        case n => n.toString // already epoch-micros
+      }
       case DateType => v match {
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
         case d: java.time.LocalDate => d.toEpochDay.toString
@@ -1326,6 +1420,35 @@ object GraftTable {
         case n => n.toString // already epoch-days
       }
       case _ => v.toString
+    }
+  }
+
+  /** Inverse of `toPhysicalBound`: convert a raw physical footer bound back
+    * into the column's logical value (timestamp from epoch-micros, date from
+    * epoch-days, numerics via their JVM type).
+    */
+  private[table] def fromPhysicalBound(dt: DataType, s: String): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType =>
+        val micros = s.toLong
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType =>
+        val micros = s.toLong
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case _ => s
     }
   }
 

@@ -175,6 +175,23 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.readBetween("ts", "2024-03-01 09:30:00", "2024-03-01 11:45:00").count() === 2)
   }
 
+  test("timestamp_ntz columns prune too (the type DuckDB-written TIMESTAMP loads as)") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-ntz-")
+    def ldt(h: Int, m: Int = 0) = java.time.LocalDateTime.of(2024, 3, 1, h, m)
+    val base = (0 until 24).map(h => (h.toLong, ldt(h))).toDF("id", "ts")
+    assert(base.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val t = GraftTable.create(spark, dir, base.schema)
+    (0 until 4).foreach(q =>
+      t.append(base.filter(col("id") >= q * 6 && col("id") < (q + 1) * 6).coalesce(1)))
+    val (selected, total) = t.planBetween(t.latest, "ts", ldt(9, 30), ldt(11, 45))
+    assert(total === 4 && selected.size === 1)
+    assert(t.readBetween("ts", ldt(9, 30), ldt(11, 45)).select("id")
+      .collect().map(_.getLong(0)).sorted === Array(10L, 11L))
+    // string bounds parse as wall-clock values
+    assert(t.readBetween("ts", "2024-03-01 09:30:00", "2024-03-01 11:45:00").count() === 2)
+  }
+
   test("date-range pruning skips files on raw epoch-day bounds") {
     import spark.implicits._
     val dir = scratchDir("statsprune-date-")

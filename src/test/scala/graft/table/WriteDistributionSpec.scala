@@ -1,0 +1,60 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partitioned appends distribute via AQE REBALANCE on the partition columns:
+  * a hot partition value splits into multiple bounded files (write
+  * parallelism + target file size) while small values still coalesce to one
+  * file each — the failure mode being excluded is one unbounded single-task
+  * file per partition value per commit.
+  */
+class WriteDistributionSpec extends SparkSpec {
+
+  test("hot partition splits into multiple files; cold partition stays single-file") {
+    import spark.implicits._
+    val dir = scratchDir("rebalance-skew")
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.get(advisoryKey)
+    spark.conf.set(advisoryKey, "65536") // 64 KiB target to force splitting
+    try {
+      // ~4 MB raw in "hot" (low-compressibility payload so shuffle-size
+      // estimates stay well past the advisory target), a few rows in "cold"
+      val hot = (1 to 40000).map { i =>
+        ("hot", i.toLong, f"${i * 2654435761L}%x-${i * 40503L}%x-${i.toHexString}")
+      }
+      val cold = (1 to 8).map(i => ("cold", 1000000L + i, s"c$i"))
+      val df = (hot ++ cold).toDF("p", "k", "payload")
+      val t = GraftTable.create(spark, dir, df.schema, Seq("p"))
+      t.append(df)
+
+      val files = t.latest.files
+      val hotFiles = files.filter(_.partitionValues.get("p").contains("hot"))
+      val coldFiles = files.filter(_.partitionValues.get("p").contains("cold"))
+      assert(hotFiles.size > 1,
+        s"hot partition should split past the advisory size, got ${hotFiles.size} file(s)")
+      assert(coldFiles.size == 1,
+        s"cold partition should coalesce to one file, got ${coldFiles.size}")
+
+      // content survives the split-and-coalesce intact
+      val back = t.readLatest()
+      assert(back.count() == 40008L)
+      assert(back.filter(col("p") === "hot").agg(sum("k")).head.getLong(0) ==
+        (1 to 40000).map(_.toLong).sum)
+      // every row landed in the directory its partition value names
+      assert(back.filter(col("p") === "cold").count() == 8L)
+    } finally spark.conf.set(advisoryKey, prev)
+  }
+
+  test("unpartitioned appends keep the caller's partitioning (no extra shuffle)") {
+    import spark.implicits._
+    val dir = scratchDir("rebalance-unpart")
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(3)
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df)
+    // 3 input partitions → 3 files: the write did not re-shuffle
+    assert(t.latest.files.size == 3)
+    assert(t.readLatest().count() == 100L)
+  }
+}
