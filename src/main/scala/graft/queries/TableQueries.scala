@@ -106,6 +106,52 @@ object TableQueries {
           min(col("o_orderkey")).as("min_key"))
     }),
 
+    // Bloom-filtered point lookup (the Iceberg write.parquet.bloom-filter
+    // property analog): the table property puts a parquet bloom filter on
+    // the key column of every written file, Spark's reader consults it on
+    // the pushed-down equality, and the lookup result rides the hash-checked
+    // output with a per-file bloom-present proof column. A HIGH-CARDINALITY
+    // key (orders' unique o_orderkey) is the honest demo: parquet drops the
+    // bloom for chunks that stay fully dictionary-encoded, because the
+    // dictionary page already gives exact row-group skipping there.
+    "t_bloom_lookup" -> ((s, dir) => {
+      val data = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+      val t = GraftTable.create(s, scratch("bloom_lookup"), data.schema,
+        properties = Map(GraftTable.BloomFilterColumnsProp -> "o_orderkey"))
+      t.append(data)
+      val allBloom = t.latest.files.forall(f =>
+        t.bloomFilterColumns(f.path).contains("o_orderkey"))
+      t.readLatest().filter(col("o_orderkey") === 999)
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("all_files_bloomed", lit(allBloom))
+    }),
+
+    // Null-count file skipping (the Iceberg null_value_counts analog): a
+    // derived nullable column lands in three files — never-null, all-null,
+    // mixed — and IS NOT NULL / IS NULL reads each provably skip the file
+    // that cannot match, with the scan counts and the metadata-only
+    // COUNT(col) riding the hash-checked output.
+    "t_null_prune" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, dir).filter(col("l_orderkey") < 600)
+        .withColumn("q_big", when(col("l_quantity") > 25, col("l_quantity")))
+      val t = GraftTable.create(s, scratch("null_prune"), base.schema)
+      t.append(base.filter(col("l_orderkey") < 300 && col("q_big").isNotNull).coalesce(1))
+      t.append(base.filter(col("l_orderkey") < 300 && col("q_big").isNull).coalesce(1))
+      t.append(base.filter(col("l_orderkey") >= 300).coalesce(1))
+      val (selNotNull, total) = t.planNullability(t.latest, "q_big", isNull = false)
+      val (selNull, _) = t.planNullability(t.latest, "q_big", isNull = true)
+      val notNullRows = t.readWhereNull("q_big", isNull = false).count()
+      val nullRows = t.readWhereNull("q_big", isNull = true).count()
+      val metaCount = t.countNonNullFromMetadata("q_big").getOrElse(
+        sys.error("null counts must be available on a freshly-written table"))
+      Seq((notNullRows, nullRows, selNotNull.size.toLong, selNull.size.toLong,
+        total.toLong, metaCount))
+        .toDF("notnull_rows", "null_rows", "notnull_files_scanned",
+          "null_files_scanned", "n_files", "meta_nonnull_count")
+    }),
+
     // Exactly-once CDC mirroring (TableFollow): a follower table replays the
     // source's changelog in two cycles — appends first, then a MOR upsert +
     // keyed delete applied as one net-effect commit — and must equal the
@@ -748,6 +794,19 @@ object TableQueries {
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            MIN(o_orderkey) AS min_key
          FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300""",
+    "t_bloom_lookup" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           TRUE AS all_files_bloomed
+         FROM orders WHERE o_orderkey < 2000 AND o_orderkey = 999""",
+    "t_null_prune" ->
+      """SELECT
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 600 AND l_quantity > 25) AS notnull_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 600 AND l_quantity <= 25) AS null_rows,
+           CAST(2 AS BIGINT) AS notnull_files_scanned,
+           CAST(2 AS BIGINT) AS null_files_scanned,
+           CAST(3 AS BIGINT) AS n_files,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 600 AND l_quantity > 25) AS meta_nonnull_count""",
     "t_follow_cdc" ->
       """WITH final AS (
            SELECT o_orderkey, o_totalprice FROM orders

@@ -1,5 +1,7 @@
 package graft.table
 
+import java.util.concurrent.ThreadLocalRandom
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -401,10 +403,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
             loS.forall(l => cmp(v, l).forall(_ >= 0)) &&
               hiS.forall(h => cmp(v, h).forall(_ <= 0)))
           val statsKeep = f.stats.get(phys) match {
-            case Some(List(mn, mx)) =>
-              loS.forall(l => cmp(mx, l).forall(_ >= 0)) &&
-                hiS.forall(h => cmp(mn, h).forall(_ <= 0))
-            case _ => true
+            // a range predicate never matches null rows, so a provably
+            // all-null file holds nothing in [lo, hi]
+            case Some(entry) if GraftTable.StatEntry.allNull(entry, f.rowCount) => false
+            case Some(entry) => GraftTable.StatEntry.bounds(entry) match {
+              case Some((mn, mx)) =>
+                loS.forall(l => cmp(mx, l).forall(_ >= 0)) &&
+                  hiS.forall(h => cmp(mn, h).forall(_ <= 0))
+              case None => true
+            }
+            case None => true
           }
           partKeep && statsKeep
       }
@@ -474,17 +482,110 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     def lt(a: String, b: String): Boolean =
       if (floating) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
-    val perFile: Seq[Option[(String, String)]] = snap.files.map { f =>
-      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys)).flatMap {
-        case List(mn, mx) if parseable(mn) && parseable(mx) => Some((mn, mx))
-        case _ => None
+    // Per file: None = unknown (bail to scan); Some(None) = provably
+    // all-null, contributes nothing to MIN/MAX (SQL null-skipping
+    // semantics); Some(Some(bounds)) = contributes.
+    val perFile: Seq[Option[Option[(String, String)]]] = snap.files.map { f =>
+      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys)) match {
+        case Some(entry) if GraftTable.StatEntry.allNull(entry, f.rowCount) => Some(None)
+        case Some(entry) => GraftTable.StatEntry.bounds(entry) match {
+          case Some((mn, mx)) if parseable(mn) && parseable(mx) => Some(Some((mn, mx)))
+          case _ => None
+        }
+        case None => None
       }
     }
     if (perFile.exists(_.isEmpty)) return None
-    val bounds = perFile.flatten
+    val bounds = perFile.flatten.flatten
+    if (bounds.isEmpty) return None // every row null: scan answers MIN=MAX=NULL
     val mn = bounds.map(_._1).reduce((a, b) => if (lt(a, b)) a else b)
     val mx = bounds.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)
     Some((GraftTable.fromPhysicalBound(dt, mn), GraftTable.fromPhysicalBound(dt, mx)))
+  }
+
+  /** Metadata-only `COUNT(col)` (non-null count — the second half of
+    * aggregate pushdown): per-file `rowCount - nullCount` sums exactly when
+    * every live file resolves the column and reports a null count, no MOR
+    * delete is pending, and no file predates the column (its rows hold the
+    * evolution default, which this method will not guess about). None =
+    * scan.
+    */
+  def countNonNullFromMetadata(colName: String, snapArg: Option[Snapshot] = None)
+      : Option[Long] = {
+    val snap = snapArg.getOrElse(latest)
+    if (snap.deletes.nonEmpty || snap.files.isEmpty) return None
+    resolveStats(snap, colName) match {
+      case None => None
+      case Some(perFile) =>
+        val counts = snap.files.zip(perFile).map { case (f, entry) =>
+          if (f.rowCount < 0) None
+          else entry.flatMap(GraftTable.StatEntry.nullCount).map(f.rowCount - _)
+        }
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
+  }
+
+  /** Nullability-based file pruning (the Iceberg `null_value_counts` scan
+    * planning): for `IS NULL`, a file whose recorded null count is zero
+    * cannot match; for `IS NOT NULL`, a provably all-null file cannot.
+    * Unknown counts, unresolvable columns, and files written before the
+    * column existed are always kept. Returns (selected, total).
+    */
+  def planNullability(snap: Snapshot, colName: String, isNull: Boolean)
+      : (Seq[FileEntry], Int) = {
+    val total = snap.files.size
+    resolveStats(snap, colName) match {
+      case None => (snap.files, total)
+      case Some(perFile) =>
+        val selected = snap.files.zip(perFile).filter { case (f, entry) =>
+          entry match {
+            case None => true // no stats: keep
+            case Some(e) =>
+              val nc = GraftTable.StatEntry.nullCount(e)
+              if (isNull) !nc.contains(0L)
+              else !GraftTable.StatEntry.allNull(e, f.rowCount)
+          }
+        }.map(_._1)
+        (selected, total)
+    }
+  }
+
+  /** Read rows where `colName` IS NULL / IS NOT NULL through null-count
+    * pruning, with the exact residual predicate over the surviving files.
+    */
+  def readWhereNull(colName: String, isNull: Boolean): DataFrame = {
+    val snap = latest
+    val (selected, _) = planNullability(snap, colName, isNull)
+    val base = readSnapshot(snap.copy(files = selected.toList))
+    base.filter(if (isNull) col(colName).isNull else col(colName).isNotNull)
+  }
+
+  /** Resolve each live file's stats entry for `colName` through the
+    * evolution chain: None when the snapshot has files whose write-time name
+    * cannot be traced (column added later — stats under the same string
+    * would describe a different column); otherwise one Option[entry] per
+    * file, aligned with `snap.files`.
+    *
+    * A None ELEMENT (file resolves but has no recorded stats for the
+    * column) is per-file "unknown" — callers must stay conservative for
+    * that file.
+    */
+  private def resolveStats(snap: Snapshot, colName: String)
+      : Option[Seq[Option[List[String]]]] = {
+    import org.apache.spark.sql.types._
+    val dt = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      .find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName"))
+      .dataType
+    val chainIds = snap.chain.map(_.snapshotId).sorted
+    def epochOf(writtenAt: Long): Long =
+      chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
+    val nameAt: Map[Long, Option[String]] =
+      snap.files.map(f => epochOf(f.writtenAt)).distinct
+        .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
+    if (snap.files.exists(f => nameAt(epochOf(f.writtenAt)).isEmpty)) None
+    else Some(snap.files.map(f =>
+      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys))))
   }
 
   /** Read rows with `colName` in `[lo, hi]` through stats pruning: the file
@@ -862,6 +963,57 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     mine.nonEmpty
   }
 
+  // ---- Table properties: versioned docs, atomic publish, latest wins ----
+
+  private def propsFileName(seq: Long) = f"props-$seq%08d.json"
+
+  private def latestPropsSeq: Option[Long] = {
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return None
+    hfs.listStatus(dir).map(_.getPath.getName)
+      .collect { case PropsFileRe(s) => s.toLong }.maxOption
+  }
+
+  /** Current table properties (the Iceberg table-properties analog; e.g.
+    * `write.parquet.bloom-filter-columns` — see `writeDataFiles`). Empty for
+    * tables that never set any.
+    */
+  def properties: Map[String, String] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    latestPropsSeq match {
+      case None => Map.empty
+      case Some(seq) =>
+        org.json4s.jackson.JsonMethods.parse(SnapshotLog.readStringAt(hfs,
+          new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir), propsFileName(seq))))
+          .extract[Map[String, String]]
+    }
+  }
+
+  /** Merge `updates` into the table properties (None value = remove the
+    * key). Optimistic versioned publish: concurrent setters retry against
+    * the freshest doc, so no update is silently dropped.
+    */
+  def setProperties(updates: Map[String, Option[String]]): Map[String, String] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val dir = SnapshotLog.logPath(tableDir)
+    hfs.mkdirs(dir)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val cur = properties
+      val next = updates.foldLeft(cur) {
+        case (m, (k, Some(v))) => m + (k -> v)
+        case (m, (k, None)) => m - k
+      }
+      val seq = latestPropsSeq.getOrElse(0L) + 1
+      if (SnapshotLog.publishAtomicAt(hfs,
+          new org.apache.hadoop.fs.Path(dir, propsFileName(seq)),
+          org.json4s.jackson.Serialization.write(next)))
+        return next
+    }
+    throw new IllegalStateException(s"could not publish properties in $tableDir")
+  }
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
   def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
@@ -898,16 +1050,23 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * on every attempt, so a loser retries with the winner's state instead of
     * silently dropping it (blind id-bumping would lose a concurrent append's
     * files). `build` may throw to abort (rewrite conflict validation).
+    *
+    * Losers back off with jitter (the Iceberg commit-retry shape): under N
+    * racing committers a tight loop makes every loser re-list and re-lose in
+    * lockstep, and a bounded attempt count can exhaust on a loaded machine —
+    * a short randomized sleep that grows with the attempt count breaks the
+    * convoy while keeping the uncontended path sleep-free.
     */
   private def commitWithRetry(build: Option[Snapshot] => Snapshot): Snapshot = {
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < 50) {
       val parent = snapshotsList.lastOption
       val snap = build(parent)
       // parent rides along so the published doc can be delta-encoded
       // (O(changed files) metadata per commit — SnapshotLog.SnapDoc)
       if (SnapshotLog.commit(conf, tableDir, snap, parent)) return snap
       attempts += 1
+      Thread.sleep(ThreadLocalRandom.current().nextLong(1L, math.min(100L, 2L + attempts * 4L)))
     }
     throw new IllegalStateException(s"could not commit after $attempts retries in $tableDir")
   }
@@ -1156,7 +1315,20 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val prevTsType = spark.conf.get(tsConfKey)
     spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
     try {
-      val writer = sorted.write.mode("errorifexists")
+      var writer = sorted.write.mode("errorifexists")
+      // Bloom filters on configured key columns (table property; the Iceberg
+      // write.parquet.bloom-filter-enabled analog): row-group-level point-
+      // lookup skipping that min/max bounds cannot provide for
+      // uniformly-spread keys. Write-side only — Spark's vectorized parquet
+      // reader consults the filters automatically on pushed-down equality.
+      val props = properties
+      val bloomCols = props.get(BloomFilterColumnsProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      bloomCols.foreach { c =>
+        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+        props.get(BloomFilterNdvProp).foreach(ndv =>
+          writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", ndv))
+      }
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(commitDir.toString)
     } finally spark.conf.set(tsConfKey, prevTsType)
@@ -1208,14 +1380,20 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     out.toSeq
   }
 
-  /** Row count + per-column `[min, max]` bounds from the parquet footer — one
-    * footer open serves both. Bounds are merged across row groups; a column
-    * drops out of the stats map if any row group carries no statistics
-    * (conservative: absent = never pruned). Binary (string) stats may be
-    * writer-truncated, but truncation only ever WIDENS the bound, so pruning
-    * against them stays sound. Only top-level primitive columns are tracked —
-    * nested paths (`a.b`) and logical types beyond int/float/string have
-    * engine-specific orderings and are skipped.
+  /** Row count + per-column `[min, max, nullCount]` stats from the parquet
+    * footer — one footer open serves all. Bounds are merged across row
+    * groups; a column's BOUNDS drop out if any row group carries no
+    * statistics (conservative: absent = never pruned), while its null count
+    * (the Iceberg `null_value_counts` analog — IS NULL pruning, metadata
+    * COUNT(col)) survives independently as long as every row group reports
+    * one. A file with a known null count but no bounds (all-null, or a
+    * NaN-poisoned float chunk) keeps `[n]` — see `StatEntry`, whose
+    * `allNull` requires `n == rowCount`, never shape alone. Binary (string)
+    * stats may be writer-truncated, but
+    * truncation only ever WIDENS the bound, so pruning against them stays
+    * sound. Only top-level primitive columns are tracked — nested paths
+    * (`a.b`) and logical types beyond int/float/string have engine-specific
+    * orderings and are skipped.
     */
   private def footerMeta(p: org.apache.hadoop.fs.Path)
       : (Long, Map[String, List[String]]) = {
@@ -1226,23 +1404,37 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         import scala.jdk.CollectionConverters._
         val mins = scala.collection.mutable.Map[String, Comparable[Any]]()
         val maxs = scala.collection.mutable.Map[String, Comparable[Any]]()
+        val nulls = scala.collection.mutable.Map[String, Long]()
         val invalid = scala.collection.mutable.Set[String]()
+        val noNulls = scala.collection.mutable.Set[String]() // null count unusable
         for (block <- reader.getFooter.getBlocks.asScala;
              c <- block.getColumns.asScala) {
           val name = c.getPath.toDotString
-          if (!name.contains('.') && !invalid(name) && statsComparable(c)) {
+          if (!name.contains('.') && statsComparable(c)) {
             val st = c.getStatistics
-            if (st == null || st.isEmpty) { invalid += name; mins -= name; maxs -= name }
-            else if (st.hasNonNullValue) {
-              val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
-              val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
-              if (mins.get(name).forall(_.compareTo(mn) > 0)) mins(name) = mn
-              if (maxs.get(name).forall(_.compareTo(mx) < 0)) maxs(name) = mx
-            } // all-null row group: bounds unaffected
+            if (st == null || st.isEmpty) {
+              invalid += name; mins -= name; maxs -= name
+              noNulls += name; nulls -= name
+            } else {
+              if (!noNulls(name)) {
+                if (st.isNumNullsSet) nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                else { noNulls += name; nulls -= name }
+              }
+              if (!invalid(name) && st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                if (mins.get(name).forall(_.compareTo(mn) > 0)) mins(name) = mn
+                if (maxs.get(name).forall(_.compareTo(mx) < 0)) maxs(name) = mx
+              } // all-null row group: bounds unaffected
+            }
           }
         }
-        val stats = mins.keys.map { k =>
-          k -> List(renderStat(mins(k)), renderStat(maxs(k)))
+        val keys = mins.keySet ++ nulls.keySet
+        val stats = keys.flatMap { k =>
+          val bounds =
+            if (mins.contains(k)) List(renderStat(mins(k)), renderStat(maxs(k))) else Nil
+          val entry = bounds ++ nulls.get(k).map(_.toString).toList
+          if (entry.isEmpty) None else Some(k -> entry)
         }.toMap
         (reader.getRecordCount, stats)
       } finally reader.close()
@@ -1272,6 +1464,24 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     case other => other.toString
   }
 
+  /** Columns of a data file that carry a parquet bloom filter (first row
+    * group; one footer probe) — the observable for bloom-filter specs and
+    * driver entries.
+    */
+  def bloomFilterColumns(relPath: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(SnapshotLog.dataPath(tableDir), relPath)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.asScala.head
+      val bfr = reader.getBloomFilterDataReader(block)
+      block.getColumns.asScala
+        .filter(c => bfr.readBloomFilter(c) != null)
+        .map(_.getPath.toDotString).toSet
+    } finally reader.close()
+  }
+
   /** Create-only commit: the v1 doc must not exist; a conflict means the
     * table was created concurrently and is an error, never a retry.
     */
@@ -1288,6 +1498,33 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 
 object GraftTable {
 
+  /** Accessors for the versioned per-column stats list in `FileEntry.stats`,
+    * disambiguated STRUCTURALLY by length (no in-band sentinel — any string
+    * is a legal rendered bound): `[min, max]` (legacy docs), `[min, max,
+    * nullCount]` (full), `[nullCount]` alone (null count known, bounds
+    * absent — an all-null file OR a NaN-poisoned float chunk). Every reader
+    * goes through these, so either format prunes soundly and unknown fields
+    * stay conservative.
+    */
+  private[table] object StatEntry {
+    def bounds(l: List[String]): Option[(String, String)] = l match {
+      case mn :: mx :: _ => Some((mn, mx))
+      case _ => None
+    }
+    def nullCount(l: List[String]): Option[Long] = l match {
+      case List(nc) => scala.util.Try(nc.toLong).toOption
+      case List(_, _, nc) => scala.util.Try(nc.toLong).toOption
+      case _ => None
+    }
+    /** Provably all-null: the recorded null count equals the file's row
+      * count. NEVER inferred from bounds being absent — a NaN-poisoned
+      * float chunk also has a known null count with no bounds (parquet
+      * drops min/max when NaN appears), and its NaN rows are non-null.
+      */
+    def allNull(l: List[String], rowCount: Long): Boolean =
+      rowCount >= 0 && nullCount(l).contains(rowCount)
+  }
+
   /** Helper-column name carrying each row's part-file name during a
     * merge-on-read read (dropped before the result surfaces).
     */
@@ -1300,6 +1537,20 @@ object GraftTable {
   private[table] val TagNameRe = "[A-Za-z0-9._-]{1,128}".r
   private[table] val TagFileRe = "tag-([A-Za-z0-9._-]{1,128})\\.json".r
   private[table] val BranchFileRe = "branch-([A-Za-z0-9._-]{1,128})-(\\d+)\\.json".r
+  private[table] val PropsFileRe = "props-(\\d+)\\.json".r
+
+  /** Property: comma-separated columns that get a parquet bloom filter in
+    * every data file written after the property is set (the Iceberg
+    * `write.parquet.bloom-filter-enabled.column.<col>` analog). Point
+    * lookups on these columns then skip row groups whose bloom excludes the
+    * key — min/max bounds cannot do that for uniformly-spread keys.
+    */
+  val BloomFilterColumnsProp = "write.parquet.bloom-filter-columns"
+
+  /** Property: expected distinct values per bloom-filtered column (sizes the
+    * filter; parquet-mr's default otherwise).
+    */
+  val BloomFilterNdvProp = "write.parquet.bloom-filter-ndv"
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse
@@ -1325,11 +1576,14 @@ object GraftTable {
     * Partition transforms map to derived columns the caller adds before append.
     */
   def create(spark: SparkSession, dir: String, schema: StructType,
-      partitionCols: Seq[String] = Nil): GraftTable = {
+      partitionCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
     val conf = spark.sessionState.newHadoopConf()
     require(SnapshotLog.load(conf, dir).isEmpty, s"table already exists at $dir")
     val t = new GraftTable(spark, dir)
     t.commitCreate(schema.json, partitionCols.toList)
+    if (properties.nonEmpty)
+      t.setProperties(properties.map { case (k, v) => k -> Some(v) })
     t
   }
 

@@ -1,0 +1,85 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Table properties + parquet bloom filters: configured key columns carry a
+  * bloom filter in every written file (row-group point-lookup skipping for
+  * uniformly-spread keys, where min/max bounds prune nothing), other columns
+  * don't pay for one, and the properties layer versions atomically.
+  */
+class BloomFilterSpec extends SparkSpec {
+
+  private def bloomColumns(t: GraftTable, relPath: String): Set[String] =
+    t.bloomFilterColumns(relPath)
+
+  test("configured columns get bloom filters; others don't; lookups stay correct") {
+    import spark.implicits._
+    val dir = scratchDir("bloom")
+    val df = (1 to 5000).map(i => (i * 2654435761L % 1000003L, i.toLong, s"v$i"))
+      .toDF("k", "seq", "v")
+    val t = GraftTable.create(spark, dir, df.schema,
+      properties = Map(
+        GraftTable.BloomFilterColumnsProp -> "k",
+        GraftTable.BloomFilterNdvProp -> "5000"))
+    t.append(df)
+
+    val file = t.latest.files.head.path
+    val withBloom = bloomColumns(t, file)
+    assert(withBloom == Set("k"),
+      s"only the configured column should carry a bloom filter, got $withBloom")
+
+    // point lookup through the table read stays correct (Spark's reader
+    // consults the bloom on the pushed-down equality)
+    val key = 3 * 2654435761L % 1000003L
+    val hit = t.readLatest().filter(col("k") === key).collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 3L)
+    assert(t.readLatest().filter(col("k") === -1L).isEmpty)
+  }
+
+  test("properties version atomically and merge/remove correctly") {
+    import spark.implicits._
+    val dir = scratchDir("props")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema)
+    assert(t.properties.isEmpty)
+    t.setProperties(Map("a" -> Some("1"), "b" -> Some("2")))
+    t.setProperties(Map("b" -> Some("3"), "c" -> Some("4")))
+    assert(t.properties == Map("a" -> "1", "b" -> "3", "c" -> "4"))
+    t.setProperties(Map("a" -> None))
+    assert(t.properties == Map("b" -> "3", "c" -> "4"))
+    // a table loaded fresh sees the same state
+    assert(GraftTable.load(spark, dir).properties == Map("b" -> "3", "c" -> "4"))
+  }
+
+  test("a fully dictionary-encoded chunk drops the bloom (dictionary is exact)") {
+    import spark.implicits._
+    val dir = scratchDir("bloom-dict")
+    // 3x-repeated keys stay dictionary-encoded: parquet-mr intentionally
+    // omits the bloom because the dictionary page already gives exact
+    // row-group membership — point-lookup skipping still works, via
+    // dictionary filtering. High-cardinality columns (the bloom's actual
+    // use case) fall back to PLAIN and get the filter (first test).
+    val df = (1 to 3000).map(i => ((i % 1000).toLong, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema,
+      properties = Map(GraftTable.BloomFilterColumnsProp -> "k"))
+    t.append(df.coalesce(1))
+    assert(bloomColumns(t, t.latest.files.head.path).isEmpty)
+    assert(t.readLatest().filter(col("k") === 7L).count() == 3L)
+  }
+
+  test("bloom property set AFTER a commit applies to later files only") {
+    import spark.implicits._
+    val dir = scratchDir("bloom-later")
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df.filter(col("k") <= 50).coalesce(1))
+    t.setProperties(Map(GraftTable.BloomFilterColumnsProp -> Some("k")))
+    t.append(df.filter(col("k") > 50).coalesce(1))
+    val files = t.latest.files.sortBy(_.writtenAt)
+    assert(bloomColumns(t, files.head.path).isEmpty)
+    assert(bloomColumns(t, files.last.path) == Set("k"))
+    assert(t.readLatest().count() == 100L)
+  }
+}

@@ -71,17 +71,20 @@ class StatsPruneSpec extends SparkSpec {
       === Array("apple", "banana", "cherry"))
   }
 
-  test("a file whose column is all NULL has no bounds and is always kept") {
+  test("a provably all-null file is pruned from range scans; rows stay exact") {
     val dir = scratchDir("statsprune-null-")
     val withVals = spark.sql("SELECT id AS k, id * 2 AS v FROM range(10)")
     val t = GraftTable.create(spark, dir, withVals.schema)
     t.append(withVals.coalesce(1))
     t.append(spark.sql("SELECT id + 10 AS k, CAST(NULL AS BIGINT) AS v FROM range(10)").coalesce(1))
-    // the all-null file records no bounds for v → conservatively kept
+    // the all-null file records nullCount == rowCount for v: a range
+    // predicate never matches null rows, so it is soundly SKIPPED (legacy
+    // docs without null counts stay conservatively kept — NullStatsSpec)
     val (selected, total) = t.planBetween(t.latest, "v", 100L, 200L)
     assert(total === 2)
-    assert(selected.size === 1 && selected.head.stats.get("v").isEmpty)
-    // and rows are still exact (residual filter drops the NULLs)
+    assert(selected.isEmpty,
+      s"both files excluded: bounds miss one, all-null excludes the other: $selected")
+    // and rows are still exact (residual filter would drop the NULLs anyway)
     assert(t.readBetween("v", 0L, 4L).count() === 3) // v in {0,2,4}
   }
 
@@ -231,9 +234,13 @@ class StatsPruneSpec extends SparkSpec {
     val dataRoot = s"${t.tableDir}/data"
     t.latest.files.foreach { f =>
       val expect = spark.read.parquet(s"$dataRoot/${f.path}")
-        .agg(min(col("k")), max(col("k"))).collect()(0)
-      assert(f.stats.get("k").contains(List(expect.getLong(0).toString, expect.getLong(1).toString)),
-        s"stats for ${f.path}: ${f.stats.get("k")} != data bounds $expect")
+        .agg(min(col("k")), max(col("k")), count(lit(1)) - count(col("k"))).collect()(0)
+      val entry = f.stats("k")
+      assert(GraftTable.StatEntry.bounds(entry).contains(
+        (expect.getLong(0).toString, expect.getLong(1).toString)),
+        s"stats for ${f.path}: $entry != data bounds $expect")
+      assert(GraftTable.StatEntry.nullCount(entry).contains(expect.getLong(2)),
+        s"null count for ${f.path}: $entry != ${expect.getLong(2)}")
       assert(f.rowCount === spark.read.parquet(s"$dataRoot/${f.path}").count())
     }
   }
