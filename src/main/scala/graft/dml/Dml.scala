@@ -117,8 +117,33 @@ object Dml {
     }
   }
 
+  /** Conjunctive IS NULL / IS NOT NULL facts from a DML predicate — the
+    * null-count pruning hook (`GraftTable.planNullability`). Only top-level
+    * AND conjuncts over a bare column contribute; a contradiction (both
+    * polarities on one column) keeps one side, which is still a sound
+    * superset since the predicate then matches nothing.
+    */
+  private[dml] def predicateNullability(t: GraftTable, planned: Snapshot,
+      pred: Column): Map[String, Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val schema = org.apache.spark.sql.types.DataType.fromJson(planned.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val empty = t.spark.createDataFrame(
+      t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved: Seq[Expression] = empty.filter(pred).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    def walk(e: Expression): Seq[(String, Boolean)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case IsNull(a: AttributeReference) => Seq(a.name -> true)
+      case IsNotNull(a: AttributeReference) => Seq(a.name -> false)
+      case _ => Nil
+    }
+    resolved.flatMap(walk).toMap
+  }
+
   /** The files a DML predicate could possibly touch, pre-shrunk by snapshot
-    * metadata (stats + partition-value pruning via `planBetween`) BEFORE any
+    * metadata (stats + partition-value + null-count pruning) BEFORE any
     * data file is opened. At 100 TB this is the difference between a
     * planning scan over every file and one over the handful whose bounds
     * intersect the predicate. Always a superset of the truly-matching files.
@@ -128,12 +153,19 @@ object Dml {
     val total = planned.files.size
     val bounds = scala.util.Try(predicateBounds(t, planned, pred))
       .getOrElse(Map.empty[String, (Option[Any], Option[Any])])
-    val candidates = bounds.foldLeft(planned.files: Seq[FileEntry]) {
+    val ranged = bounds.foldLeft(planned.files: Seq[FileEntry]) {
       case (files, (c, (lo, hi))) =>
         if (lo.isEmpty && hi.isEmpty) files
         else scala.util.Try(
           t.planBetween(planned.copy(files = files.toList), c, lo.orNull, hi.orNull)._1
         ).getOrElse(files) // unknown column / unexpected literal: keep all
+    }
+    val nullability = scala.util.Try(predicateNullability(t, planned, pred))
+      .getOrElse(Map.empty[String, Boolean])
+    val candidates = nullability.foldLeft(ranged) {
+      case (files, (c, isNull)) => scala.util.Try(
+        t.planNullability(planned.copy(files = files.toList), c, isNull)._1
+      ).getOrElse(files)
     }
     (candidates, total)
   }

@@ -58,7 +58,9 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
     // views); the refreshed state is re-registered before the next statement
     // by pruneGraftViews' per-statement reset.
-    SqlDml.tryExecute(spark, statement, graftViews.toMap).getOrElse {
+    SqlDml.tryExecute(spark, statement, graftViews.toMap)
+      .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
+      .getOrElse {
       pruneGraftViews(statement)
       val df = spark.sql(statement)
       if (Sql.capturesRows(statement)) {

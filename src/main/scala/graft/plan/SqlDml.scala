@@ -181,6 +181,43 @@ object SqlDml {
     StatementResult(statement, Nil, None)
   }
 
+  /** Metadata-answered `SELECT COUNT(*) AS alias FROM view` (the statement
+    * the reference scripts run after every DML — `update_sales_events.sql:
+    * 5-6`): when the statement is exactly a whole-table count over a
+    * registered snapshot table and the snapshot's metadata can answer
+    * (no pending MOR deletes, all row counts known), the result comes from
+    * O(files) driver arithmetic with no scan. Any other shape — filters,
+    * more expressions, grouping, a missing explicit alias, metadata
+    * unavailable — returns None and the caller falls through to spark.sql.
+    */
+  def tryCountStar(statement: String, spark: SparkSession,
+      tables: Map[String, GraftTable]): Option[StatementResult] = {
+    if (tables.isEmpty) return None
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case _: Exception => return None }
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    def isCountStar(fn: UnresolvedFunction): Boolean =
+      fn.nameParts.map(_.toLowerCase) == Seq("count") && !fn.isDistinct &&
+        (fn.arguments match {
+          case Seq(_: UnresolvedStar) => true
+          case Seq(Literal(1, _)) => true
+          case _ => false
+        })
+    // the PARSED plan is a Project — the analyzer is what turns a
+    // whole-table count into an Aggregate, and this router runs pre-analysis
+    parsed match {
+      case Project(Seq(Alias(fn: UnresolvedFunction, outName)), child)
+          if isCountStar(fn) =>
+        target(child, tables).flatMap { case (_, t) =>
+          t.countRowsFromMetadata().map(n =>
+            StatementResult(statement, Seq(Map(outName -> n)), None))
+        }
+      case _ => None
+    }
+  }
+
   /** Resolve a DML target plan to (alias-or-name, registered table). */
   private def target(plan: LogicalPlan, tables: Map[String, GraftTable])
       : Option[(String, GraftTable)] = plan match {

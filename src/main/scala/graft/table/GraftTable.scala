@@ -465,12 +465,6 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       case _ => false // string bounds may be writer-truncated; others untracked
     }
     if (!exact) return None
-    val chainIds = snap.chain.map(_.snapshotId).sorted
-    def epochOf(writtenAt: Long): Long =
-      chainIds.foldLeft(0L)((e, id) => if (id <= writtenAt) id else e)
-    val nameAt: Map[Long, Option[String]] =
-      snap.files.map(f => epochOf(f.writtenAt)).distinct
-        .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
     // Exact ordering keys: Double for float/double columns (doubles ARE the
     // domain; NaN rejected), BigDecimal otherwise (int64 micros past 2^53
     // must not round through a double).
@@ -485,16 +479,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // Per file: None = unknown (bail to scan); Some(None) = provably
     // all-null, contributes nothing to MIN/MAX (SQL null-skipping
     // semantics); Some(Some(bounds)) = contributes.
-    val perFile: Seq[Option[Option[(String, String)]]] = snap.files.map { f =>
-      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys)) match {
-        case Some(entry) if GraftTable.StatEntry.allNull(entry, f.rowCount) => Some(None)
-        case Some(entry) => GraftTable.StatEntry.bounds(entry) match {
-          case Some((mn, mx)) if parseable(mn) && parseable(mx) => Some(Some((mn, mx)))
-          case _ => None
+    val entries = resolveStats(snap, colName).getOrElse(return None)
+    val perFile: Seq[Option[Option[(String, String)]]] =
+      snap.files.zip(entries).map { case (f, entryOpt) =>
+        entryOpt match {
+          case Some(entry) if GraftTable.StatEntry.allNull(entry, f.rowCount) => Some(None)
+          case Some(entry) => GraftTable.StatEntry.bounds(entry) match {
+            case Some((mn, mx)) if parseable(mn) && parseable(mx) => Some(Some((mn, mx)))
+            case _ => None
+          }
+          case None => None
         }
-        case None => None
       }
-    }
     if (perFile.exists(_.isEmpty)) return None
     val bounds = perFile.flatten.flatten
     if (bounds.isEmpty) return None // every row null: scan answers MIN=MAX=NULL
@@ -566,6 +562,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * would describe a different column); otherwise one Option[entry] per
     * file, aligned with `snap.files`.
     *
+    * A PARTITION column (hive layout strips it from data files, so no
+    * footer stats exist) synthesizes an exact entry from the file's
+    * partition value: the default-partition sentinel means every row is
+    * null (`[rowCount]`), any other parseable value is the exact point
+    * `[v, v, 0]` — so metadata MIN/MAX, COUNT(col), and nullability all
+    * answer for partition columns too.
+    *
     * A None ELEMENT (file resolves but has no recorded stats for the
     * column) is per-file "unknown" — callers must stay conservative for
     * that file.
@@ -583,9 +586,19 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val nameAt: Map[Long, Option[String]] =
       snap.files.map(f => epochOf(f.writtenAt)).distinct
         .map(e => e -> GraftTable.writeTimeName(snap, colName, e, dt)).toMap
+    def partitionEntry(f: FileEntry, phys: String): Option[List[String]] =
+      f.partitionValues.get(phys).flatMap {
+        case "__HIVE_DEFAULT_PARTITION__" =>
+          if (f.rowCount >= 0) Some(List(f.rowCount.toString)) else None
+        case v if !v.contains('%') => // hive-escaped values don't round-trip
+          scala.util.Try(GraftTable.toPhysicalBound(dt, v)).toOption
+            .map(p => List(p, p, "0"))
+        case _ => None
+      }
     if (snap.files.exists(f => nameAt(epochOf(f.writtenAt)).isEmpty)) None
     else Some(snap.files.map(f =>
-      nameAt(epochOf(f.writtenAt)).flatMap(phys => f.stats.get(phys))))
+      nameAt(epochOf(f.writtenAt)).flatMap(phys =>
+        f.stats.get(phys).orElse(partitionEntry(f, phys)))))
   }
 
   /** Read rows with `colName` in `[lo, hi]` through stats pruning: the file

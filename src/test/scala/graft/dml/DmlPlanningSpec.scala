@@ -71,6 +71,27 @@ class DmlPlanningSpec extends SparkSpec {
     assert(t.readLatest().count() === 399)
   }
 
+  test("DML planning prunes on IS NULL / IS NOT NULL via null counts") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, Some(i.toLong))) ++
+      (11 to 20).map(i => (i.toLong, Option.empty[Long])) ++
+      (21 to 25).map(i => (i.toLong, if (i % 2 == 0) Some(i.toLong) else None)))
+      .toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, scratchDir("dml-nullprune-"), df.schema)
+    t.append(df.filter(col("k") <= 10).coalesce(1))   // no nulls
+    t.append(df.filter(col("k") > 10 && col("k") <= 20).coalesce(1)) // all null
+    t.append(df.filter(col("k") > 20).coalesce(1))    // mixed
+    val planned = t.latest
+    val (cNull, total) = Dml.planningCandidates(t, planned, col("v").isNull)
+    assert(total === 3 && cNull.size === 2, "zero-null file cannot hold IS NULL matches")
+    val (cNotNull, _) = Dml.planningCandidates(t, planned, col("v").isNotNull && col("v") < 5)
+    assert(cNotNull.size === 1, "all-null file AND out-of-range file both excluded")
+    // end-to-end: the cleaning delete stays exact
+    Dml.delete(t, col("v").isNull)
+    assert(t.readLatest().count() === 12)
+    assert(t.readLatest().filter(col("v").isNull).count() === 0)
+  }
+
   test("predicate bounds follow renames (pruning stays sound across evolution)") {
     import spark.implicits._
     val t = graft.table.GraftTable.create(spark, scratchDir("dml-prune-ev-"),

@@ -86,6 +86,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, 5.0), (2L, 106.0), (8L, 8.0))) // 4 deleted, 2 updated
   }
 
+  test("whole-table COUNT(*) answers from snapshot metadata, no scan") {
+    import org.apache.spark.sql.functions.col
+    val (eng, t) = mkTable("sqldml-count")
+    // destroy the data files: a scan now fails loudly, metadata still answers
+    val dataDir = new java.io.File(s"${t.tableDir}/data")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dataDir)
+    val res = eng.execute("SELECT COUNT(*) AS row_count FROM sales")
+    assert(res.rows == Seq(Map("row_count" -> 4L)))
+  }
+
+  test("COUNT(*) falls back to a real scan when metadata cannot answer") {
+    import spark.implicits._
+    val (eng, t) = mkTable("sqldml-count-fallback")
+    // a pending MOR delete: metadata count unavailable, the scan-path answer
+    // must reflect the delete
+    graft.dml.Dml.deleteMorKeys(t, Seq(8L).toDF("event_id"))
+    val res = eng.execute("SELECT COUNT(*) AS row_count FROM sales")
+    assert(res.rows.head("row_count") == 3L)
+    // filtered counts are never intercepted
+    val filtered = eng.execute("SELECT COUNT(*) AS c FROM sales WHERE price > 5.5")
+    assert(filtered.rows.head("c") == 2L)
+  }
+
   test("unsupported shapes raise with the construct named; non-DML falls through") {
     val (eng, _) = mkTable("sqldml-unsupported")
     val e = intercept[UnsupportedOperationException] {

@@ -71,6 +71,25 @@ class MetadataAggSpec extends SparkSpec {
     assert(t.minMaxFromMetadata("old2").contains((10L, 20L)))
   }
 
+  test("partition columns answer from partition values (no footer stats exist)") {
+    import spark.implicits._
+    val dir = scratchDir("meta-agg-part")
+    val df = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), (3L, Option(20L)), (4L, Option.empty[Long])
+    ).toDF("k", "day")
+    val t = GraftTable.create(spark, dir, df.schema, partitionCols = Seq("day"))
+    t.append(df)
+    // hive layout strips the partition column from data files — these all
+    // derive from the exact per-file partition values in snapshot metadata
+    assert(t.minMaxFromMetadata("day").contains((10L, 20L)))
+    assert(t.countNonNullFromMetadata("day").contains(3L))
+    val (selNull, total) = t.planNullability(t.latest, "day", isNull = true)
+    assert(selNull.size == 1 && total == 3,
+      "only the __HIVE_DEFAULT_PARTITION__ file can hold IS NULL rows")
+    assert(t.readWhereNull("day", isNull = true).count() == 1L)
+    assert(t.readWhereNull("day", isNull = false).count() == 3L)
+  }
+
   test("all-null and NaN columns fall back to scan") {
     import spark.implicits._
     val dir = scratchDir("meta-agg-null")
