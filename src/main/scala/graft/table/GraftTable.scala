@@ -1317,8 +1317,19 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // (the Iceberg `write.target-file-size-bytes` + hash-distribution pair).
     val distributed =
       if (partCols.nonEmpty) df.hint("rebalance", partCols: _*) else df
+    val props = properties
+    // Per-call sort wins; otherwise the sticky `write.sort-order` property
+    // (the Iceberg WRITE ORDERED BY table setting) applies to every append,
+    // so a clustered table stays clustered without each writer remembering —
+    // within-file ordering is what narrows per-file min/max bounds and makes
+    // stats pruning bite.
+    val effectiveSort =
+      if (sortCols.nonEmpty) sortCols
+      else props.get(SortOrderProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val sorted =
-      if (sortCols.nonEmpty) distributed.sortWithinPartitions(sortCols.map(col): _*)
+      if (effectiveSort.nonEmpty)
+        distributed.sortWithinPartitions(effectiveSort.map(col): _*)
       else distributed
     // Table data files pin TIMESTAMP_MICROS for the write: INT96 (Spark's
     // session default) carries no parquet min/max statistics, which would
@@ -1334,7 +1345,6 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       // lookup skipping that min/max bounds cannot provide for
       // uniformly-spread keys. Write-side only — Spark's vectorized parquet
       // reader consults the filters automatically on pushed-down equality.
-      val props = properties
       val bloomCols = props.get(BloomFilterColumnsProp)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       bloomCols.foreach { c =>
@@ -1564,6 +1574,12 @@ object GraftTable {
     * filter; parquet-mr's default otherwise).
     */
   val BloomFilterNdvProp = "write.parquet.bloom-filter-ndv"
+
+  /** Property: comma-separated columns every append sorts within partitions
+    * by (sticky `WRITE ORDERED BY` — the Iceberg sort-order setting). A
+    * per-call sort argument overrides it.
+    */
+  val SortOrderProp = "write.sort-order"
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse

@@ -69,6 +69,27 @@ class BloomFilterSpec extends SparkSpec {
     assert(t.readLatest().filter(col("k") === 7L).count() == 3L)
   }
 
+  test("sticky write.sort-order sorts every append; per-call sort overrides") {
+    import spark.implicits._
+    val dir = scratchDir("sort-order")
+    val df = (1 to 1000).map(i => ((i * 2654435761L % 997L), s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema,
+      properties = Map(GraftTable.SortOrderProp -> "k"))
+    t.append(df.coalesce(1))
+    // within-file monotonicity: read the single file back in storage order
+    val stored = spark.read
+      .parquet(s"$dir/data/${t.latest.files.head.path}")
+      .select("k").collect().map(_.getLong(0))
+    assert(stored.sameElements(stored.sorted),
+      "append must honor the sticky sort-order property")
+    // per-call override wins
+    t.append(df.coalesce(1), sortWithinPartitionsCols = Seq("v"))
+    val f2 = t.latest.files.sortBy(_.writtenAt).last
+    val stored2 = spark.read.parquet(s"$dir/data/${f2.path}")
+      .select("v").collect().map(_.getString(0))
+    assert(stored2.sameElements(stored2.sorted), "per-call sort must override")
+  }
+
   test("bloom property set AFTER a commit applies to later files only") {
     import spark.implicits._
     val dir = scratchDir("bloom-later")

@@ -35,6 +35,18 @@ class TableModelCheckSpec extends SparkSpec {
         history += (t.latest.snapshotId -> model)
         val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
         assert(actual === model.sorted, s"divergence after $opName (round $round)")
+        // Metadata aggregates: whenever metadata CLAIMS an answer it must
+        // equal the model exactly — across every random mix of appends, COW
+        // and MOR DML, compaction, expiry, and evolution. (None = declared
+        // scan-fallback, always legal.)
+        t.countRowsFromMetadata().foreach(n =>
+          assert(n === model.size.toLong, s"metadata COUNT(*) after $opName (round $round)"))
+        t.minMaxFromMetadata("id").foreach { case (mn, mx) =>
+          assert(model.nonEmpty && mn == model.map(_._1).min && mx == model.map(_._1).max,
+            s"metadata MIN/MAX(id) after $opName (round $round): ($mn,$mx) vs model")
+        }
+        scala.util.Try(t.countNonNullFromMetadata("qty")).toOption.flatten.foreach(n =>
+          assert(n === model.size.toLong, s"metadata COUNT(qty) after $opName (round $round)"))
         // the PERSISTED doc for this commit must be delta-encoded whenever the
         // delta is smaller than the full listing — and a delta doc must never
         // also re-serialize the full inventory (expire may have consolidated
