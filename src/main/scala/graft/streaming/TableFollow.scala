@@ -59,21 +59,26 @@ object TableFollow {
     */
   private def mirror(src: GraftTable, dst: GraftTable, keyCols: Seq[String],
       fromId: Long, toId: Long): Option[Long] = {
-    val chg = src.readChangelog(fromId, toId)
-    // Net effect per key: rows at the key's MAXIMAL commit in range decide.
-    // An upsert commit emits delete+insert under one id — the insert rows
-    // are the final state; a delete-only maximal commit means the key is
-    // gone; an append's multiple rows per key all survive together.
-    val keyC = keyCols.map(col)
-    val maxCommit = max(col("_commit_snapshot_id")).over(Window.partitionBy(keyC: _*))
-    val lastRows = chg.withColumn("_max_commit", maxCommit)
-      .filter(col("_commit_snapshot_id") === col("_max_commit"))
-    val finalRows = lastRows.filter(col("_change_type") === "insert")
-      .drop("_change_type", "_commit_snapshot_id", "_max_commit")
-    val affectedKeys = chg.select(keyC: _*).distinct()
-    if (affectedKeys.isEmpty) return None // maintenance-only range: no state change
-    dst.commitMorDelta(affectedKeys, Some(finalRows), "follow-cdc",
-      extraSummary = Map(OffsetKey -> toId.toString))
-    Some(toId)
+    // The changelog feeds three consumers (empty check, delete-key file,
+    // insert files) — cache the O(delta) batch once instead of re-executing
+    // the changelog reconstruction per consumer.
+    val chg = src.readChangelog(fromId, toId).persist()
+    try {
+      // Net effect per key: rows at the key's MAXIMAL commit in range decide.
+      // An upsert commit emits delete+insert under one id — the insert rows
+      // are the final state; a delete-only maximal commit means the key is
+      // gone; an append's multiple rows per key all survive together.
+      val keyC = keyCols.map(col)
+      val maxCommit = max(col("_commit_snapshot_id")).over(Window.partitionBy(keyC: _*))
+      val lastRows = chg.withColumn("_max_commit", maxCommit)
+        .filter(col("_commit_snapshot_id") === col("_max_commit"))
+      val finalRows = lastRows.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_snapshot_id", "_max_commit")
+      val affectedKeys = chg.select(keyC: _*).distinct()
+      if (affectedKeys.isEmpty) return None // maintenance-only range: no state change
+      dst.commitMorDelta(affectedKeys, Some(finalRows), "follow-cdc",
+        extraSummary = Map(OffsetKey -> toId.toString))
+      Some(toId)
+    } finally chg.unpersist()
   }
 }

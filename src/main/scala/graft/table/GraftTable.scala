@@ -987,42 +987,46 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .collect { case PropsFileRe(s) => s.toLong }.maxOption
   }
 
+  private def propsAt(seq: Long): Map[String, String] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    org.json4s.jackson.JsonMethods.parse(SnapshotLog.readStringAt(hfs,
+      new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir), propsFileName(seq))))
+      .extract[Map[String, String]]
+  }
+
   /** Current table properties (the Iceberg table-properties analog; e.g.
     * `write.parquet.bloom-filter-columns` — see `writeDataFiles`). Empty for
     * tables that never set any.
     */
-  def properties: Map[String, String] = {
-    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
-    latestPropsSeq match {
-      case None => Map.empty
-      case Some(seq) =>
-        org.json4s.jackson.JsonMethods.parse(SnapshotLog.readStringAt(hfs,
-          new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir), propsFileName(seq))))
-          .extract[Map[String, String]]
-    }
-  }
+  def properties: Map[String, String] =
+    latestPropsSeq.map(propsAt).getOrElse(Map.empty)
 
   /** Merge `updates` into the table properties (None value = remove the
-    * key). Optimistic versioned publish: concurrent setters retry against
-    * the freshest doc, so no update is silently dropped.
+    * key). Compare-and-swap versioned publish: the observed latest seq is
+    * read ONCE, the merged doc is published at exactly seq+1 by
+    * create-if-absent, and a loser retries against the fresh doc — reading
+    * "current props" and "latest seq" separately would let a concurrent
+    * publish land between the two reads and be overwritten by a stale merge
+    * (the lost update ConcurrentCommitSpec races for).
     */
   def setProperties(updates: Map[String, Option[String]]): Map[String, String] = {
-    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
     val dir = SnapshotLog.logPath(tableDir)
     hfs.mkdirs(dir)
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < 50) {
       attempts += 1
-      val cur = properties
+      val observed = latestPropsSeq
+      val cur = observed.map(propsAt).getOrElse(Map.empty)
       val next = updates.foldLeft(cur) {
         case (m, (k, Some(v))) => m + (k -> v)
         case (m, (k, None)) => m - k
       }
-      val seq = latestPropsSeq.getOrElse(0L) + 1
+      implicit val fmts: org.json4s.Formats = SnapshotLog.formats
       if (SnapshotLog.publishAtomicAt(hfs,
-          new org.apache.hadoop.fs.Path(dir, propsFileName(seq)),
+          new org.apache.hadoop.fs.Path(dir, propsFileName(observed.getOrElse(0L) + 1)),
           org.json4s.jackson.Serialization.write(next)))
         return next
+      Thread.sleep(ThreadLocalRandom.current().nextLong(1L, math.min(50L, 2L + attempts * 2L)))
     }
     throw new IllegalStateException(s"could not publish properties in $tableDir")
   }

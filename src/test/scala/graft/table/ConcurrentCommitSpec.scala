@@ -72,6 +72,38 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(rowCounts === rowCounts.sorted)
   }
 
+  test("racing property setters lose no update (optimistic versioned publish)") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-props")
+    val t = GraftTable.create(spark, dir, Seq((1L, 1L)).toDF("k", "v").schema)
+    val nThreads = 4
+    val perThread = 5
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nThreads).foreach { th =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until perThread).foreach { i =>
+            new GraftTable(spark, dir).setProperties(Map(s"key-$th-$i" -> Some(s"v$th$i")))
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "setters timed out")
+    assert(failures.isEmpty, s"setter failed: ${Option(failures.peek()).map(_.toString)}")
+    val props = t.properties
+    (0 until nThreads).foreach { th =>
+      (0 until perThread).foreach { i =>
+        assert(props.get(s"key-$th-$i").contains(s"v$th$i"),
+          s"lost concurrent property update key-$th-$i")
+      }
+    }
+  }
+
   test("MOR keyed deletes racing appenders serialize by commit order") {
     import spark.implicits._
     val dir = scratchDir("concurrent-mor")
