@@ -127,6 +127,26 @@ object TableQueries {
         .withColumn("all_files_bloomed", lit(allBloom))
     }),
 
+    // Properties + all_files metadata tables: create-time and post-hoc
+    // property versions merge (CAS-published), and the all-files listing
+    // counts every (snapshot, file) reference across the lineage — three
+    // single-file commits referenced by successive snapshots give 1+2+3
+    // references over 3 distinct files. Deterministic, VALUES-style oracle.
+    "t_props_meta" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 90)
+      val t = GraftTable.create(s, scratch("props_meta"), base.schema,
+        properties = Map("write.sort-order" -> "o_orderkey", "owner" -> "pipeline"))
+      t.setProperties(Map("owner" -> Some("team-data"), "comment" -> Some("demo")))
+      (0 until 3).foreach(i => t.append(
+        base.filter(col("o_orderkey") % 3 === i).coalesce(1)))
+      val props = t.propertiesTable()
+      val refs = t.allFiles().agg(
+        count(lit(1)).as("n_refs"),
+        countDistinct(col("file_path")).as("n_distinct_files"))
+      props.crossJoin(refs)
+    }),
+
     // Null-count file skipping (the Iceberg null_value_counts analog): a
     // derived nullable column lands in three files — never-null, all-null,
     // mixed — and IS NOT NULL / IS NULL reads each provably skip the file
@@ -799,6 +819,12 @@ object TableQueries {
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            TRUE AS all_files_bloomed
          FROM orders WHERE o_orderkey < 2000 AND o_orderkey = 999""",
+    "t_props_meta" ->
+      """SELECT * FROM (VALUES
+           ('comment', 'demo', CAST(6 AS BIGINT), CAST(3 AS BIGINT)),
+           ('owner', 'team-data', CAST(6 AS BIGINT), CAST(3 AS BIGINT)),
+           ('write.sort-order', 'o_orderkey', CAST(6 AS BIGINT), CAST(3 AS BIGINT)))
+         AS t(key, value, n_refs, n_distinct_files)""",
     "t_null_prune" ->
       """SELECT
            (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 600 AND l_quantity > 25) AS notnull_rows,

@@ -107,6 +107,24 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** Table-properties metadata table (the Iceberg `.properties` analog). */
+  def propertiesTable(): DataFrame = {
+    import spark.implicits._
+    properties.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
+  /** Every file referenced by ANY live snapshot (the Iceberg `.all_files`
+    * analog), with the referencing snapshot — metadata-only, one row per
+    * (snapshot, file) reference, so maintenance and debugging can see which
+    * commits still pin a file without opening anything.
+    */
+  def allFiles(): DataFrame = {
+    import spark.implicits._
+    snapshotsList.flatMap(s => s.files.map(f =>
+      (s.snapshotId, f.path, f.rowCount, f.sizeBytes, f.writtenAt)))
+      .toDF("snapshot_id", "file_path", "row_count", "size_bytes", "written_at_snapshot")
+  }
+
   /** Commit history metadata table (the Iceberg `.history` analog). */
   def history(): DataFrame = {
     import spark.implicits._
