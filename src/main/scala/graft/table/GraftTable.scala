@@ -1349,9 +1349,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       if (sortCols.nonEmpty) sortCols
       else props.get(SortOrderProp)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // For a PARTITIONED write the sort must lead with the partition columns:
+    // FileFormatWriter requires partition-column ordering for dynamic
+    // partition writes and would otherwise insert its own NON-STABLE sort by
+    // them above this one, scrambling the requested order inside each file
+    // (WriteDistributionSpec pins this). With the prefix, the task ordering
+    // (p..., sort...) satisfies the writer's requirement as-is, and every
+    // emitted file — one per (task, partition value) — is sorted as asked.
     val sorted =
       if (effectiveSort.nonEmpty)
-        distributed.sortWithinPartitions(effectiveSort.map(col): _*)
+        distributed.sortWithinPartitions(
+          (partCols.filterNot(effectiveSort.contains) ++ effectiveSort).map(col): _*)
       else distributed
     // Table data files pin TIMESTAMP_MICROS for the write: INT96 (Spark's
     // session default) carries no parquet min/max statistics, which would

@@ -53,6 +53,24 @@ class BloomFilterSpec extends SparkSpec {
     assert(GraftTable.load(spark, dir).properties == Map("b" -> "3", "c" -> "4"))
   }
 
+  test("compaction preserves bloom filters (properties apply to maintenance rewrites)") {
+    import spark.implicits._
+    val dir = scratchDir("bloom-compact")
+    val df = (1 to 4000).map(i => (i * 2654435761L % 1000003L, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema,
+      properties = Map(GraftTable.BloomFilterColumnsProp -> "k"))
+    (0 until 4).foreach(q => t.append(
+      df.filter(col("k") % 4 === q).coalesce(1)))
+    val n = graft.maintenance.Maintenance.rewriteDataFiles(t,
+      targetFileSizeBytes = 512L * 1024 * 1024, minInputFiles = 2)
+    assert(n.isDefined, "compaction should have rewritten the small files")
+    t.latest.files.foreach { f =>
+      assert(t.bloomFilterColumns(f.path) == Set("k"),
+        s"compacted file ${f.path} lost its bloom filter")
+    }
+    assert(t.readLatest().count() === 4000L)
+  }
+
   test("a fully dictionary-encoded chunk drops the bloom (dictionary is exact)") {
     import spark.implicits._
     val dir = scratchDir("bloom-dict")

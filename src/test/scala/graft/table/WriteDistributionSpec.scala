@@ -47,6 +47,32 @@ class WriteDistributionSpec extends SparkSpec {
     } finally spark.conf.set(advisoryKey, prev)
   }
 
+  test("rebalance-split files each stay internally sorted under sticky sort-order") {
+    import spark.implicits._
+    val dir = scratchDir("rebalance-sorted")
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.get(advisoryKey)
+    spark.conf.set(advisoryKey, "65536")
+    try {
+      val hot = (1 to 40000).map { i =>
+        ("hot", (i * 2654435761L) % 999983L, f"${i * 40503L}%x-${i.toHexString}")
+      }
+      val df = hot.toDF("p", "k", "payload")
+      val t = GraftTable.create(spark, dir, df.schema, Seq("p"),
+        properties = Map(GraftTable.SortOrderProp -> "k"))
+      t.append(df)
+      val files = t.latest.files
+      assert(files.size > 1, "the hot partition should have split")
+      // every file is individually sorted on k — the WRITE ORDERED BY
+      // contract survives AQE splitting a partition value across tasks
+      files.foreach { f =>
+        val ks = spark.read.parquet(s"$dir/data/${f.path}")
+          .select("k").collect().map(_.getLong(0))
+        assert(ks.sameElements(ks.sorted), s"file ${f.path} not sorted within itself")
+      }
+    } finally spark.conf.set(advisoryKey, prev)
+  }
+
   test("unpartitioned appends keep the caller's partitioning (no extra shuffle)") {
     import spark.implicits._
     val dir = scratchDir("rebalance-unpart")
