@@ -56,13 +56,11 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
   override def execute(statement: String): StatementResult = {
     // SQL DML over a registered snapshot table routes to the table layer's
     // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
-    // views); the refreshed state is re-registered before the next statement
-    // by pruneGraftViews' per-statement reset.
-    SqlDml.tryExecute(spark, statement, graftViews.toMap)
-      .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
-      .getOrElse {
-      pruneGraftViews(statement)
-      val df = spark.sql(statement)
+    // views); whole-table COUNT(*) answers from snapshot metadata; VERSION /
+    // TIMESTAMP AS OF rewrites to snapshot-pinned views. The refreshed state
+    // is re-registered before the next statement by pruneGraftViews'
+    // per-statement reset.
+    def capture(df: org.apache.spark.sql.DataFrame): StatementResult =
       if (Sql.capturesRows(statement)) {
         val rows = df.take(maxResultRows).map(r =>
           r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap)
@@ -71,7 +69,16 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         df.collect()
         StatementResult(statement, Nil, None)
       }
-    }
+    SqlDml.tryExecute(spark, statement, graftViews.toMap)
+      .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
+      .orElse {
+        // refresh/prune the registered views BEFORE any read path — a
+        // statement mixing a travel relation with the current view must see
+        // the latest snapshot in its non-travel half
+        pruneGraftViews(statement)
+        SqlDml.tryTimeTravel(spark, statement, graftViews.toMap).map(capture)
+      }
+      .getOrElse(capture(spark.sql(statement)))
   }
 
   /** Parse (never execute) `statement`; for each Filter sitting on a

@@ -218,6 +218,50 @@ object SqlDml {
     }
   }
 
+  /** SQL time travel over registered snapshot tables (the reference's
+    * `time_travel_validate.sql:4-10`: `SELECT ... FROM t VERSION AS OF n`).
+    * Each `RelationTimeTravel` over a registered view is rewritten to a
+    * fresh temp view materialized at that snapshot (version id, or a
+    * foldable timestamp expression for `TIMESTAMP AS OF`), and the rewritten
+    * plan runs through the session analyzer — so travel composes with any
+    * surrounding statement shape, and the same table can appear at
+    * different versions in one statement. None when the statement has no
+    * time travel over a registered view.
+    */
+  def tryTimeTravel(spark: SparkSession, statement: String,
+      tables: Map[String, GraftTable]): Option[DataFrame] = {
+    if (tables.isEmpty) return None
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case _: Exception => return None }
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    var n = 0
+    // transformUpWithSubqueries, not transformUp: a travel relation inside a
+    // scalar subquery lives in an expression's nested plan
+    val rewritten = parsed.transformUpWithSubqueries {
+      case RelationTimeTravel(r: UnresolvedRelation, ts, version)
+          if tables.contains(r.multipartIdentifier.last.toLowerCase) =>
+        val t = tables(r.multipartIdentifier.last.toLowerCase)
+        val df = (version, ts) match {
+          case (Some(v), _) => t.readVersionAsOf(v.toLong)
+          case (None, Some(expr)) if expr.foldable =>
+            val millis = expr.eval(null) match {
+              case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                java.sql.Timestamp.valueOf(s.toString).getTime
+              case other => unsupported(s"TIMESTAMP AS OF value $other")
+            }
+            t.readTimestampAsOf(millis)
+          case _ => unsupported("time travel without a literal version/timestamp")
+        }
+        n += 1
+        val vname = s"${r.multipartIdentifier.last}__travel_$n"
+        df.createOrReplaceTempView(vname)
+        UnresolvedRelation(Seq(vname))
+    }
+    if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))
+  }
+
   /** Resolve a DML target plan to (alias-or-name, registered table). */
   private def target(plan: LogicalPlan, tables: Map[String, GraftTable])
       : Option[(String, GraftTable)] = plan match {

@@ -113,6 +113,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(filtered.rows.head("c") == 2L)
   }
 
+  test("VERSION AS OF rewrites to snapshot-pinned views (reference time_travel_validate.sql)") {
+    val (eng, t) = mkTable("sqldml-travel")
+    val baseline = t.latest.snapshotId
+    eng.execute("DELETE FROM sales WHERE event_id = 8")
+    // current vs baseline — the reference script's exact statement shapes
+    assert(eng.execute("SELECT COUNT(*) AS current_row_count FROM sales")
+      .rows.head("current_row_count") == 3L)
+    assert(eng.execute(
+      s"SELECT COUNT(*) AS baseline_row_count FROM sales VERSION AS OF $baseline")
+      .rows.head("baseline_row_count") == 4L)
+    assert(eng.execute(
+      s"SELECT SUM(price) AS baseline_price FROM sales VERSION AS OF $baseline")
+      .rows.head("baseline_price") == 26.0)
+    // both versions of one table in a single statement
+    val both = eng.execute(
+      s"""SELECT (SELECT COUNT(*) FROM sales) AS now,
+            (SELECT COUNT(*) FROM sales VERSION AS OF $baseline) AS before""")
+    assert(both.rows.head == Map("now" -> 3L, "before" -> 4L))
+  }
+
   test("unsupported shapes raise with the construct named; non-DML falls through") {
     val (eng, _) = mkTable("sqldml-unsupported")
     val e = intercept[UnsupportedOperationException] {
