@@ -9,7 +9,8 @@ object DevRun {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val df = SparkEntry.queries(name)(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
       df.show(20, truncate = false)
       println(f"[devrun] $name took ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }

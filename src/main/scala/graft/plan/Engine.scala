@@ -76,7 +76,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         // statement mixing a travel relation with the current view must see
         // the latest snapshot in its non-travel half
         pruneGraftViews(statement)
-        SqlDml.tryTimeTravel(spark, statement, graftViews.toMap).map(capture)
+        SqlDml.tryReadRewrites(spark, statement, graftViews.toMap).map(capture)
       }
       .getOrElse(capture(spark.sql(statement)))
   }

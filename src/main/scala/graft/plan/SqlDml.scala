@@ -63,6 +63,33 @@ object SqlDml {
           executeMerge(spark, statement, m, tgtAlias, t)
         }
 
+      case ins: InsertIntoStatement =>
+        target(ins.table, tables).map { case (_, t) =>
+          // the reference's bulk-insert shape (bulk_insert_sales_events.sql:
+          // 1-9): INSERT INTO t VALUES/SELECT, positional column matching.
+          if (ins.partitionSpec.nonEmpty) unsupported("INSERT with PARTITION spec")
+          val src = SqlInternals.ofRows(spark, ins.query)
+          val fields = t.schema.fields
+          // explicit column list reorders; otherwise positional
+          val ordered: Seq[(String, org.apache.spark.sql.types.StructField)] =
+            if (ins.userSpecifiedCols.nonEmpty) {
+              require(ins.userSpecifiedCols.size == src.columns.length &&
+                ins.userSpecifiedCols.toSet == fields.map(_.name).toSet,
+                s"INSERT column list must cover the table schema exactly")
+              src.columns.toSeq.zip(ins.userSpecifiedCols.map(c =>
+                fields.find(_.name == c).get))
+            } else {
+              require(src.columns.length == fields.length,
+                s"INSERT arity ${src.columns.length} != table arity ${fields.length}")
+              src.columns.toSeq.zip(fields.toSeq)
+            }
+          val shaped = src.select(ordered.map { case (from, f) =>
+            col(from).cast(f.dataType).as(f.name)
+          }: _*)
+          if (ins.overwrite) t.overwrite(shaped) else t.append(shaped)
+          StatementResult(statement, Nil, None)
+        }
+
       case _ => None
     }
   }
@@ -218,17 +245,36 @@ object SqlDml {
     }
   }
 
-  /** SQL time travel over registered snapshot tables (the reference's
-    * `time_travel_validate.sql:4-10`: `SELECT ... FROM t VERSION AS OF n`).
-    * Each `RelationTimeTravel` over a registered view is rewritten to a
-    * fresh temp view materialized at that snapshot (version id, or a
-    * foldable timestamp expression for `TIMESTAMP AS OF`), and the rewritten
-    * plan runs through the session analyzer — so travel composes with any
-    * surrounding statement shape, and the same table can appear at
-    * different versions in one statement. None when the statement has no
-    * time travel over a registered view.
+  /** Metadata-table relation suffixes (the Iceberg `t.snapshots`-style
+    * inspection tables): `ns.table.<suffix>` over a registered table reads
+    * the corresponding metadata DataFrame.
     */
-  def tryTimeTravel(spark: SparkSession, statement: String,
+  private val MetaTables: Map[String, GraftTable => DataFrame] = Map(
+    "snapshots" -> (_.snapshots()),
+    "files" -> (_.files()),
+    "delete_files" -> (_.deleteFiles()),
+    "partitions" -> (_.partitions()),
+    "refs" -> (_.refs()),
+    "history" -> (_.history()),
+    "all_files" -> (_.allFiles()),
+    "properties" -> (_.propertiesTable()))
+
+  /** Read-side plan rewrites over registered snapshot tables, in one pass:
+    *
+    *  - SQL time travel (the reference's `time_travel_validate.sql:4-10`,
+    *    `SELECT ... FROM t VERSION AS OF n`): each `RelationTimeTravel` is
+    *    rewritten to a fresh temp view materialized at that snapshot
+    *    (version id, or a foldable timestamp for `TIMESTAMP AS OF`);
+    *  - metadata tables (`bulk_insert_sales_events.sql:14-17`,
+    *    `SELECT ... FROM ns.t.snapshots`): a relation whose trailing part
+    *    names a metadata table of a registered view reads that DataFrame.
+    *
+    * The rewritten plan runs through the session analyzer, so both compose
+    * with any surrounding statement shape — subqueries included, and the
+    * same table can appear at several versions in one statement. None when
+    * nothing was rewritten.
+    */
+  def tryReadRewrites(spark: SparkSession, statement: String,
       tables: Map[String, GraftTable]): Option[DataFrame] = {
     if (tables.isEmpty) return None
     val parsed =
@@ -236,8 +282,14 @@ object SqlDml {
       catch { case _: Exception => return None }
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     var n = 0
-    // transformUpWithSubqueries, not transformUp: a travel relation inside a
-    // scalar subquery lives in an expression's nested plan
+    def registered(df: DataFrame, base: String, kind: String): UnresolvedRelation = {
+      n += 1
+      val vname = s"${base}__${kind}_$n"
+      df.createOrReplaceTempView(vname)
+      UnresolvedRelation(Seq(vname))
+    }
+    // transformUpWithSubqueries, not transformUp: a rewritable relation
+    // inside a scalar subquery lives in an expression's nested plan
     val rewritten = parsed.transformUpWithSubqueries {
       case RelationTimeTravel(r: UnresolvedRelation, ts, version)
           if tables.contains(r.multipartIdentifier.last.toLowerCase) =>
@@ -254,10 +306,14 @@ object SqlDml {
             t.readTimestampAsOf(millis)
           case _ => unsupported("time travel without a literal version/timestamp")
         }
-        n += 1
-        val vname = s"${r.multipartIdentifier.last}__travel_$n"
-        df.createOrReplaceTempView(vname)
-        UnresolvedRelation(Seq(vname))
+        registered(df, r.multipartIdentifier.last, "travel")
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.size >= 2 &&
+            MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
+            tables.contains(r.multipartIdentifier.init.last.toLowerCase) =>
+        val base = r.multipartIdentifier.init.last
+        val t = tables(base.toLowerCase)
+        registered(MetaTables(r.multipartIdentifier.last.toLowerCase)(t), base, "meta")
     }
     if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))
   }

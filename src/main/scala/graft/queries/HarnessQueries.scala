@@ -322,6 +322,45 @@ object HarnessQueries {
         .toDF("row_count", "sum_price", "n_snapshots")
     }),
 
+    // The reference's spark script suite verbatim (bulk_insert → read →
+    // update → delete → time_travel_validate, template placeholders
+    // rendered): INSERT VALUES, metadata-table read, COW DML, and VERSION AS
+    // OF all as plain SQL through one engine. Fully deterministic — the
+    // VALUES rows are the reference's own — so the oracle is literal.
+    "h_sql_script_suite" -> ((s, _) => {
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING, " +
+          "qty BIGINT, price DOUBLE, country STRING, ds DATE")
+      val t = GraftTable.create(s, scratch("sql_script_suite"), schema)
+      val eng = new SparkSqlEngine(s)
+      eng.registerGraftTable("sales_events", t)
+      eng.execute("""
+        INSERT INTO sales_events VALUES
+          (1, 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, 19.99, 'US', DATE '2024-01-01'),
+          (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, 5.00, 'US', DATE '2024-01-01'),
+          (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, 10.00, 'GB', DATE '2024-01-02'),
+          (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, 7.50, 'FR', DATE '2024-01-02'),
+          (5, 10, TIMESTAMP '2024-01-03 12:00:00', 'sku-0005', 1, 99.99, 'US', DATE '2024-01-03'),
+          (6, 11, TIMESTAMP '2024-01-03 13:25:00', 'sku-0002', 10, 5.00, 'US', DATE '2024-01-03'),
+          (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, 11.00, 'GB', DATE '2024-01-04'),
+          (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, 7.50, 'FR', DATE '2024-01-05')""")
+      val baseline = eng.execute(
+        """SELECT snapshot_id, committed_at FROM sales_events.snapshots
+           ORDER BY committed_at DESC LIMIT 1""").rows.head("snapshot_id").asInstanceOf[Long]
+      eng.execute("UPDATE sales_events SET price = price * 1.1 WHERE event_id = 1")
+      eng.execute("DELETE FROM sales_events WHERE event_id = 8")
+      val cur = eng.execute(
+        """SELECT COUNT(*) AS c, CAST(SUM(qty) AS BIGINT) AS q FROM sales_events""").rows.head
+      val base = eng.execute(
+        s"""SELECT COUNT(*) AS c, CAST(SUM(qty) AS BIGINT) AS q
+            FROM sales_events VERSION AS OF $baseline""").rows.head
+      Seq((cur("c").asInstanceOf[Long], cur("q").asInstanceOf[Long],
+        base("c").asInstanceOf[Long], base("q").asInstanceOf[Long],
+        t.snapshotsList.size.toLong))
+        .toDF("current_rows", "current_qty", "baseline_rows", "baseline_qty", "n_snapshots")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -346,6 +385,10 @@ object HarnessQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "h_sql_script_suite" ->
+      """SELECT CAST(7 AS BIGINT) AS current_rows, CAST(33 AS BIGINT) AS current_qty,
+           CAST(8 AS BIGINT) AS baseline_rows, CAST(39 AS BIGINT) AS baseline_qty,
+           CAST(4 AS BIGINT) AS n_snapshots""",
     "h_sql_dml" ->
       """WITH upd AS (
            SELECT o_orderkey,

