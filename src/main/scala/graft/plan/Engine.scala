@@ -53,6 +53,15 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     t.readLatest().createOrReplaceTempView(viewName)
   }
 
+  private var catalogOpt: Option[graft.catalogsvc.CatalogService] = None
+
+  /** Attach a catalog so SQL DDL (CREATE NAMESPACE / CREATE TABLE / ALTER
+    * WRITE ORDERED BY) routes to it; tables created via SQL auto-register
+    * as views for the rest of the script.
+    */
+  def registerCatalog(cat: graft.catalogsvc.CatalogService): Unit =
+    catalogOpt = Some(cat)
+
   override def execute(statement: String): StatementResult = {
     // SQL DML over a registered snapshot table routes to the table layer's
     // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
@@ -69,7 +78,8 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         df.collect()
         StatementResult(statement, Nil, None)
       }
-    SqlDml.tryExecute(spark, statement, graftViews.toMap)
+    SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable)
+      .orElse(SqlDml.tryExecute(spark, statement, graftViews.toMap))
       .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
       .orElse {
         // refresh/prune the registered views BEFORE any read path — a

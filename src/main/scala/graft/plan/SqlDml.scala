@@ -245,6 +245,103 @@ object SqlDml {
     }
   }
 
+  private val WriteOrderedByRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+
+  /** SQL DDL against a registered catalog — the remaining statement shapes
+    * of the reference's spark scripts (`bootstrap_namespace.sql:1`,
+    * `create_sales_events.sql:1-24`):
+    *
+    *  - `CREATE NAMESPACE [IF NOT EXISTS] ns`;
+    *  - `CREATE TABLE [IF NOT EXISTS] ns.t (cols) ... PARTITIONED BY
+    *    (identity / days(col)) TBLPROPERTIES (...)` — the `days` transform
+    *    records a derived partition column the write path computes
+    *    (`GraftTable.PartitionTransformsProp`); the created table registers
+    *    as a view so the rest of the script reads and writes it by name;
+    *  - `ALTER TABLE ns.t WRITE ORDERED BY c1, c2` — Iceberg-extension
+    *    syntax Spark's parser rejects, matched textually and routed to the
+    *    sticky sort-order property.
+    *
+    * None when no catalog is registered or the statement is not DDL.
+    */
+  def tryDdl(spark: SparkSession, statement: String,
+      catalog: Option[graft.catalogsvc.CatalogService],
+      register: (String, GraftTable) => Unit): Option[StatementResult] = {
+    val cat = catalog.getOrElse(return None)
+    statement match {
+      case WriteOrderedByRe(ident, colsStr) =>
+        val parts = ident.replace("`", "").split("\\.")
+        if (parts.length != 2) unsupported(s"ALTER TABLE target $ident (need ns.table)")
+        val t = cat.loadTable(parts(0), parts(1))
+        val cols = colsStr.split(",").map(_.trim).filter(_.nonEmpty)
+        t.setProperties(Map(
+          GraftTable.SortOrderProp -> Some(cols.mkString(","))))
+        return Some(StatementResult(statement, Nil, None))
+      case _ =>
+    }
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case _: Exception => return None }
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace}
+    parsed match {
+      case cn: CreateNamespace =>
+        val ns = cn.name match {
+          case u: UnresolvedNamespace => u.multipartIdentifier.mkString(".")
+          case other => unsupported(s"CREATE NAMESPACE target $other")
+        }
+        cat.createNamespace(ns, ifNotExists = cn.ifNotExists)
+        Some(StatementResult(statement, Nil, None))
+
+      case ct: CreateTable =>
+        val (ns, tname) = ct.name match {
+          case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
+            (id.nameParts.head, id.nameParts.last)
+          case id: UnresolvedIdentifier =>
+            unsupported(s"CREATE TABLE name ${id.nameParts.mkString(".")} (need ns.table)")
+          case other => unsupported(s"CREATE TABLE target $other")
+        }
+        if (cat.tableExists(ns, tname)) {
+          if (ct.ignoreIfExists) {
+            register(tname, cat.loadTable(ns, tname))
+            return Some(StatementResult(statement, Nil, None))
+          }
+          throw new IllegalStateException(s"table exists: $ns.$tname")
+        }
+        val fields = ct.columns.map(cd =>
+          org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable))
+        var partCols = Vector.empty[String]
+        var transforms = Vector.empty[String]
+        // the concrete transform case classes are private[sql]; the public
+        // Transform interface (name + references) identifies them fine
+        ct.partitioning.foreach { tr =>
+          val src = tr.references.headOption.map(_.fieldNames.mkString("."))
+            .getOrElse(unsupported(s"partition transform ${tr.describe}"))
+          tr.name match {
+            case "identity" => partCols :+= src
+            case "days" =>
+              val pc = s"${src}_day"
+              partCols :+= pc
+              transforms :+= s"days($src)=$pc"
+            case other => unsupported(s"partition transform $other($src)")
+          }
+        }
+        val t = cat.createTable(ns, tname,
+          org.apache.spark.sql.types.StructType(fields.toArray), partCols)
+        val props = (ct.tableSpec match {
+          case ts: TableSpec => ts.properties
+          case ts: UnresolvedTableSpec => ts.properties // the parse-time shape
+          case _ => Map.empty[String, String]
+        }) ++ (if (transforms.nonEmpty)
+          Map(GraftTable.PartitionTransformsProp -> transforms.mkString(";"))
+        else Map.empty)
+        if (props.nonEmpty) t.setProperties(props.map { case (k, v) => k -> Some(v) })
+        register(tname, t)
+        Some(StatementResult(statement, Nil, None))
+
+      case _ => None
+    }
+  }
+
   /** Metadata-table relation suffixes (the Iceberg `t.snapshots`-style
     * inspection tables): `ns.table.<suffix>` over a registered table reads
     * the corresponding metadata DataFrame.

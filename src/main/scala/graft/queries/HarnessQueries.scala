@@ -329,12 +329,19 @@ object HarnessQueries {
     // VALUES rows are the reference's own — so the oracle is literal.
     "h_sql_script_suite" -> ((s, _) => {
       import s.implicits._
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING, " +
-          "qty BIGINT, price DOUBLE, country STRING, ds DATE")
-      val t = GraftTable.create(s, scratch("sql_script_suite"), schema)
       val eng = new SparkSqlEngine(s)
-      eng.registerGraftTable("sales_events", t)
+      val cat = new CatalogService(s, scratch("sql_script_suite"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE IF NOT EXISTS analytics")
+      eng.execute("""
+        CREATE TABLE IF NOT EXISTS analytics.sales_events (
+          event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING,
+          qty BIGINT, price DOUBLE, country STRING, ds DATE
+        ) USING iceberg
+        PARTITIONED BY (days(event_ts))
+        TBLPROPERTIES ('write.distribution-mode'='hash')""")
+      eng.execute("ALTER TABLE analytics.sales_events WRITE ORDERED BY event_ts, tenant_id")
+      val t = cat.loadTable("analytics", "sales_events")
       eng.execute("""
         INSERT INTO sales_events VALUES
           (1, 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, 19.99, 'US', DATE '2024-01-01'),

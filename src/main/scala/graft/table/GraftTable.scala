@@ -1337,9 +1337,29 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // `spark.sql.adaptive.advisoryPartitionSizeInBytes` and coalesces tiny
     // ones — bounded file sizes AND write parallelism on skewed partitions
     // (the Iceberg `write.target-file-size-bytes` + hash-distribution pair).
-    val distributed =
-      if (partCols.nonEmpty) df.hint("rebalance", partCols: _*) else df
     val props = properties
+    // Transform partitioning (the Iceberg `days(ts)`-style partition spec,
+    // recorded by the SQL CREATE TABLE bridge): a partition column missing
+    // from the frame derives from its source column here, so writers hand in
+    // LOGICAL rows and the layout stays transform-partitioned. Reads drop
+    // the derived column automatically (it is not in the logical schema).
+    val transformDefs: Map[String, (String, String)] =
+      props.get(PartitionTransformsProp).map(_.split(";").toSeq.flatMap { s =>
+        PartitionTransformRe.findFirstMatchIn(s).map(m =>
+          m.group(3) -> (m.group(1), m.group(2)))
+      }.toMap).getOrElse(Map.empty)
+    val withDerived = partCols.filterNot(df.columns.contains).foldLeft(df) { (d, pc) =>
+      transformDefs.get(pc) match {
+        case Some(("days", src)) => d.withColumn(pc, to_date(col(src)))
+        case Some(("months", src)) => d.withColumn(pc, trunc(col(src).cast("date"), "month"))
+        case Some(("years", src)) => d.withColumn(pc, trunc(col(src).cast("date"), "year"))
+        case Some(("hours", src)) => d.withColumn(pc, date_trunc("hour", col(src)))
+        case other => throw new IllegalArgumentException(
+          s"partition column $pc is not in the data and has no derivable transform ($other)")
+      }
+    }
+    val distributed =
+      if (partCols.nonEmpty) withDerived.hint("rebalance", partCols: _*) else df
     // Per-call sort wins; otherwise the sticky `write.sort-order` property
     // (the Iceberg WRITE ORDERED BY table setting) applies to every append,
     // so a clustered table stays clustered without each writer remembering —
@@ -1610,6 +1630,14 @@ object GraftTable {
     * per-call sort argument overrides it.
     */
   val SortOrderProp = "write.sort-order"
+
+  /** Property: semicolon-separated partition transforms,
+    * `fn(srcCol)=partCol` each (e.g. `days(event_ts)=event_ts_day`) — the
+    * Iceberg transform-partition-spec analog. `writeDataFiles` derives the
+    * partition column from the source column when the frame lacks it.
+    */
+  val PartitionTransformsProp = "write.partition-transforms"
+  private[table] val PartitionTransformRe = """(\w+)\(([\w.]+)\)=([\w.]+)""".r
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse

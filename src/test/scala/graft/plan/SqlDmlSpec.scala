@@ -134,17 +134,29 @@ class SqlDmlSpec extends SparkSpec {
   }
 
   test("the reference's spark script statements run verbatim end to end") {
+    // bootstrap_namespace.sql + create_sales_events.sql (days transform,
+    // TBLPROPERTIES, the Iceberg-extension WRITE ORDERED BY) +
     // bulk_insert_sales_events.sql + read_sales_events.sql +
     // update_sales_events.sql + delete_sales_events.sql +
     // time_travel_validate.sql, with the template placeholders rendered —
     // every statement shape the reference's spark engine executes.
-    import spark.implicits._
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING, " +
-        "qty BIGINT, price DOUBLE, country STRING, ds DATE")
-    val t = GraftTable.create(spark, scratchDir("sqldml-suite"), schema)
     val eng = new SparkSqlEngine(spark)
-    eng.registerGraftTable("sales_events", t)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-cat"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE IF NOT EXISTS analytics")
+    eng.execute("""
+      CREATE TABLE IF NOT EXISTS analytics.sales_events (
+        event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING,
+        qty BIGINT, price DOUBLE, country STRING, ds DATE
+      )
+      USING iceberg
+      PARTITIONED BY (days(event_ts))
+      TBLPROPERTIES ('write.distribution-mode'='hash')""")
+    eng.execute("ALTER TABLE analytics.sales_events WRITE ORDERED BY event_ts, tenant_id")
+    val t = cat.loadTable("analytics", "sales_events")
+    assert(t.latest.partitionCols == List("event_ts_day"))
+    assert(t.properties.get("write.sort-order").contains("event_ts,tenant_id"))
+    assert(t.properties.get("write.distribution-mode").contains("hash"))
 
     // bulk insert (8 rows) then its two validation reads
     eng.execute("""
