@@ -413,6 +413,37 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     def partPoint(f: FileEntry, phys: String): Option[String] =
       f.partitionValues.get(phys).filterNot(_.contains('%'))
         .flatMap(v => scala.util.Try(GraftTable.toPhysicalBound(dt, v)).toOption)
+    // days()-transform pruning (the Iceberg partition-transform scan
+    // planning): when the queried column is the SOURCE of a days transform,
+    // each file's day-partition value bounds its rows to [day 00:00, day+1)
+    // in physical micros — whole days outside the range drop without a
+    // footer consult. Wall-clock-exact only for NTZ timestamps (or TZ
+    // timestamps under a UTC session); otherwise skipped conservatively.
+    val dayPartitionOf: Map[String, String] = {
+      val wallClockMicros = dt == TimestampNTZType ||
+        (dt == TimestampType &&
+          spark.sessionState.conf.getConfString("spark.sql.session.timeZone", "")
+            .matches("UTC|\\+00:00|Etc/UTC|GMT"))
+      if (!wallClockMicros) Map.empty
+      else scala.util.Try(properties).getOrElse(Map.empty)
+        .get(GraftTable.PartitionTransformsProp).map(_.split(";").toSeq.flatMap {
+          case GraftTable.PartitionTransformRe("days", src, pc) => Some(src -> pc)
+          case _ => None
+        }.toMap).getOrElse(Map.empty)
+    }
+    def dayKeep(f: FileEntry, phys: String): Boolean =
+      dayPartitionOf.get(phys).flatMap(f.partitionValues.get) match {
+        case Some("__HIVE_DEFAULT_PARTITION__") =>
+          false // null-source rows never match a range predicate
+        case Some(v) if !v.contains('%') =>
+          scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall { d =>
+            val dayStart = d.toEpochDay * 86400000000L
+            val dayMax = dayStart + 86400000000L - 1
+            loS.forall(l => cmp(dayMax.toString, l).forall(_ >= 0)) &&
+              hiS.forall(h => cmp(dayStart.toString, h).forall(_ <= 0))
+          }
+        case _ => true
+      }
     val selected = snap.files.filter { f =>
       nameAt(epochOf(f.writtenAt)) match {
         case None => true
@@ -432,7 +463,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
             }
             case None => true
           }
-          partKeep && statsKeep
+          partKeep && statsKeep && dayKeep(f, phys)
       }
     }
     (selected, snap.files.size)

@@ -209,6 +209,32 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.readBetween("dt", "2024-02-09", "2024-02-12").count() === 4)
   }
 
+  test("days-transform partition values prune ts ranges without footer stats") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-daytransform-")
+    def ldt(day: Int, h: Int) = java.time.LocalDateTime.of(2024, 3, day, h, 0)
+    val rows = for (d <- 1 to 4; h <- 0 until 6) yield (d * 100L + h, ldt(d, h * 4))
+    val df = rows.toDF("id", "ts")
+    val t = GraftTable.create(spark, dir, df.schema,
+      partitionCols = Seq("ts_day"),
+      properties = Map(GraftTable.PartitionTransformsProp -> "days(ts)=ts_day"))
+    t.append(df) // ts_day derives at write; four day directories
+    val snap = t.latest
+    assert(snap.files.forall(_.partitionValues.contains("ts_day")))
+    // strip footer stats: only the day-partition values can prune now
+    val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+    val (sel, total) = t.planBetween(statless, "ts", ldt(2, 10), ldt(2, 14))
+    assert(total == snap.files.size && sel.nonEmpty)
+    assert(sel.forall(_.partitionValues("ts_day") == "2024-03-02"),
+      s"only day-2 files may survive, got ${sel.map(_.partitionValues)}")
+    // the real read (stats + transform) stays exact
+    assert(t.readBetween("ts", ldt(2, 10), ldt(2, 14)).select("id")
+      .collect().map(_.getLong(0)).sorted === Array(203L))
+    // a range spanning a day boundary keeps both days
+    val (sel2, _) = t.planBetween(statless, "ts", ldt(2, 20), ldt(3, 4))
+    assert(sel2.map(_.partitionValues("ts_day")).toSet == Set("2024-03-02", "2024-03-03"))
+  }
+
   test("partition-value range pruning skips whole partitions (no footer stats needed)") {
     import spark.implicits._
     val dir = scratchDir("statsprune-part-")
