@@ -117,6 +117,46 @@ object Dml {
     }
   }
 
+  /** IN-list ceiling for point-per-value file pruning: beyond this many
+    * literals the per-value metadata passes stop paying for themselves and
+    * the predicate plans conservatively (all candidate files kept).
+    */
+  private val InListPruneCeiling = 32
+
+  /** Conjunctive `col IN (v1, ..., vN)` lists from a DML predicate (each
+    * value a foldable literal; N ≤ `InListPruneCeiling`). A small key list —
+    * the CDC-style `DELETE WHERE k IN (...)` shape — prunes files per VALUE,
+    * which is far tighter than a [min, max] envelope when the keys are
+    * sparse over a clustered table.
+    */
+  private[dml] def predicateInLists(t: GraftTable, planned: Snapshot,
+      pred: Column): Map[String, Seq[Any]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val schema = org.apache.spark.sql.types.DataType.fromJson(planned.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val empty = t.spark.createDataFrame(
+      t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved: Seq[Expression] = empty.filter(pred).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    def lit(e: Expression): Option[Any] = e match {
+      case e if e.foldable && !e.exists(_.isInstanceOf[AttributeReference]) =>
+        Option(e.eval(null)).map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Seq[Any])] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case In(a: AttributeReference, vs) if vs.size <= InListPruneCeiling =>
+        val lits = vs.map(lit)
+        if (lits.forall(_.isDefined)) Seq(a.name -> lits.flatten) else Nil
+      case _ => Nil
+    }
+    resolved.flatMap(walk).toMap
+  }
+
   /** Conjunctive IS NULL / IS NOT NULL facts from a DML predicate — the
     * null-count pruning hook (`GraftTable.planNullability`). Only top-level
     * AND conjuncts over a bare column contribute; a contradiction (both
@@ -162,10 +202,22 @@ object Dml {
     }
     val nullability = scala.util.Try(predicateNullability(t, planned, pred))
       .getOrElse(Map.empty[String, Boolean])
-    val candidates = nullability.foldLeft(ranged) {
+    val nulled = nullability.foldLeft(ranged) {
       case (files, (c, isNull)) => scala.util.Try(
         t.planNullability(planned.copy(files = files.toList), c, isNull)._1
       ).getOrElse(files)
+    }
+    // IN-lists prune per VALUE: a file survives iff at least one listed key
+    // could live in it, the union of the per-point planBetween passes.
+    val inLists = scala.util.Try(predicateInLists(t, planned, pred))
+      .getOrElse(Map.empty[String, Seq[Any]])
+    val candidates = inLists.foldLeft(nulled) {
+      case (files, (c, vs)) => scala.util.Try {
+        val sub = planned.copy(files = files.toList)
+        val keep = vs.map(v => t.planBetween(sub, c, v, v)._1.map(_.path).toSet)
+          .foldLeft(Set.empty[String])(_ ++ _)
+        files.filter(f => keep.contains(f.path))
+      }.getOrElse(files)
     }
     (candidates, total)
   }

@@ -71,6 +71,29 @@ class DmlPlanningSpec extends SparkSpec {
     assert(t.readLatest().count() === 399)
   }
 
+  test("DML planning prunes IN-lists per value, tighter than a min/max envelope") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("dml-inprune-"),
+      Seq((1L, "a")).toDF("k", "v").schema)
+    (0 until 4).foreach { i =>
+      t.append((i * 100 until i * 100 + 100).map(j => (j.toLong, s"v$j"))
+        .toDF("k", "v").coalesce(1))
+    }
+    val planned = t.latest
+    // keys from files 0 and 3 only: a [5, 305] envelope would keep all four
+    val (c1, total) = Dml.planningCandidates(t, planned,
+      col("k").isin(5L, 7L, 305L))
+    assert(total === 4 && c1.size === 2,
+      s"per-value pruning must skip the middle files, got ${c1.size}")
+    // past the ceiling: conservative full set (33 values)
+    val big = (0L until 33L).map(_ * 10L)
+    val (c2, _) = Dml.planningCandidates(t, planned, col("k").isin(big: _*))
+    assert(c2.size === 4)
+    // end-to-end exactness
+    Dml.delete(t, col("k").isin(5L, 7L, 305L))
+    assert(t.readLatest().count() === 397)
+  }
+
   test("DML planning prunes on IS NULL / IS NOT NULL via null counts") {
     import spark.implicits._
     val df = ((1 to 10).map(i => (i.toLong, Some(i.toLong))) ++
