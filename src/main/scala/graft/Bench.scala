@@ -158,7 +158,12 @@ object Bench {
     val rp = phaseJson(refPhases)
     val er = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibrationSec,"queries":$qs,"phases":$ph,"ref_phases":$rp,"reps":$reps,"write_rows":$writeRows,"errors":$er,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Field order is deliberate (VERDICT r8 "what's wrong" #1): the harness
+    // stores only the output TAIL, so the large per-query map goes FIRST and
+    // every small summary scalar — calibration_sec above all, the very field
+    // built for cross-round normalization — lands at the END of the line
+    // where truncation can't eat it.
+    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"unit":"sec","value":$total}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

@@ -66,9 +66,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     // SQL DML over a registered snapshot table routes to the table layer's
     // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
     // views); whole-table COUNT(*) answers from snapshot metadata; VERSION /
-    // TIMESTAMP AS OF rewrites to snapshot-pinned views. The refreshed state
-    // is re-registered before the next statement by pruneGraftViews'
-    // per-statement reset.
+    // TIMESTAMP AS OF rewrites to snapshot-pinned views.
     def capture(df: org.apache.spark.sql.DataFrame): StatementResult =
       if (Sql.capturesRows(statement)) {
         val rows = df.take(maxResultRows).map(r =>
@@ -78,18 +76,35 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         df.collect()
         StatementResult(statement, Nil, None)
       }
+    // Every route that READS a registered view resets it to the table's
+    // latest full snapshot first. A prior statement's pruned registration
+    // (file-shrunk view) or pre-commit registration must never leak — a DML
+    // whose source subquery reads a registered view would otherwise silently
+    // commit rows computed from a stale or file-pruned view (the read path
+    // alone resetting was not enough). The metadata-only routes (DDL,
+    // COUNT(*) pushdown) answer without touching any view and skip the
+    // refresh — metadata must keep answering even when data files are gone.
     SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable)
-      .orElse(SqlDml.tryExecute(spark, statement, graftViews.toMap))
       .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
       .orElse {
-        // refresh/prune the registered views BEFORE any read path — a
-        // statement mixing a travel relation with the current view must see
-        // the latest snapshot in its non-travel half
+        refreshGraftViews()
+        SqlDml.tryExecute(spark, statement, graftViews.toMap).map { r =>
+          // the DML committed a new snapshot: re-register immediately so
+          // even out-of-band spark.sql readers (not routed through execute)
+          // see it
+          refreshGraftViews(); r
+        }
+      }
+      .orElse {
         pruneGraftViews(statement)
         SqlDml.tryReadRewrites(spark, statement, graftViews.toMap).map(capture)
       }
       .getOrElse(capture(spark.sql(statement)))
   }
+
+  /** Reset every registered view to its table's latest full snapshot. */
+  private def refreshGraftViews(): Unit =
+    graftViews.foreach { case (n, t) => t.readLatest().createOrReplaceTempView(n) }
 
   /** Parse (never execute) `statement`; for each Filter sitting on a
     * registered view, intersect the per-column range bounds into a pruned
@@ -97,10 +112,8 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     */
   private def pruneGraftViews(statement: String): Unit = {
     if (graftViews.isEmpty) return
-    // Reset every registered view to the FULL latest snapshot first: a prior
-    // statement's pruned registration must never leak into this one (an
-    // unfiltered follow-up read would silently miss rows).
-    graftViews.foreach { case (n, t) => t.readLatest().createOrReplaceTempView(n) }
+    // views were reset to the full latest snapshot by execute's
+    // refreshGraftViews() before any route ran; this pass only narrows
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case _: Throwable => return }

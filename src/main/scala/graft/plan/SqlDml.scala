@@ -245,8 +245,16 @@ object SqlDml {
     }
   }
 
+  /** Anchored to the statement HEAD (`\A`) and matched in full (Scala's
+    * regex pattern match uses `matches()`): only a statement that IS an
+    * `ALTER TABLE ... WRITE ORDERED BY ...` routes here — a statement merely
+    * CONTAINING the phrase (e.g. inside a string literal) never can, because
+    * it would have to start with something other than ALTER TABLE. The
+    * column list is restricted to identifier characters so a trailing quote
+    * or parenthesis (a literal's closing syntax) breaks the match.
+    */
   private val WriteOrderedByRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+([\w.`,\s]+?)\s*;?\s*\z""".r
 
   /** SQL DDL against a registered catalog — the remaining statement shapes
     * of the reference's spark scripts (`bootstrap_namespace.sql:1`,
@@ -363,8 +371,10 @@ object SqlDml {
     *    rewritten to a fresh temp view materialized at that snapshot
     *    (version id, or a foldable timestamp for `TIMESTAMP AS OF`);
     *  - metadata tables (`bulk_insert_sales_events.sql:14-17`,
-    *    `SELECT ... FROM ns.t.snapshots`): a relation whose trailing part
-    *    names a metadata table of a registered view reads that DataFrame.
+    *    `SELECT ... FROM t.snapshots`): a two-part relation whose head is a
+    *    registered view and whose trailing part names a metadata table reads
+    *    that DataFrame (exactly `<view>.<suffix>` — a longer qualified name
+    *    is a different table, never resolved by its last parts).
     *
     * The rewritten plan runs through the session analyzer, so both compose
     * with any surrounding statement shape — subqueries included, and the
@@ -387,9 +397,14 @@ object SqlDml {
     }
     // transformUpWithSubqueries, not transformUp: a rewritable relation
     // inside a scalar subquery lives in an expression's nested plan
+    // Same exact-name rule as target(): registered views are single-part, so
+    // a travel relation routes only on a bare name, and a metadata suffix
+    // only as `<view>.<suffix>` — `otherdb.sales` / `otherdb.sales.snapshots`
+    // must not resolve against a registered `sales`.
     val rewritten = parsed.transformUpWithSubqueries {
       case RelationTimeTravel(r: UnresolvedRelation, ts, version)
-          if tables.contains(r.multipartIdentifier.last.toLowerCase) =>
+          if r.multipartIdentifier.size == 1 &&
+            tables.contains(r.multipartIdentifier.last.toLowerCase) =>
         val t = tables(r.multipartIdentifier.last.toLowerCase)
         val df = (version, ts) match {
           case (Some(v), _) => t.readVersionAsOf(v.toLong)
@@ -405,7 +420,7 @@ object SqlDml {
         }
         registered(df, r.multipartIdentifier.last, "travel")
       case r: UnresolvedRelation
-          if r.multipartIdentifier.size >= 2 &&
+          if r.multipartIdentifier.size == 2 &&
             MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
             tables.contains(r.multipartIdentifier.init.last.toLowerCase) =>
         val base = r.multipartIdentifier.init.last
@@ -415,13 +430,20 @@ object SqlDml {
     if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))
   }
 
-  /** Resolve a DML target plan to (alias-or-name, registered table). */
+  /** Resolve a DML target plan to (alias-or-name, registered table).
+    * ONLY an exact bare single-part name routes: registered views are
+    * single-part, so a qualified relation (`otherdb.sales`) is a DIFFERENT
+    * table even when its last part collides with a registered view name —
+    * matching by last part would hijack it (execute the DML against the
+    * registered table, silently). Qualified names fall through to spark.sql,
+    * which fails loudly for DML over an unknown relation.
+    */
   private def target(plan: LogicalPlan, tables: Map[String, GraftTable])
       : Option[(String, GraftTable)] = plan match {
     case SubqueryAlias(id, child) =>
       target(child, tables).map { case (_, t) => (id.name, t) }
-    case r: UnresolvedRelation =>
-      val name = r.multipartIdentifier.last
+    case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
+      val name = r.multipartIdentifier.head
       tables.get(name.toLowerCase).map(t => (name, t))
     case _ => None
   }

@@ -64,20 +64,35 @@ object TableFollow {
     // the changelog reconstruction per consumer.
     val chg = src.readChangelog(fromId, toId).persist()
     try {
-      // Net effect per key: rows at the key's MAXIMAL commit in range decide.
-      // An upsert commit emits delete+insert under one id — the insert rows
-      // are the final state; a delete-only maximal commit means the key is
-      // gone; an append's multiple rows per key all survive together.
+      // Net effect per key, replay semantics: APPEND commits are ADDITIVE —
+      // a key appended in two separate commits in range keeps BOTH commits'
+      // rows, and a key with only appends in range keeps its pre-range
+      // mirror rows too (it never enters the delete-key file). Only a
+      // delete-bearing commit clears: insert rows survive iff they sit at or
+      // after the key's LAST delete-bearing commit (an upsert emits
+      // delete+insert under ONE id, so its own inserts survive as the
+      // replacement; a delete-only maximal commit means the key is gone).
       val keyC = keyCols.map(col)
-      val maxCommit = max(col("_commit_snapshot_id")).over(Window.partitionBy(keyC: _*))
-      val lastRows = chg.withColumn("_max_commit", maxCommit)
-        .filter(col("_commit_snapshot_id") === col("_max_commit"))
-      val finalRows = lastRows.filter(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_snapshot_id", "_max_commit")
-      val affectedKeys = chg.select(keyC: _*).distinct()
-      if (affectedKeys.isEmpty) return None // maintenance-only range: no state change
-      dst.commitMorDelta(affectedKeys, Some(finalRows), "follow-cdc",
-        extraSummary = Map(OffsetKey -> toId.toString))
+      val lastDel = max(when(col("_change_type") === "delete",
+        col("_commit_snapshot_id"))).over(Window.partitionBy(keyC: _*))
+      val marked = chg.withColumn("_last_del", lastDel)
+      val finalRows = marked.filter(col("_change_type") === "insert" &&
+          (col("_last_del").isNull || col("_commit_snapshot_id") >= col("_last_del")))
+        .drop("_change_type", "_commit_snapshot_id", "_last_del")
+      // Only keys a delete touched are cleared on the target; append-only
+      // keys stay out of the delete file so their existing mirror rows live.
+      val deleteKeys = marked.filter(col("_last_del").isNotNull)
+        .select(keyC: _*).distinct()
+      val hasDeletes = !deleteKeys.isEmpty
+      if (hasDeletes) {
+        dst.commitMorDelta(deleteKeys, Some(finalRows), "follow-cdc",
+          extraSummary = Map(OffsetKey -> toId.toString))
+      } else if (!finalRows.isEmpty) {
+        // append-only range: mirror it as a plain append (no delete file)
+        dst.append(finalRows, extraSummary = Map(OffsetKey -> toId.toString))
+      } else {
+        return None // maintenance-only range: no state change
+      }
       Some(toId)
     } finally chg.unpersist()
   }

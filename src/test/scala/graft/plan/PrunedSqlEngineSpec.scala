@@ -75,6 +75,35 @@ class PrunedSqlEngineSpec extends SparkSpec {
     assert(expr.rows.head("n") === 2L)
   }
 
+  test("DML reads the full latest view, never a prior statement's pruned registration") {
+    import spark.implicits._
+    // the advisor's stale-view case: a filtered read leaves a file-pruned
+    // registration; an INSERT INTO ... SELECT whose source is that view must
+    // still read EVERY file, or it silently commits a fraction of the rows
+    val t = kvTable("sqlprune-dml-stale-")
+    val dst = GraftTable.create(spark, scratchDir("sqlprune-dml-dst-"),
+      Seq((0L, "x")).toDF("k", "v").schema)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_src", t)
+    eng.registerGraftTable("kv_dst", dst)
+    eng.execute("SELECT k FROM kv_src WHERE k >= 35") // leaves 1-of-4 files registered
+    assert(eng.lastPrune("kv_src") === ((1, 4)))
+    eng.execute("INSERT INTO kv_dst SELECT * FROM kv_src")
+    assert(dst.readLatest().count() === 40L,
+      "INSERT read a stale file-pruned registration of its source view")
+  }
+
+  test("a DML commit re-registers the view for out-of-band readers immediately") {
+    import spark.implicits._
+    val t = kvTable("sqlprune-dml-refresh-")
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_ref2", t)
+    eng.execute("DELETE FROM kv_ref2 WHERE k >= 30")
+    // NOT routed through eng.execute: the temp view itself must already
+    // point at the post-commit snapshot
+    assert(spark.table("kv_ref2").count() === 30L)
+  }
+
   test("the registered view tracks the table's latest snapshot across commits") {
     import spark.implicits._
     val t = kvTable("sqlprune-fresh-")

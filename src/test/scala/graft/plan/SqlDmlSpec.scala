@@ -226,4 +226,48 @@ class SqlDmlSpec extends SparkSpec {
       eng.execute("DELETE FROM not_registered WHERE x = 1")
     }
   }
+
+  test("a qualified name ending in a registered view name is never hijacked") {
+    // the advisor's hijack case: `otherdb.sales` is a DIFFERENT table even
+    // though its last part collides with the registered `sales` — every
+    // routing path (DML, metadata count, meta tables, time travel) must fall
+    // through to spark.sql and fail loudly, leaving the registered table
+    // untouched
+    val (eng, t) = mkTable("sqldml-hijack")
+    val before = t.latest.snapshotId
+    intercept[Exception] {
+      eng.execute("UPDATE otherdb.sales SET price = 0 WHERE event_id = 1")
+    }
+    intercept[Exception] {
+      eng.execute("DELETE FROM otherdb.sales WHERE event_id = 1")
+    }
+    intercept[Exception] {
+      eng.execute("MERGE INTO otherdb.sales AS t USING (SELECT CAST(1 AS BIGINT) AS event_id) AS s " +
+        "ON t.event_id = s.event_id WHEN MATCHED THEN DELETE")
+    }
+    intercept[Exception] { eng.execute("SELECT COUNT(*) AS n FROM otherdb.sales") }
+    intercept[Exception] { eng.execute("SELECT * FROM otherdb.sales.snapshots") }
+    intercept[Exception] { eng.execute("SELECT * FROM otherdb.sales VERSION AS OF 1") }
+    assert(t.latest.snapshotId == before, "a qualified-name statement mutated the registered table")
+    // the bare registered name still routes
+    assert(eng.execute("SELECT COUNT(*) AS n FROM sales").rows.head("n") == 4L)
+  }
+
+  test("WRITE ORDERED BY routing is anchored to the statement head") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-wob-cat"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE wob")
+    eng.execute("CREATE TABLE wob.t (a BIGINT, c STRING) USING iceberg")
+    val t = cat.loadTable("wob", "t")
+    // a statement merely CONTAINING the phrase (string literal) must not set
+    // the sticky sort-order property — it is a plain read returning the text
+    val res = eng.execute("SELECT 'ALTER TABLE wob.t WRITE ORDERED BY c' AS s")
+    assert(res.rows.head("s") == "ALTER TABLE wob.t WRITE ORDERED BY c")
+    assert(t.properties.get(graft.table.GraftTable.SortOrderProp).isEmpty,
+      "a string literal containing the phrase set the table's sort order")
+    // the real statement still routes
+    eng.execute("ALTER TABLE wob.t WRITE ORDERED BY c, a")
+    assert(t.properties.get(graft.table.GraftTable.SortOrderProp).contains("c,a"))
+  }
 }

@@ -72,6 +72,37 @@ class TableFollowSpec extends SparkSpec {
     assert(content(dst) == Seq((1L, "a"), (1L, "a-again"), (2L, "b")))
   }
 
+  test("a key appended in TWO separate commits in one cycle keeps both commits' rows") {
+    import spark.implicits._
+    // the advisor's additive-append case: append is not a per-key
+    // replacement, so last-commit-wins must not drop the earlier commit's
+    // rows when the key saw only appends in range
+    val (src, dst) = mkPair("follow-two-appends")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    src.append(Seq((1L, "a-later"), (3L, "c")).toDF("k", "v"))
+    TableFollow.follow(src, dst, Seq("k"))
+    assert(content(dst) == Seq((1L, "a"), (1L, "a-later"), (2L, "b"), (3L, "c")))
+    assert(content(dst) == content(src))
+  }
+
+  test("an append-only cycle keeps a key's pre-range mirror rows (no spurious delete)") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow-additive")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TableFollow.follow(src, dst, Seq("k"))
+    // next cycle: the SAME key receives another append — its first-cycle
+    // mirror row must survive (appends never clear)
+    src.append(Seq((1L, "a2")).toDF("k", "v"))
+    TableFollow.follow(src, dst, Seq("k"))
+    assert(content(dst) == Seq((1L, "a"), (1L, "a2"), (2L, "b")))
+    assert(content(dst) == content(src))
+    // ...but a delete-bearing commit still clears: upsert replaces BOTH rows
+    Dml.upsertMor(src, Seq((1L, "final")).toDF("k", "v"), Seq("k"))
+    TableFollow.follow(src, dst, Seq("k"))
+    assert(content(dst) == Seq((1L, "final"), (2L, "b")))
+    assert(content(dst) == content(src))
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
