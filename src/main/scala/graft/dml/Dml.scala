@@ -208,16 +208,14 @@ object Dml {
       ).getOrElse(files)
     }
     // IN-lists prune per VALUE: a file survives iff at least one listed key
-    // could live in it, the union of the per-point planBetween passes.
+    // could live in it — the union of the per-point planBetween passes,
+    // which is also where bucket-transform partition pruning composes in.
     val inLists = scala.util.Try(predicateInLists(t, planned, pred))
       .getOrElse(Map.empty[String, Seq[Any]])
     val candidates = inLists.foldLeft(nulled) {
-      case (files, (c, vs)) => scala.util.Try {
-        val sub = planned.copy(files = files.toList)
-        val keep = vs.map(v => t.planBetween(sub, c, v, v)._1.map(_.path).toSet)
-          .foldLeft(Set.empty[String])(_ ++ _)
-        files.filter(f => keep.contains(f.path))
-      }.getOrElse(files)
+      case (files, (c, vs)) => scala.util.Try(
+        t.planPoints(planned.copy(files = files.toList), c, vs)._1
+      ).getOrElse(files)
     }
     (candidates, total)
   }

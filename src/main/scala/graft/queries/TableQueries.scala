@@ -539,6 +539,81 @@ object TableQueries {
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
     }),
 
+    // P4+S5 — bucket-transform METADATA pruning for point/IN-list lookups
+    // (VERDICT r8 ask #1; the reference's flagship lookup workload runs
+    // against bucket(16, user_id) partitioning and prunes to the matching
+    // buckets from metadata alone, blob_dfs/blob-dfs_bench.py:72,132-136).
+    // Footer stats are STRIPPED, so the recorded bucket partition values
+    // alone must select: a 3-key IN-list plans to ≤3 of the 16 bucket files
+    // (min/max bounds are near-useless for a hash-scattered key), and the
+    // pruned read still returns exactly the oracle's rows.
+    "t_bucket_prune" -> ((s, dir) => {
+      val data = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("bucket_prune"), data.schema,
+        partitionCols = Seq("custkey_bucket"),
+        properties = Map(GraftTable.PartitionTransformsProp ->
+          "bucket(16,o_custkey)=custkey_bucket"))
+      t.append(data)
+      val keys: Seq[Any] = Seq(37L, 223L, 1141L)
+      val snap = t.latest
+      val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+      val (sel, total) = t.planPoints(statless, "o_custkey", keys)
+      t.readSnapshot(statless.copy(files = sel.toList))
+        .filter(col("o_custkey").isin(keys: _*))
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("files_pruned", lit(sel.size <= keys.size && sel.size < total))
+    }),
+
+    // P3+S5 — months()-transform metadata pruning end to end (VERDICT r8
+    // ask #2's oracle face; per-granularity boundary cases live in
+    // StatsPruneSpec): a quarter-range read over a months(ts)-partitioned
+    // year plans from the recorded month values alone (footer stats
+    // stripped) and matches the oracle's date-range aggregate.
+    "t_month_prune" -> ((s, dir) => {
+      // orders' first year (testdata o_orderdate spans 1995..2001) → exactly
+      // 12 month partitions; the quarter range must plan to 3 of them
+      val data = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1996-01-01 00:00:00"))
+      val t = GraftTable.create(s, scratch("month_prune"), data.schema,
+        partitionCols = Seq("od_month"),
+        properties = Map(GraftTable.PartitionTransformsProp ->
+          "months(o_orderdate)=od_month"))
+      t.append(data)
+      val snap = t.latest
+      val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+      val (sel, total) = t.planBetween(statless, "o_orderdate",
+        "1995-04-01 00:00:00", "1995-06-30 23:59:59")
+      t.readSnapshot(statless.copy(files = sel.toList))
+        .filter(col("o_orderdate") >= lit("1995-04-01 00:00:00") &&
+          col("o_orderdate") <= lit("1995-06-30 23:59:59"))
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("files_pruned", lit(sel.size == 3 && total == 12))
+    }),
+
+    // P5+S5 — truncate()-transform prefix pruning (VERDICT r8 ask #6, spec
+    // ICEBERG-Interoperability-Test-Spec.md:79 truncate(sku,N)): a recorded
+    // prefix value bounds the column to [prefix, next), so string equality
+    // prunes to the matching prefix's files from partition values alone.
+    "t_truncate_prune" -> ((s, dir) => {
+      val data = Tables.orders(s, dir)
+      val t = GraftTable.create(s, scratch("truncate_prune"), data.schema,
+        partitionCols = Seq("prio_pfx"),
+        properties = Map(GraftTable.PartitionTransformsProp ->
+          "truncate(1,o_orderpriority)=prio_pfx"))
+      t.append(data)
+      val snap = t.latest
+      val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+      val (sel, total) = t.planBetween(statless, "o_orderpriority",
+        "3-MEDIUM", "3-MEDIUM")
+      t.readSnapshot(statless.copy(files = sel.toList))
+        .filter(col("o_orderpriority") === "3-MEDIUM")
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("files_pruned", lit(sel.size == 1 && total == 5))
+    }),
+
     // J1 at the spec's large-source scale (ICEBERG-Interoperability-Test-
     // Spec.md:72 — 75% inserts implies a source comparable to the target):
     // the whole orders table merges into a half-sized target with the
@@ -980,6 +1055,22 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders WHERE substring(o_orderpriority, 1, 1) = '3'""",
+    "t_bucket_prune" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           TRUE AS files_pruned
+         FROM orders WHERE o_custkey IN (37, 223, 1141)""",
+    "t_month_prune" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           TRUE AS files_pruned
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1995-06-30 23:59:59'""",
+    "t_truncate_prune" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           TRUE AS files_pruned
+         FROM orders WHERE o_orderpriority = '3-MEDIUM'""",
     "t_merge_large_source" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price

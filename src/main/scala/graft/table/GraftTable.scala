@@ -51,11 +51,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 
   def schema: StructType = DataType.fromJson(latest.schemaJson).asInstanceOf[StructType]
 
+  /** Sum of per-file row counts, or None when any file's count is the -1
+    * unknown sentinel — summing the sentinel in would silently corrupt the
+    * total; a null row count is the honest answer.
+    */
+  private def knownRowTotal(fs: Seq[FileEntry]): Option[Long] =
+    if (fs.exists(_.rowCount < 0)) None else Some(fs.map(_.rowCount).sum)
+
   /** S8/S9 — the snapshots metadata table as a DataFrame. */
   def snapshots(): DataFrame = {
     import spark.implicits._
     snapshotsList.map(s => (s.snapshotId, s.parentId, new java.sql.Timestamp(s.committedAt),
-      s.operation, s.files.size.toLong, s.files.map(_.rowCount).sum))
+      s.operation, s.files.size.toLong, knownRowTotal(s.files)))
       .toDF("snapshot_id", "parent_id", "committed_at", "operation", "n_files", "total_rows")
   }
 
@@ -80,8 +87,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   /** Partition-level metadata table (the Iceberg `.partitions` analog):
     * per-partition file and row counts plus total bytes, computed from
     * snapshot METADATA alone — no data file is opened, so it stays O(files)
-    * driver work at any data scale. Rows with unknown counts (-1) are
-    * surfaced as-is rather than silently summed away.
+    * driver work at any data scale. A partition holding any file with an
+    * unknown (-1) row count reports a NULL total_rows rather than silently
+    * summing the sentinel in.
     */
   def partitions(): DataFrame = {
     import spark.implicits._
@@ -90,7 +98,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       .map { case (pv, fs) =>
         val key = snap.partitionCols.map(c => s"$c=${pv.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
           .mkString("/")
-        (key, fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+        (key, fs.size.toLong, knownRowTotal(fs), fs.map(_.sizeBytes).sum)
       }
       .sortBy(_._1)
       .toDF("partition", "n_files", "total_rows", "total_bytes")
@@ -413,36 +421,65 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     def partPoint(f: FileEntry, phys: String): Option[String] =
       f.partitionValues.get(phys).filterNot(_.contains('%'))
         .flatMap(v => scala.util.Try(GraftTable.toPhysicalBound(dt, v)).toOption)
-    // days()-transform pruning (the Iceberg partition-transform scan
-    // planning): when the queried column is the SOURCE of a days transform,
-    // each file's day-partition value bounds its rows to [day 00:00, day+1)
-    // in physical micros — whole days outside the range drop without a
-    // footer consult. Wall-clock-exact only for NTZ timestamps (or TZ
-    // timestamps under a UTC session); otherwise skipped conservatively.
-    val dayPartitionOf: Map[String, String] = {
-      val wallClockMicros = dt == TimestampNTZType ||
-        (dt == TimestampType &&
-          spark.sessionState.conf.getConfString("spark.sql.session.timeZone", "")
-            .matches("UTC|\\+00:00|Etc/UTC|GMT"))
-      if (!wallClockMicros) Map.empty
-      else scala.util.Try(properties).getOrElse(Map.empty)
-        .get(GraftTable.PartitionTransformsProp).map(_.split(";").toSeq.flatMap {
-          case GraftTable.PartitionTransformRe("days", src, pc) => Some(src -> pc)
-          case _ => None
-        }.toMap).getOrElse(Map.empty)
-    }
-    def dayKeep(f: FileEntry, phys: String): Boolean =
-      dayPartitionOf.get(phys).flatMap(f.partitionValues.get) match {
-        case Some("__HIVE_DEFAULT_PARTITION__") =>
-          false // null-source rows never match a range predicate
-        case Some(v) if !v.contains('%') =>
-          scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall { d =>
-            val dayStart = d.toEpochDay * 86400000000L
-            val dayMax = dayStart + 86400000000L - 1
-            loS.forall(l => cmp(dayMax.toString, l).forall(_ >= 0)) &&
-              hiS.forall(h => cmp(dayStart.toString, h).forall(_ <= 0))
+    // Transform-partition pruning (the Iceberg partition-transform scan
+    // planning): when the queried column is the SOURCE of a recorded
+    // transform, each file's transform partition value constrains its rows —
+    // time granularities bound them to [start, next) in physical micros /
+    // epoch-days, truncate(N) prefixes bound strings to [prefix, next), and
+    // bucket(N) pins a POINT predicate's file set to the value's hash
+    // bucket (the min/max-proof lookup case: a hash-scattered key has
+    // near-useless footer bounds, but exactly one bucket). Whole files drop
+    // without a footer consult. Time derivation is UTC-pinned at write
+    // (`transformColumn`), so instant-domain comparison is sound under ANY
+    // read session timezone. Anything unparseable keeps the file.
+    val transformsOnCol: Seq[GraftTable.TransformDef] =
+      GraftTable.parseTransforms(scala.util.Try(properties).getOrElse(Map.empty))
+    // [start, end] overlap test against the query range, physical domain
+    def overlaps(min: Long, max: Long): Boolean =
+      loS.forall(l => cmp(max.toString, l).forall(_ >= 0)) &&
+        hiS.forall(h => cmp(min.toString, h).forall(_ <= 0))
+    val isPoint = loS.isDefined && loS == hiS
+    def keepFor(td: GraftTable.TransformDef, v: String): Boolean = td.fn match {
+      case "days" | "months" | "years" =>
+        scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall { d =>
+          val end = td.fn match {
+            case "days" => d.plusDays(1)
+            case "months" => d.plusMonths(1)
+            case _ => d.plusYears(1)
           }
-        case _ => true
+          dt match {
+            case DateType => overlaps(d.toEpochDay, end.toEpochDay - 1)
+            case TimestampType | TimestampNTZType =>
+              overlaps(d.toEpochDay * 86400000000L, end.toEpochDay * 86400000000L - 1)
+            case _ => true
+          }
+        }
+      case "hours" =>
+        scala.util.Try(v.toLong).toOption.forall { h =>
+          dt match {
+            case TimestampType | TimestampNTZType =>
+              overlaps(h * 3600000000L, (h + 1) * 3600000000L - 1)
+            case _ => true
+          }
+        }
+      case "bucket" if isPoint =>
+        (for (n <- td.arg; b <- GraftTable.bucketOf(dt, lo, n))
+          yield v == b.toString).getOrElse(true)
+      case "truncate" if dt == StringType =>
+        // rows in this file all carry prefix v: their domain is [v, next)
+        hiS.forall(h => cmp(v, h).forall(_ <= 0)) &&
+          GraftTable.nextPrefix(v).forall(np =>
+            loS.forall(l => cmp(np, l).forall(_ > 0)))
+      case _ => true
+    }
+    def transformKeep(f: FileEntry, phys: String): Boolean =
+      transformsOnCol.filter(_.src == phys).forall { td =>
+        f.partitionValues.get(td.pc) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") =>
+            false // null-source rows never match a range predicate
+          case Some(v) if !v.contains('%') => keepFor(td, v)
+          case _ => true // absent or hive-escaped: keep
+        }
       }
     val selected = snap.files.filter { f =>
       nameAt(epochOf(f.writtenAt)) match {
@@ -463,7 +500,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
             }
             case None => true
           }
-          partKeep && statsKeep && dayKeep(f, phys)
+          partKeep && statsKeep && transformKeep(f, phys)
       }
     }
     (selected, snap.files.size)
@@ -667,6 +704,32 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       case (None, Some(h))    => base.filter(c <= lit(h))
       case _                  => base
     }
+  }
+
+  /** Per-value point planning for IN-list lookups: the union of each
+    * value's `planBetween` point pass. Far tighter than one [min, max]
+    * envelope when the keys are sparse over a clustered table — and the
+    * composition point where bucket-transform pruning bites (each point
+    * keeps only its own hash bucket's files; the reference's flagship
+    * lookup workload runs against `bucket(16, user_id)` partitioning,
+    * `blob_dfs/blob-dfs_bench.py:72,132-136`). Returns (selected, total).
+    */
+  def planPoints(snap: Snapshot, colName: String, values: Seq[Any])
+      : (Seq[FileEntry], Int) = {
+    val keep = values.map(v => planBetween(snap, colName, v, v)._1.map(_.path).toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    (snap.files.filter(f => keep.contains(f.path)), snap.files.size)
+  }
+
+  /** Read rows where `colName` is one of `values` through per-point file
+    * pruning (stats, partition values, bucket transform), with the exact
+    * IN predicate over the surviving files.
+    */
+  def readIn(colName: String, values: Seq[Any]): DataFrame = {
+    val snap = latest
+    val (selected, _) = planPoints(snap, colName, values)
+    readSnapshot(snap.copy(files = selected.toList))
+      .filter(col(colName).isin(values: _*))
   }
 
   /** Incremental append scan (the Iceberg incremental-read analog:
@@ -1374,19 +1437,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // from the frame derives from its source column here, so writers hand in
     // LOGICAL rows and the layout stays transform-partitioned. Reads drop
     // the derived column automatically (it is not in the logical schema).
-    val transformDefs: Map[String, (String, String)] =
-      props.get(PartitionTransformsProp).map(_.split(";").toSeq.flatMap { s =>
-        PartitionTransformRe.findFirstMatchIn(s).map(m =>
-          m.group(3) -> (m.group(1), m.group(2)))
-      }.toMap).getOrElse(Map.empty)
+    val transformDefs: Map[String, GraftTable.TransformDef] =
+      GraftTable.parseTransforms(props).map(td => td.pc -> td).toMap
     val withDerived = partCols.filterNot(df.columns.contains).foldLeft(df) { (d, pc) =>
       transformDefs.get(pc) match {
-        case Some(("days", src)) => d.withColumn(pc, to_date(col(src)))
-        case Some(("months", src)) => d.withColumn(pc, trunc(col(src).cast("date"), "month"))
-        case Some(("years", src)) => d.withColumn(pc, trunc(col(src).cast("date"), "year"))
-        case Some(("hours", src)) => d.withColumn(pc, date_trunc("hour", col(src)))
-        case other => throw new IllegalArgumentException(
-          s"partition column $pc is not in the data and has no derivable transform ($other)")
+        case Some(td) => d.withColumn(pc, GraftTable.transformColumn(td, d.schema))
+        case None => throw new IllegalArgumentException(
+          s"partition column $pc is not in the data and has no derivable transform")
       }
     }
     val distributed =
@@ -1443,33 +1500,54 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // subdirectories broke Spark's partition discovery (conflicting
     // directory structures) as soon as one scan spanned two commits.
     val commitStr = hfs.makeQualified(commitDir).toString
-    // Publication + footer reads + stat calls run in parallel: a commit of
-    // thousands of files must not serialize O(files) driver-side round-trips
-    // (at local scale this is ms; against object storage it is the commit
-    // cost). The cost is bounded by files PER COMMIT, not table size — the
-    // ceiling guard below flags the mis-sized-write case loudly.
-    import scala.collection.parallel.CollectionConverters._
     val staged = listParquetFiles(commitDir)
-    GraftTable.footerStatsWarning(staged.size.toLong)
-      .foreach(w => System.err.println(s"[graft.table] $w"))
-    val par = staged.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(16))
-    val entries =
-      try {
-        par.map { staged =>
-          val rel = hfs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
-          val dest = new org.apache.hadoop.fs.Path(dataRoot, rel)
-          hfs.mkdirs(dest.getParent)
-          require(hfs.rename(staged, dest), s"could not publish $staged to $dest")
-          val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
-            .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
-          val status = hfs.getFileStatus(dest)
-          val (rows, stats) = footerMeta(dest)
-          FileEntry(rel, partVals, rows, status.getLen, snapshotId, stats)
-        }.seq.sortBy(_.path)
-      } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
-        .forkJoinPool.shutdown()
+    // Stats collection site (VERDICT r8 ask #5): at or past the threshold,
+    // publication + footer stats run as a SPARK JOB — each task renames its
+    // file and reads its own footer, returning one FileEntry (the Iceberg
+    // writer design: per-file metrics ride the tasks; the driver only
+    // collects O(files) bounded metadata). Below it, a 16-way driver loop —
+    // cheaper than a job for a handful of local files. Both sites produce
+    // IDENTICAL entries (TaskStatsSpec proves it), so the choice is pure
+    // cost, and the old 100k-file driver ceiling is retired on the task
+    // path: commit cost now scales with cluster width.
+    val threshold = props.get(GraftTable.TaskStatsThresholdProp)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(GraftTable.TaskStatsThresholdDefault)
+    val entries: Seq[FileEntry] =
+      if (staged.size >= threshold) {
+        val confEntries = {
+          import scala.jdk.CollectionConverters._
+          conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+        }
+        val dataRootStr = dataRoot.toString
+        val sc = spark.sparkContext
+        val stagedStrs = staged.map(_.toString)
+        val snapId = snapshotId
+        sc.parallelize(stagedStrs, math.max(1, math.min(stagedStrs.size, sc.defaultParallelism)))
+          .map(s => GraftTable.publishAndStat(confEntries, dataRootStr, commitStr, s, snapId))
+          .collect().toSeq.sortBy(_.path)
+      } else {
+        GraftTable.footerStatsWarning(staged.size.toLong)
+          .foreach(w => System.err.println(s"[graft.table] $w"))
+        import scala.collection.parallel.CollectionConverters._
+        val par = staged.par
+        par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+          new java.util.concurrent.ForkJoinPool(16))
+        try {
+          par.map { staged =>
+            val rel = hfs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
+            val dest = new org.apache.hadoop.fs.Path(dataRoot, rel)
+            hfs.mkdirs(dest.getParent)
+            require(hfs.rename(staged, dest), s"could not publish $staged to $dest")
+            val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+              .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+            val status = hfs.getFileStatus(dest)
+            val (rows, stats) = footerMeta(dest)
+            FileEntry(rel, partVals, rows, status.getLen, snapshotId, stats)
+          }.seq.sortBy(_.path)
+        } finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
+          .forkJoinPool.shutdown()
+      }
     hfs.delete(commitDir, true)
     entries
   }
@@ -1484,89 +1562,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     out.toSeq
   }
 
-  /** Row count + per-column `[min, max, nullCount]` stats from the parquet
-    * footer — one footer open serves all. Bounds are merged across row
-    * groups; a column's BOUNDS drop out if any row group carries no
-    * statistics (conservative: absent = never pruned), while its null count
-    * (the Iceberg `null_value_counts` analog — IS NULL pruning, metadata
-    * COUNT(col)) survives independently as long as every row group reports
-    * one. A file with a known null count but no bounds (all-null, or a
-    * NaN-poisoned float chunk) keeps `[n]` — see `StatEntry`, whose
-    * `allNull` requires `n == rowCount`, never shape alone. Binary (string)
-    * stats may be writer-truncated, but
-    * truncation only ever WIDENS the bound, so pruning against them stays
-    * sound. Only top-level primitive columns are tracked — nested paths
-    * (`a.b`) and logical types beyond int/float/string have engine-specific
-    * orderings and are skipped.
-    */
   private def footerMeta(p: org.apache.hadoop.fs.Path)
-      : (Long, Map[String, List[String]]) = {
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        val mins = scala.collection.mutable.Map[String, Comparable[Any]]()
-        val maxs = scala.collection.mutable.Map[String, Comparable[Any]]()
-        val nulls = scala.collection.mutable.Map[String, Long]()
-        val invalid = scala.collection.mutable.Set[String]()
-        val noNulls = scala.collection.mutable.Set[String]() // null count unusable
-        for (block <- reader.getFooter.getBlocks.asScala;
-             c <- block.getColumns.asScala) {
-          val name = c.getPath.toDotString
-          if (!name.contains('.') && statsComparable(c)) {
-            val st = c.getStatistics
-            if (st == null || st.isEmpty) {
-              invalid += name; mins -= name; maxs -= name
-              noNulls += name; nulls -= name
-            } else {
-              if (!noNulls(name)) {
-                if (st.isNumNullsSet) nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
-                else { noNulls += name; nulls -= name }
-              }
-              if (!invalid(name) && st.hasNonNullValue) {
-                val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
-                val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
-                if (mins.get(name).forall(_.compareTo(mn) > 0)) mins(name) = mn
-                if (maxs.get(name).forall(_.compareTo(mx) < 0)) maxs(name) = mx
-              } // all-null row group: bounds unaffected
-            }
-          }
-        }
-        val keys = mins.keySet ++ nulls.keySet
-        val stats = keys.flatMap { k =>
-          val bounds =
-            if (mins.contains(k)) List(renderStat(mins(k)), renderStat(maxs(k))) else Nil
-          val entry = bounds ++ nulls.get(k).map(_.toString).toList
-          if (entry.isEmpty) None else Some(k -> entry)
-        }.toMap
-        (reader.getRecordCount, stats)
-      } finally reader.close()
-    } catch { case _: Throwable => (-1L, Map.empty) }
-  }
-
-  /** Track only parquet primitives whose min/max ordering matches the engine's:
-    * plain int32/int64/float/double and UTF8-annotated binary. Logical types
-    * riding on these primitives (DATE on int32, TIMESTAMP on int64, nanos-as-
-    * long) order identically to their physical values, so they stay prunable.
-    * DECIMAL's unscaled-int ordering only matches within one scale — fine for
-    * a single column written by this table, which has one schema per file.
-    */
-  private def statsComparable(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    c.getPrimitiveType.getPrimitiveTypeName match {
-      case INT32 | INT64 | FLOAT | DOUBLE => true
-      case BINARY =>
-        c.getPrimitiveType.getLogicalTypeAnnotation ==
-          org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
-      case _ => false
-    }
-  }
-
-  private def renderStat(v: Comparable[Any]): String = (v: Any) match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case other => other.toString
-  }
+      : (Long, Map[String, List[String]]) = GraftTable.footerMeta(conf, p)
 
   /** Columns of a data file that carry a parquet bloom filter (first row
     * group; one footer probe) — the observable for bloom-filter specs and
@@ -1663,12 +1660,123 @@ object GraftTable {
   val SortOrderProp = "write.sort-order"
 
   /** Property: semicolon-separated partition transforms,
-    * `fn(srcCol)=partCol` each (e.g. `days(event_ts)=event_ts_day`) — the
-    * Iceberg transform-partition-spec analog. `writeDataFiles` derives the
-    * partition column from the source column when the frame lacks it.
+    * `fn(srcCol)=partCol` or `fn(N,srcCol)=partCol` each (e.g.
+    * `days(event_ts)=event_ts_day`, `bucket(16,tenant_id)=tenant_bucket`,
+    * `truncate(8,sku)=sku_prefix`) — the Iceberg transform-partition-spec
+    * analog. `writeDataFiles` derives the partition column from the source
+    * column when the frame lacks it; `planBetween` prunes files from the
+    * recorded transform values (time granularities bound, prefixes bound,
+    * buckets pin point lookups).
     */
   val PartitionTransformsProp = "write.partition-transforms"
-  private[table] val PartitionTransformRe = """(\w+)\(([\w.]+)\)=([\w.]+)""".r
+  private[table] val PartitionTransformRe =
+    """(\w+)\((?:(\d+)\s*,\s*)?([\w.]+)\)=([\w.]+)""".r
+
+  /** One recorded partition transform (`fn(src)=pc` / `fn(arg,src)=pc`). */
+  private[table] case class TransformDef(
+      fn: String, arg: Option[Int], src: String, pc: String)
+
+  private[table] def parseTransforms(props: Map[String, String]): Seq[TransformDef] =
+    props.get(PartitionTransformsProp).map(_.split(";").toSeq.flatMap {
+      case PartitionTransformRe(fn, arg, src, pc) =>
+        Some(TransformDef(fn, Option(arg).map(_.toInt), src, pc))
+      case _ => None
+    }).getOrElse(Nil)
+
+  /** The derivation expression for a transform partition column — the write
+    * side of the transform contract (the scan side is `planBetween`'s
+    * transform pass, which MUST invert exactly what is derived here).
+    *
+    * Time granularities derive from the UTC instant for `TimestampType`
+    * (session-timezone-FREE: `to_date` under the writer's session zone was
+    * the advisor's silent-prune case — a file written under a non-UTC
+    * session and day-pruned under UTC could straddle the recorded day) and
+    * from the wall clock for NTZ/date, which have no zone to begin with.
+    * The double division below is exact to ±2^53 µs (~±285 years of epoch),
+    * far beyond any stats-bearing parquet value this engine writes.
+    *
+    * `hours` derives an epoch-hour LONG (not a truncated timestamp): hive
+    * layout URL-escapes `:` in directory values, which would make the
+    * recorded value unreadable to the scan planner.
+    *
+    * `bucket(N)` is `pmod(murmur3(col), N)` — `functions.hash` and the scan
+    * side's `bucketOf` share one hash (seed 42) by construction.
+    */
+  private[table] def transformColumn(td: TransformDef, schema: StructType): Column = {
+    import org.apache.spark.sql.types._
+    val f = schema.find(_.name == td.src).getOrElse(throw new IllegalArgumentException(
+      s"transform source column ${td.src} is not in the data"))
+    val c = col(td.src)
+    def utcDate: Column = f.dataType match {
+      case TimestampType => date_from_unix_date(
+        floor(unix_micros(c) / lit(86400000000.0)).cast("int"))
+      case TimestampNTZType => to_date(c)
+      case DateType => c
+      case other => throw new IllegalArgumentException(
+        s"${td.fn}() partition transform needs a time-typed source, got $other")
+    }
+    td.fn match {
+      case "days" => utcDate
+      case "months" => trunc(utcDate, "month")
+      case "years" => trunc(utcDate, "year")
+      case "hours" => f.dataType match {
+        case TimestampType => floor(unix_micros(c) / lit(3600000000.0)).cast("long")
+        case TimestampNTZType =>
+          unix_date(to_date(c)).cast("long") * lit(24L) + hour(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"hours() partition transform needs a timestamp source, got $other")
+      }
+      case "bucket" =>
+        val n = td.arg.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a bucket count: bucket(N,col)=pc"))
+        pmod(hash(c), lit(n))
+      case "truncate" =>
+        val n = td.arg.getOrElse(throw new IllegalArgumentException(
+          "truncate transform needs a width: truncate(N,col)=pc"))
+        require(f.dataType == StringType,
+          s"truncate partition transform needs a string source, got ${f.dataType}")
+        substring(c, 1, n)
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform $other")
+    }
+  }
+
+  /** The bucket a point value hashes to under `bucket(n)` — the scan-side
+    * inverse of `transformColumn`'s `pmod(hash(col), n)`. Returns None
+    * unless the value is PROVABLY in the column's external domain (an Int
+    * widened to a Long column is the one coercion accepted): hashing a
+    * lookalike (a numeric string, a narrowed long) yields a DIFFERENT
+    * bucket and would silently drop the matching file. None = keep.
+    */
+  private[table] def bucketOf(dt: DataType, v: Any, n: Int): Option[Int] = {
+    import org.apache.spark.sql.types._
+    val exact: Option[Any] = (dt, v) match {
+      case (LongType, x: Long) => Some(x)
+      case (LongType, x: Int) => Some(x.toLong)
+      case (IntegerType, x: Int) => Some(x)
+      case (StringType, x: String) => Some(x)
+      case _ => None
+    }
+    exact.flatMap { x =>
+      scala.util.Try {
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(x, dt)
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit))
+          .eval(null).asInstanceOf[Int]
+        Math.floorMod(h, n)
+      }.toOption
+    }
+  }
+
+  /** Smallest string strictly greater than every string with prefix `s`
+    * (the exclusive upper bound of `truncate`'s `[prefix, next)` row
+    * domain): increment the rightmost non-max char, drop the tail. None
+    * when every char is `￿` — the domain is unbounded above, callers
+    * must keep.
+    */
+  private[table] def nextPrefix(s: String): Option[String] = {
+    val i = s.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+  }
 
   /** Forward-map a column name recorded at snapshot `since` to its name at
     * `snap` by replaying renames committed in (since, snap] — the inverse
@@ -1735,16 +1843,140 @@ object GraftTable {
   private def writeOp(m: Map[String, String]): String =
     org.json4s.jackson.Serialization.write(m)(SnapshotLog.formats)
 
-  /** 100 TB guard (the commit-path analog of `Dml.plannedFilesWarning`):
-    * row-count + min/max harvesting opens one parquet footer per NEW file,
-    * driver-side, 16-way parallel — against object storage this IS the commit
-    * cost. It is bounded by files per COMMIT, never table size: at the
-    * 128 MiB-target design point a 1 TB commit is ~8k footers (seconds at
-    * 16-way), so a commit past the ceiling signals a mis-sized write (task
-    * explosion / tiny files) where the fix is file sizing — or, beyond that,
-    * moving stats collection into the write tasks themselves (the Iceberg
-    * writer design). Returns the warning it logs so the bound is
-    * unit-testable.
+  /** Row count + per-column `[min, max, nullCount]` stats from the parquet
+    * footer — one footer open serves all. Bounds are merged across row
+    * groups; a column's BOUNDS drop out if any row group carries no
+    * statistics (conservative: absent = never pruned), while its null count
+    * (the Iceberg `null_value_counts` analog — IS NULL pruning, metadata
+    * COUNT(col)) survives independently as long as every row group reports
+    * one. A file with a known null count but no bounds (all-null, or a
+    * NaN-poisoned float chunk) keeps `[n]` — see `StatEntry`, whose
+    * `allNull` requires `n == rowCount`, never shape alone. Binary (string)
+    * stats may be writer-truncated, but truncation only ever WIDENS the
+    * bound, so pruning against them stays sound. Only top-level primitive
+    * columns are tracked — nested paths (`a.b`) and logical types beyond
+    * int/float/string have engine-specific orderings and are skipped.
+    *
+    * Static (conf passed in) so the WRITE TASKS can harvest stats for the
+    * files they publish (`publishAndStat`) — the Iceberg writer design,
+    * where per-file metrics ride the task result instead of a driver-side
+    * footer sweep.
+    */
+  private[table] def footerMeta(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): (Long, Map[String, List[String]]) = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val mins = scala.collection.mutable.Map[String, Comparable[Any]]()
+        val maxs = scala.collection.mutable.Map[String, Comparable[Any]]()
+        val nulls = scala.collection.mutable.Map[String, Long]()
+        val invalid = scala.collection.mutable.Set[String]()
+        val noNulls = scala.collection.mutable.Set[String]() // null count unusable
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (!name.contains('.') && statsComparable(c)) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) {
+              invalid += name; mins -= name; maxs -= name
+              noNulls += name; nulls -= name
+            } else {
+              if (!noNulls(name)) {
+                if (st.isNumNullsSet) nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                else { noNulls += name; nulls -= name }
+              }
+              if (!invalid(name) && st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                if (mins.get(name).forall(_.compareTo(mn) > 0)) mins(name) = mn
+                if (maxs.get(name).forall(_.compareTo(mx) < 0)) maxs(name) = mx
+              } // all-null row group: bounds unaffected
+            }
+          }
+        }
+        val keys = mins.keySet ++ nulls.keySet
+        val stats = keys.flatMap { k =>
+          val bounds =
+            if (mins.contains(k)) List(renderStat(mins(k)), renderStat(maxs(k))) else Nil
+          val entry = bounds ++ nulls.get(k).map(_.toString).toList
+          if (entry.isEmpty) None else Some(k -> entry)
+        }.toMap
+        (reader.getRecordCount, stats)
+      } finally reader.close()
+    } catch { case _: Throwable => (-1L, Map.empty) }
+  }
+
+  /** Track only parquet primitives whose min/max ordering matches the engine's:
+    * plain int32/int64/float/double and UTF8-annotated binary. Logical types
+    * riding on these primitives (DATE on int32, TIMESTAMP on int64, nanos-as-
+    * long) order identically to their physical values, so they stay prunable.
+    * DECIMAL's unscaled-int ordering only matches within one scale — fine for
+    * a single column written by this table, which has one schema per file.
+    */
+  private def statsComparable(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    c.getPrimitiveType.getPrimitiveTypeName match {
+      case INT32 | INT64 | FLOAT | DOUBLE => true
+      case BINARY =>
+        c.getPrimitiveType.getLogicalTypeAnnotation ==
+          org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+      case _ => false
+    }
+  }
+
+  private def renderStat(v: Comparable[Any]): String = (v: Any) match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+
+  /** Task-side file publication + stats harvest (the ask-#5 path): rename
+    * one staged file into the shared layout and read its footer, ON AN
+    * EXECUTOR. The driver ships (conf entries, roots, staged path) and gets
+    * back one `FileEntry` — it never opens a footer itself, so commit cost
+    * scales with cluster width instead of driver round-trips. Idempotent
+    * under task retry: a rename that fails because a previous attempt
+    * already published (staged gone, dest present) is success.
+    */
+  private[table] def publishAndStat(confEntries: Array[(String, String)],
+      dataRoot: String, commitDir: String, stagedPath: String,
+      snapshotId: Long): FileEntry = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val root = new org.apache.hadoop.fs.Path(dataRoot)
+    val fs = root.getFileSystem(conf)
+    val staged = new org.apache.hadoop.fs.Path(stagedPath)
+    val commitStr = fs.makeQualified(new org.apache.hadoop.fs.Path(commitDir)).toString
+    val rel = fs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
+    val dest = new org.apache.hadoop.fs.Path(root, rel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(staged, dest))
+      require(!fs.exists(staged) && fs.exists(dest),
+        s"could not publish $staged to $dest")
+    val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+      .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+    val status = fs.getFileStatus(dest)
+    val (rows, stats) = footerMeta(conf, dest)
+    FileEntry(rel, partVals, rows, status.getLen, snapshotId, stats)
+  }
+
+  /** Property: commit-file count at or above which publication + footer
+    * stats collection runs as a SPARK JOB in the write tasks' executors
+    * instead of a driver-side parallel loop (`publishAndStat`). Small
+    * commits stay on the driver — a job's scheduling overhead exceeds a
+    * handful of local footer reads.
+    */
+  val TaskStatsThresholdProp = "write.stats.task-collect-threshold"
+  private[table] val TaskStatsThresholdDefault = 512
+
+  /** 100 TB guard (the commit-path analog of `Dml.plannedFilesWarning`),
+    * now scoped to the DRIVER stats site only: by default commits at or past
+    * `TaskStatsThresholdProp` (512 files) publish + harvest in the write
+    * tasks (`publishAndStat`), where this ceiling is irrelevant — the
+    * warning can fire only when the threshold property was raised past the
+    * ceiling, pinning a huge commit to the driver loop. Returns the warning
+    * it logs so the bound is unit-testable.
     */
   private[table] def footerStatsWarning(newFiles: Long, ceiling: Long = 100000L): Option[String] =
     if (newFiles > ceiling)

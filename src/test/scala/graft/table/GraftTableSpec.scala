@@ -428,4 +428,19 @@ class GraftTableSpec extends SparkSpec {
     t.append(Synthesize.salesEvents8(spark)) // retries past the conflict
     assert(t.latest.snapshotId > id)
   }
+
+  test("unknown (-1) per-file row counts surface as NULL totals, never summed in") {
+    val t = newSalesTable()
+    // doctor a snapshot whose files carry the unknown-count sentinel (the
+    // footer-read-failure shape): totals must go NULL, not silently absorb -1
+    val s = t.latest
+    val doctored = s.copy(snapshotId = s.snapshotId + 1, parentId = Some(s.snapshotId),
+      files = s.files.map(_.copy(rowCount = -1L)))
+    assert(SnapshotLog.commit(spark.sessionState.newHadoopConf(), t.tableDir, doctored))
+    val parts = t.partitions().collect()
+    assert(parts.nonEmpty && parts.forall(_.isNullAt(parts.head.fieldIndex("total_rows"))))
+    val snapRow = t.snapshots().orderBy(org.apache.spark.sql.functions.desc("snapshot_id"))
+      .collect().head
+    assert(snapRow.isNullAt(snapRow.fieldIndex("total_rows")))
+  }
 }
