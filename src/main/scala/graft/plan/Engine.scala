@@ -62,7 +62,16 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
   def registerCatalog(cat: graft.catalogsvc.CatalogService): Unit =
     catalogOpt = Some(cat)
 
-  override def execute(statement: String): StatementResult = {
+  /** Statement-time clock for Snowflake `AT(OFFSET => -s)` resolution
+    * (tests pin it; `readOffsetAsOf`'s nowMillis surfaced into SQL).
+    */
+  var clock: () => Long = () => System.currentTimeMillis()
+
+  override def execute(rawStatement: String): StatementResult = {
+    // Snowflake-dialect text (postfix casts, AT travel clauses) translates
+    // to Spark grammar BEFORE parsing — the reference's snowflake.sql
+    // statements then run verbatim through the same routes as Spark SQL.
+    val statement = SqlDml.rewriteSnowflakeDialect(rawStatement, clock)
     // SQL DML over a registered snapshot table routes to the table layer's
     // copy-on-write DML (UPDATE/DELETE/MERGE are not executable over temp
     // views); whole-table COUNT(*) answers from snapshot metadata; VERSION /
@@ -131,6 +140,14 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
               files = sel
             }
           }
+          // IN-lists prune per VALUE (union of point passes — the shape
+          // where bucket-transform partition pruning bites in plain SQL)
+          inListsOf(f.condition).foreach { case (colName, vs) =>
+            if (cols.contains(colName)) {
+              val (sel, _) = t.planPoints(snap.copy(files = files.toList), colName, vs)
+              files = sel
+            }
+          }
           lastPrune(viewName) = (files.size, snap.files.size)
           if (files.size < snap.files.size)
             t.readSnapshot(snap.copy(files = files.toList)).createOrReplaceTempView(viewName)
@@ -153,6 +170,17 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
+
+  /** Conjunctive `col IN (literals)` lists (bounded — past 32 values the
+    * per-point passes stop paying for themselves, matching Dml's ceiling).
+    */
+  private def inListsOf(cond: Expression): Map[String, Seq[Any]] =
+    conjuncts(cond).collect {
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if attrName(a).isDefined && vs.nonEmpty && vs.size <= 32 &&
+            vs.forall(v => litValue(v).isDefined) =>
+        attrName(a).get -> vs.flatMap(litValue)
+    }.toMap
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)

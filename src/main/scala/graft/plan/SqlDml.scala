@@ -324,12 +324,22 @@ object SqlDml {
         ct.partitioning.foreach { tr =>
           val src = tr.references.headOption.map(_.fieldNames.mkString("."))
             .getOrElse(unsupported(s"partition transform ${tr.describe}"))
+          // the numeric argument of bucket(N, col) / truncate(col, N)
+          // (either argument order), via the public v2 Literal interface
+          def numArg: Int = tr.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }.getOrElse(unsupported(s"${tr.name} transform without a numeric argument"))
           tr.name match {
             case "identity" => partCols :+= src
-            case "days" =>
-              val pc = s"${src}_day"
+            case fn @ ("days" | "hours" | "months" | "years") =>
+              val pc = s"${src}_${fn.stripSuffix("s")}"
               partCols :+= pc
-              transforms :+= s"days($src)=$pc"
+              transforms :+= s"$fn($src)=$pc"
+            case fn @ ("bucket" | "truncate") =>
+              val pc = s"${src}_${if (fn == "bucket") "bucket" else "trunc"}"
+              partCols :+= pc
+              transforms :+= s"$fn($numArg,$src)=$pc"
             case other => unsupported(s"partition transform $other($src)")
           }
         }
@@ -409,7 +419,14 @@ object SqlDml {
         val df = (version, ts) match {
           case (Some(v), _) => t.readVersionAsOf(v.toLong)
           case (None, Some(expr)) if expr.foldable =>
-            val millis = expr.eval(null) match {
+            // a parsed-but-unanalyzed Cast has no timezone yet; pin the
+            // session zone before folding (what ResolveTimeZone would do)
+            val zoned = expr.transform {
+              case e: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+                  if e.timeZoneId.isEmpty =>
+                e.withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
+            }
+            val millis = zoned.eval(null) match {
               case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
               case s: org.apache.spark.unsafe.types.UTF8String =>
                 java.sql.Timestamp.valueOf(s.toString).getTime
@@ -481,4 +498,187 @@ object SqlDml {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"SQL DML shape not supported by the table layer: $what")
+
+  // ---------------------------------------------------------------------
+  // Snowflake-dialect pre-parse rewrites (the reference's snowflake.sql
+  // travel section, `snowflake.sql:359-361`): the API layer already
+  // implements the SEMANTICS (readTimestampAsOf / readOffsetAsOf); these
+  // rewrites let the Snowflake statement TEXT run verbatim through the one
+  // engine by translating to Spark's grammar before parsing.
+  // ---------------------------------------------------------------------
+
+  /** Snowflake type aliases Spark's parser rejects. */
+  private def mapSnowflakeType(t: String): String = t.toUpperCase match {
+    case "TIMESTAMP_LTZ" | "TIMESTAMP_TZ" => "TIMESTAMP"
+    case _ => t
+  }
+
+  /** Rewrite postfix casts `x::TYPE` → `CAST(x AS TYPE)` outside string
+    * literals (operand = a quoted literal or an identifier/number run;
+    * Snowflake timestamp aliases map to Spark's TIMESTAMP). Anything that
+    * does not look like a cast is left untouched.
+    */
+  private[plan] def rewritePostfixCasts(statement: String): String = {
+    def once(s: String): Option[String] = {
+      var i = 0; var inQ = false; var pos = -1
+      while (i < s.length - 1 && pos < 0) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == ':' && s.charAt(i + 1) == ':') pos = i
+        i += 1
+      }
+      if (pos < 0) return None
+      var e = pos - 1
+      while (e >= 0 && s.charAt(e).isWhitespace) e -= 1
+      if (e < 0) return None
+      val start =
+        if (s.charAt(e) == '\'') {
+          var b = e - 1
+          while (b >= 0 && s.charAt(b) != '\'') b -= 1
+          if (b < 0) return None else b
+        } else {
+          var b = e
+          while (b >= 0 && (s.charAt(b).isLetterOrDigit ||
+            s.charAt(b) == '.' || s.charAt(b) == '_')) b -= 1
+          b + 1
+        }
+      if (start > e) return None
+      var t0 = pos + 2
+      while (t0 < s.length && s.charAt(t0).isWhitespace) t0 += 1
+      var t1 = t0
+      while (t1 < s.length && (s.charAt(t1).isLetterOrDigit || s.charAt(t1) == '_')) t1 += 1
+      if (t1 == t0) return None
+      var end = t1
+      // optional precision suffix: TYPE(p[,s])
+      var w = t1
+      while (w < s.length && s.charAt(w).isWhitespace) w += 1
+      if (w < s.length && s.charAt(w) == '(') {
+        var d = 1; var j = w + 1
+        while (j < s.length && d > 0) {
+          if (s.charAt(j) == '(') d += 1 else if (s.charAt(j) == ')') d -= 1
+          j += 1
+        }
+        if (d == 0 && s.substring(w + 1, j - 1).forall(ch =>
+          ch.isDigit || ch == ',' || ch.isWhitespace)) end = j
+      }
+      val operand = s.substring(start, e + 1)
+      val tpe = mapSnowflakeType(s.substring(t0, end))
+      Some(s.substring(0, start) + s"CAST($operand AS $tpe)" + s.substring(end))
+    }
+    var cur = statement; var go = true; var guard = 0
+    while (go && guard < 64) {
+      once(cur) match { case Some(n) => cur = n; case None => go = false }
+      guard += 1
+    }
+    cur
+  }
+
+  /** Constant integer arithmetic (`-60*1800`, `(3+2)*60`) — the OFFSET
+    * argument shape. None when anything but digits/ops/parens appears.
+    */
+  private[plan] def evalIntExpr(s: String): Option[Long] = {
+    val toks = s.replaceAll("\\s+", "")
+    if (toks.isEmpty || !toks.forall(c => c.isDigit || "+-*/()".contains(c))) return None
+    var i = 0
+    def peek: Char = if (i < toks.length) toks.charAt(i) else ' '
+    def expr(): Long = {
+      var v = term()
+      while (peek == '+' || peek == '-') {
+        val op = peek; i += 1
+        val r = term()
+        v = if (op == '+') v + r else v - r
+      }
+      v
+    }
+    def term(): Long = {
+      var v = unary()
+      while (peek == '*' || peek == '/') {
+        val op = peek; i += 1
+        val r = unary()
+        v = if (op == '*') v * r else v / r
+      }
+      v
+    }
+    def unary(): Long = peek match {
+      case '-' => i += 1; -unary()
+      case '+' => i += 1; unary()
+      case '(' =>
+        i += 1; val v = expr()
+        if (peek != ')') throw new IllegalArgumentException("unbalanced")
+        i += 1; v
+      case c if c.isDigit =>
+        val b = i
+        while (peek.isDigit) i += 1
+        toks.substring(b, i).toLong
+      case _ => throw new IllegalArgumentException("bad token")
+    }
+    scala.util.Try { val v = expr(); if (i == toks.length) v else throw new IllegalArgumentException("trailing") }.toOption
+  }
+
+  /** Rewrite Snowflake `AT(TIMESTAMP => e)` / `AT(OFFSET => e)` relation
+    * clauses to Spark `TIMESTAMP AS OF`: the timestamp form keeps its
+    * expression (type aliases mapped); the offset form — SECONDS relative
+    * to statement time, non-positive — is resolved against `nowMillis`
+    * here, exactly `readOffsetAsOf`'s contract. An `AT(` whose content
+    * matches neither form is left untouched.
+    */
+  private[plan] def rewriteAtClauses(statement: String, nowMillis: () => Long): String = {
+    val AtRe = """(?i)\bAT\s*\(""".r
+    def once(s: String): Option[String] = {
+      for (m <- AtRe.findAllMatchIn(s)) {
+        // skip matches inside string literals
+        val quotesBefore = s.substring(0, m.start).count(_ == '\'')
+        if (quotesBefore % 2 == 0) {
+          var d = 1; var j = m.end
+          var inQ = false
+          while (j < s.length && d > 0) {
+            val c = s.charAt(j)
+            if (c == '\'') inQ = !inQ
+            else if (!inQ && c == '(') d += 1
+            else if (!inQ && c == ')') d -= 1
+            j += 1
+          }
+          if (d == 0) {
+            val content = s.substring(m.end, j - 1).trim
+            val TsRe = """(?is)TIMESTAMP\s*=>\s*(.+)""".r
+            val OffRe = """(?is)OFFSET\s*=>\s*(.+)""".r
+            content match {
+              case TsRe(e) =>
+                // map type aliases inside non-postfix casts too
+                val mapped = e.trim.replaceAll("(?i)TIMESTAMP_LTZ|TIMESTAMP_TZ", "TIMESTAMP")
+                return Some(s.substring(0, m.start) + s"TIMESTAMP AS OF $mapped" +
+                  s.substring(j))
+              case OffRe(e) =>
+                evalIntExpr(e) match {
+                  case Some(sec) =>
+                    val ts = java.time.Instant.ofEpochMilli(nowMillis() + sec * 1000L)
+                      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+                      .format(java.time.format.DateTimeFormatter
+                        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+                    return Some(s.substring(0, m.start) +
+                      s"TIMESTAMP AS OF '$ts'" + s.substring(j))
+                  case None => // not a constant offset: leave untouched
+                }
+              case _ => // not a travel clause: leave untouched
+            }
+          }
+        }
+      }
+      None
+    }
+    var cur = statement; var go = true; var guard = 0
+    while (go && guard < 16) {
+      once(cur) match { case Some(n) => cur = n; case None => go = false }
+      guard += 1
+    }
+    cur
+  }
+
+  /** The full Snowflake-dialect pre-parse pass: postfix casts first (so an
+    * `AT(TIMESTAMP => '...'::TIMESTAMP_LTZ)` body is already Spark-legal
+    * when the AT clause is lifted), then AT travel clauses.
+    */
+  def rewriteSnowflakeDialect(statement: String,
+      nowMillis: () => Long = () => System.currentTimeMillis()): String =
+    rewriteAtClauses(rewritePostfixCasts(statement), nowMillis)
 }

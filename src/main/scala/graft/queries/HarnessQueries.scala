@@ -368,6 +368,41 @@ object HarnessQueries {
         .toDF("current_rows", "current_qty", "baseline_rows", "baseline_qty", "n_snapshots")
     }),
 
+    // T1/T2 through the SNOWFLAKE dialect (VERDICT r8 ask #8; the
+    // reference's snowflake.sql:359-361 travel section): `AT(TIMESTAMP =>
+    // '...'::TIMESTAMP_LTZ)` and `AT(OFFSET => <negative seconds>)` run
+    // VERBATIM — a pre-parse rewrite translates postfix casts and AT
+    // clauses to Spark's TIMESTAMP AS OF, with the offset resolved against
+    // the engine clock (readOffsetAsOf's contract surfaced as SQL text).
+    "h_sql_snowflake_travel" -> ((s, dir) => {
+      import s.implicits._
+      val data = Tables.lineitem(s, dir).filter(col("l_orderkey") < 500)
+      val t = GraftTable.create(s, scratch("sql_snow_travel"), data.schema)
+      var now = (System.currentTimeMillis() / 1000L) * 1000L
+      t.clock = () => { now += 60000L; now }
+      t.append(data) // the baseline snapshot, committed at T1
+      val afterInsert = t.latest.committedAt
+      val engine = new SparkSqlEngine(s)
+      engine.registerGraftTable("li_snow", t)
+      engine.execute("DELETE FROM li_snow WHERE l_returnflag = 'R'")
+      engine.clock = () => now + 120000L // statement time: after both commits
+      val tsStr = java.time.Instant.ofEpochMilli(afterInsert)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val q = "COUNT(*) AS c, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) " +
+        "AS DECIMAL(18,2)) AS DOUBLE) AS q"
+      val tsForm = engine.execute(
+        s"SELECT $q FROM li_snow AT(TIMESTAMP => '$tsStr'::TIMESTAMP_LTZ)").rows.head
+      val offSec = (engine.clock() - afterInsert) / 1000L
+      val offForm = engine.execute(
+        s"SELECT $q FROM li_snow AT(OFFSET => -$offSec)").rows.head
+      val curForm = engine.execute(s"SELECT $q FROM li_snow").rows.head
+      Seq((tsForm("c").asInstanceOf[Long], tsForm("q").asInstanceOf[Double],
+        offForm("c").asInstanceOf[Long], offForm("q").asInstanceOf[Double],
+        curForm("c").asInstanceOf[Long], curForm("q").asInstanceOf[Double]))
+        .toDF("ts_rows", "ts_qty", "off_rows", "off_qty", "cur_rows", "cur_qty")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -415,6 +450,16 @@ object HarnessQueries {
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            CAST(5 AS BIGINT) AS n_snapshots
          FROM merged""",
+    "h_sql_snowflake_travel" ->
+      """SELECT CAST(a.c AS BIGINT) AS ts_rows, a.q AS ts_qty,
+           CAST(a.c AS BIGINT) AS off_rows, a.q AS off_qty,
+           CAST(b.c AS BIGINT) AS cur_rows, b.q AS cur_qty
+         FROM (SELECT COUNT(*) c,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) q
+               FROM lineitem WHERE l_orderkey < 500) a,
+              (SELECT COUNT(*) c,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) q
+               FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R') b""",
     "h_sql_pruned_read" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

@@ -253,6 +253,58 @@ class SqlDmlSpec extends SparkSpec {
     assert(eng.execute("SELECT COUNT(*) AS n FROM sales").rows.head("n") == 4L)
   }
 
+  test("Snowflake dialect rewrites: postfix casts, AT clauses, constant arithmetic") {
+    // pure-text layer first (snowflake.sql:359-361 shapes)
+    assert(SqlDml.rewritePostfixCasts("SELECT '2024-01-01'::TIMESTAMP_LTZ AS t") ==
+      "SELECT CAST('2024-01-01' AS TIMESTAMP) AS t")
+    assert(SqlDml.rewritePostfixCasts("SELECT a.b::DECIMAL(18,2), c::DATE FROM t") ==
+      "SELECT CAST(a.b AS DECIMAL(18,2)), CAST(c AS DATE) FROM t")
+    // a :: inside a string literal is data, not syntax
+    assert(SqlDml.rewritePostfixCasts("SELECT 'a::b' AS s") == "SELECT 'a::b' AS s")
+    assert(SqlDml.evalIntExpr("-60*1800").contains(-108000L))
+    assert(SqlDml.evalIntExpr("(3+2)*60").contains(300L))
+    assert(SqlDml.evalIntExpr("DROP TABLE x").isEmpty)
+    val at = SqlDml.rewriteAtClauses(
+      "SELECT * FROM t AT(TIMESTAMP => CAST('2025-09-29 18:36:00' AS TIMESTAMP_LTZ))",
+      () => 0L)
+    assert(at == "SELECT * FROM t TIMESTAMP AS OF CAST('2025-09-29 18:36:00' AS TIMESTAMP)")
+    val off = SqlDml.rewriteAtClauses("SELECT * FROM t AT(OFFSET => -60)",
+      () => 60000L) // now = 1970-01-01T00:01:00Z, -60s → epoch
+    assert(off == "SELECT * FROM t TIMESTAMP AS OF '1970-01-01 00:00:00.000'")
+    // a non-travel AT( and an AT inside a literal stay untouched
+    assert(SqlDml.rewriteAtClauses("SELECT at(x, 1) FROM t", () => 0L) ==
+      "SELECT at(x, 1) FROM t")
+    assert(SqlDml.rewriteAtClauses("SELECT 'AT(OFFSET => -1)' AS s", () => 0L) ==
+      "SELECT 'AT(OFFSET => -1)' AS s")
+  }
+
+  test("Snowflake travel statements run verbatim against a registered table") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("event_id", "price")
+    val t = graft.table.GraftTable.create(spark, scratchDir("sqldml-snowtravel"), df.schema)
+    var now = (System.currentTimeMillis() / 1000L) * 1000L
+    t.clock = () => { now += 60000L; now }
+    t.append(df)
+    val afterInsert = t.latest.committedAt
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("snowt", t)
+    eng.execute("DELETE FROM snowt WHERE event_id = 3")
+    eng.clock = () => now + 120000L
+    val tsStr = java.time.Instant.ofEpochMilli(afterInsert)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(eng.execute(
+      s"SELECT COUNT(*) AS n FROM snowt AT(TIMESTAMP => '$tsStr'::TIMESTAMP)")
+      .rows.head("n") == 3L)
+    assert(eng.execute(
+      s"SELECT COUNT(*) AS n FROM snowt AT(TIMESTAMP => CAST('$tsStr' AS TIMESTAMP_LTZ))")
+      .rows.head("n") == 3L)
+    val offSec = (eng.clock() - afterInsert) / 1000L
+    assert(eng.execute(s"SELECT COUNT(*) AS n FROM snowt AT(OFFSET => -$offSec)")
+      .rows.head("n") == 3L)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM snowt").rows.head("n") == 2L)
+  }
+
   test("WRITE ORDERED BY routing is anchored to the statement head") {
     val eng = new SparkSqlEngine(spark)
     val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-wob-cat"))
