@@ -123,6 +123,11 @@ object Dml {
     */
   private val InListPruneCeiling = 32
 
+  /** Minimum target file count for MERGE's source key-range planning agg —
+    * below it the extra source scan costs more than the pruning saves.
+    */
+  private[dml] val RangePruneMinFiles = 8
+
   /** Conjunctive `col IN (v1, ..., vN)` lists from a DML predicate (each
     * value a foldable literal; N ≤ `InListPruneCeiling`). A small key list —
     * the CDC-style `DELETE WHERE k IN (...)` shape — prunes files per VALUE,
@@ -373,10 +378,17 @@ object Dml {
     // tiny 2-value agg over the source buys O(candidate files) planning for
     // clustered targets (e.g. a CDC batch of recent keys against a
     // key-ordered table). Sound: pruning only narrows the MATCHED side.
-    val keyRange = scala.util.Try {
-      val r = source.agg(min(col(key)), max(col(key))).collect()(0)
-      (Option(r.get(0)), Option(r.get(1)))
-    }.getOrElse((None, None))
+    // Gated on target FILE COUNT: below the gate the candidate scan is
+    // already a handful of files and the agg is a whole extra source scan
+    // that cannot pay for itself (it showed up as the r8 bench drift on
+    // t_merge_large_source's single-file target); at the 100 TB design
+    // point file counts dwarf the gate and the agg always runs.
+    val keyRange =
+      if (planned.files.size < RangePruneMinFiles) (None, None)
+      else scala.util.Try {
+        val r = source.agg(min(col(key)), max(col(key))).collect()(0)
+        (Option(r.get(0)), Option(r.get(1)))
+      }.getOrElse((None, None))
     val candidates = keyRange match {
       case (Some(lo), Some(hi)) =>
         scala.util.Try(t.planBetween(planned, key, lo, hi)._1).getOrElse(planned.files)

@@ -94,7 +94,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     // COUNT(*) pushdown) answer without touching any view and skip the
     // refresh — metadata must keep answering even when data files are gone.
     SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable)
-      .orElse(SqlDml.tryCountStar(statement, spark, graftViews.toMap))
+      .orElse(SqlDml.tryMetaAgg(statement, spark, graftViews.toMap))
       .orElse {
         refreshGraftViews()
         SqlDml.tryExecute(spark, statement, graftViews.toMap).map { r =>

@@ -208,16 +208,22 @@ object SqlDml {
     StatementResult(statement, Nil, None)
   }
 
-  /** Metadata-answered `SELECT COUNT(*) AS alias FROM view` (the statement
-    * the reference scripts run after every DML — `update_sales_events.sql:
-    * 5-6`): when the statement is exactly a whole-table count over a
-    * registered snapshot table and the snapshot's metadata can answer
-    * (no pending MOR deletes, all row counts known), the result comes from
-    * O(files) driver arithmetic with no scan. Any other shape — filters,
-    * more expressions, grouping, a missing explicit alias, metadata
-    * unavailable — returns None and the caller falls through to spark.sql.
+  /** Metadata-answered whole-table aggregates (the Iceberg aggregate-
+    * pushdown surface as plain SQL; the reference scripts run `SELECT
+    * COUNT(*)` after every DML — `update_sales_events.sql:5-6`): when the
+    * statement is exactly a projection of aliased COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) calls over a registered snapshot table and the
+    * snapshot's metadata can answer EVERY one exactly (no pending MOR
+    * deletes, all row/null counts known, min/max types whose footer bounds
+    * are exact extremes — see `countRowsFromMetadata` /
+    * `countNonNullFromMetadata` / `minMaxFromMetadata` for each form's
+    * soundness conditions), the result comes from O(files) driver
+    * arithmetic with NO scan. Any other shape — filters, grouping,
+    * expressions over the aggregate, a missing explicit alias, any
+    * unanswerable column — returns None and the caller falls through to
+    * spark.sql over the registered view.
     */
-  def tryCountStar(statement: String, spark: SparkSession,
+  def tryMetaAgg(statement: String, spark: SparkSession,
       tables: Map[String, GraftTable]): Option[StatementResult] = {
     if (tables.isEmpty) return None
     val parsed =
@@ -225,25 +231,48 @@ object SqlDml {
       catch { case _: Exception => return None }
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    def isCountStar(fn: UnresolvedFunction): Boolean =
-      fn.nameParts.map(_.toLowerCase) == Seq("count") && !fn.isDistinct &&
-        (fn.arguments match {
-          case Seq(_: UnresolvedStar) => true
-          case Seq(Literal(1, _)) => true
-          case _ => false
-        })
+    // one aggregate call → its metadata evaluation, or None = not answerable
+    def evalOf(fn: UnresolvedFunction): Option[GraftTable => Option[Any]] = {
+      if (fn.isDistinct || fn.filter.isDefined) return None
+      def bare(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+        e match {
+          case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+          case _ => None
+        }
+      (fn.nameParts.map(_.toLowerCase), fn.arguments) match {
+        case (Seq("count"), Seq(_: UnresolvedStar)) =>
+          Some(t => t.countRowsFromMetadata())
+        case (Seq("count"), Seq(Literal(1, _))) =>
+          Some(t => t.countRowsFromMetadata())
+        case (Seq("count"), Seq(a)) => bare(a).map(c =>
+          t => scala.util.Try(t.countNonNullFromMetadata(c)).toOption.flatten)
+        case (Seq("min"), Seq(a)) => bare(a).map(c =>
+          t => scala.util.Try(t.minMaxFromMetadata(c)).toOption.flatten.map(_._1))
+        case (Seq("max"), Seq(a)) => bare(a).map(c =>
+          t => scala.util.Try(t.minMaxFromMetadata(c)).toOption.flatten.map(_._2))
+        case _ => None
+      }
+    }
     // the PARSED plan is a Project — the analyzer is what turns a
-    // whole-table count into an Aggregate, and this router runs pre-analysis
+    // whole-table aggregate into an Aggregate node, and this router runs
+    // pre-analysis
     parsed match {
-      case Project(Seq(Alias(fn: UnresolvedFunction, outName)), child)
-          if isCountStar(fn) =>
+      case Project(projs, child) if projs.nonEmpty =>
+        val items: Seq[Option[(String, GraftTable => Option[Any])]] = projs.map {
+          case Alias(fn: UnresolvedFunction, outName) => evalOf(fn).map(outName -> _)
+          case _ => None
+        }
+        if (items.exists(_.isEmpty)) return None
         target(child, tables).flatMap { case (_, t) =>
-          t.countRowsFromMetadata().map(n =>
-            StatementResult(statement, Seq(Map(outName -> n)), None))
+          val values = items.flatten.map { case (out, f) => f(t).map(out -> _) }
+          if (values.exists(_.isEmpty)) None // any unanswerable part: full scan
+          else Some(StatementResult(statement,
+            Seq(values.flatten.toMap), None))
         }
       case _ => None
     }
   }
+
 
   /** Anchored to the statement HEAD (`\A`) and matched in full (Scala's
     * regex pattern match uses `matches()`): only a statement that IS an
@@ -580,7 +609,7 @@ object SqlDml {
     val toks = s.replaceAll("\\s+", "")
     if (toks.isEmpty || !toks.forall(c => c.isDigit || "+-*/()".contains(c))) return None
     var i = 0
-    def peek: Char = if (i < toks.length) toks.charAt(i) else ' '
+    def peek: Char = if (i < toks.length) toks.charAt(i) else '\u0000' // end-of-input sentinel: matches no operator
     def expr(): Long = {
       var v = term()
       while (peek == '+' || peek == '-') {

@@ -368,6 +368,34 @@ object HarnessQueries {
         .toDF("current_rows", "current_qty", "baseline_rows", "baseline_qty", "n_snapshots")
     }),
 
+    // A1/A-pushdown as plain SQL: whole-table COUNT(*)/COUNT(col)/MIN/MAX
+    // answer from snapshot metadata with NO scan — proven by destroying the
+    // data files before the statement runs (the values still match the
+    // oracle's lineitem-derived aggregates because the metadata recorded
+    // them at write time).
+    "h_sql_meta_agg" -> ((s, dir) => {
+      import s.implicits._
+      val data = Tables.lineitem(s, dir).filter(col("l_orderkey") < 700)
+      val t = GraftTable.create(s, scratch("sql_meta_agg"), data.schema)
+      t.append(data)
+      val engine = new SparkSqlEngine(s)
+      engine.registerGraftTable("li_meta", t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"${t.tableDir}/data"))
+      val m = engine.execute(
+        """SELECT COUNT(*) AS row_count, COUNT(l_quantity) AS nn_qty,
+                  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+           FROM li_meta""").rows.head
+      Seq((m("row_count").asInstanceOf[Long], m("nn_qty").asInstanceOf[Long],
+        m("min_qty").asInstanceOf[Double], m("max_qty").asInstanceOf[Double],
+        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+        .toDF("row_count", "nn_qty", "min_qty", "max_qty", "min_key", "max_key")
+    }),
+
     // T1/T2 through the SNOWFLAKE dialect (VERDICT r8 ask #8; the
     // reference's snowflake.sql:359-361 travel section): `AT(TIMESTAMP =>
     // '...'::TIMESTAMP_LTZ)` and `AT(OFFSET => <negative seconds>)` run
@@ -450,6 +478,11 @@ object HarnessQueries {
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            CAST(5 AS BIGINT) AS n_snapshots
          FROM merged""",
+    "h_sql_meta_agg" ->
+      """SELECT COUNT(*) AS row_count, COUNT(l_quantity) AS nn_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+         FROM lineitem WHERE l_orderkey < 700""",
     "h_sql_snowflake_travel" ->
       """SELECT CAST(a.c AS BIGINT) AS ts_rows, a.q AS ts_qty,
            CAST(a.c AS BIGINT) AS off_rows, a.q AS off_qty,

@@ -470,6 +470,11 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         hiS.forall(h => cmp(v, h).forall(_ <= 0)) &&
           GraftTable.nextPrefix(v).forall(np =>
             loS.forall(l => cmp(np, l).forall(_ > 0)))
+      case "truncate"
+          if dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType =>
+        // integral truncate: value v bounds rows to [v, v + W)
+        (for (w <- td.arg; base <- scala.util.Try(v.toLong).toOption)
+          yield overlaps(base, base + w - 1)).getOrElse(true)
       case _ => true
     }
     def transformKeep(f: FileEntry, phys: String): Boolean =
@@ -1733,9 +1738,16 @@ object GraftTable {
       case "truncate" =>
         val n = td.arg.getOrElse(throw new IllegalArgumentException(
           "truncate transform needs a width: truncate(N,col)=pc"))
-        require(f.dataType == StringType,
-          s"truncate partition transform needs a string source, got ${f.dataType}")
-        substring(c, 1, n)
+        f.dataType match {
+          case StringType => substring(c, 1, n)
+          // the Iceberg integer truncate: v - (v mod W), floor semantics
+          // (pmod keeps the remainder non-negative, so -7 truncates to -10
+          // at W=10, never toward zero)
+          case ByteType | ShortType | IntegerType | LongType =>
+            (c - pmod(c, lit(n))).cast(f.dataType)
+          case other => throw new IllegalArgumentException(
+            s"truncate partition transform needs a string or integral source, got $other")
+        }
       case other => throw new IllegalArgumentException(
         s"unknown partition transform $other")
     }
@@ -1770,8 +1782,8 @@ object GraftTable {
   /** Smallest string strictly greater than every string with prefix `s`
     * (the exclusive upper bound of `truncate`'s `[prefix, next)` row
     * domain): increment the rightmost non-max char, drop the tail. None
-    * when every char is `￿` — the domain is unbounded above, callers
-    * must keep.
+    * when every char is Char.MaxValue — the domain is unbounded above,
+    * callers must keep.
     */
   private[table] def nextPrefix(s: String): Option[String] = {
     val i = s.lastIndexWhere(_ != Char.MaxValue)

@@ -132,23 +132,25 @@ class DmlPlanningSpec extends SparkSpec {
     import spark.implicits._
     val t = graft.table.GraftTable.create(spark, scratchDir("merge-prune-"),
       Seq((1L, "a")).toDF("k", "v").schema)
-    (0 until 4).foreach { i =>
+    // Dml.RangePruneMinFiles files, so the key-range planning agg engages
+    // (below the gate the agg is skipped — one less source scan)
+    (0 until Dml.RangePruneMinFiles).foreach { i =>
       t.append((i * 100 until i * 100 + 100).map(j => (j.toLong, s"v$j"))
         .toDF("k", "v").coalesce(1))
     }
     val fileFor0 = t.latest.files.map(_.path).toSet
-    // source keys 150..159 (updates) + 1000..1004 (inserts): only the
-    // 100-199 file can hold matches; the others go untouched by metadata
-    val src = ((150L until 160L) ++ (1000L until 1005L)).map(k => (k, s"s$k")).toDF("k", "v")
+    // source keys 150..159 (updates) + big inserts: only the 100-199 file
+    // can hold matches; the others go untouched by metadata
+    val src = ((150L until 160L) ++ (10000L until 10005L)).map(k => (k, s"s$k")).toDF("k", "v")
     Dml.merge(t, src, "k", Map("v" -> col("src.v")), insertNotMatched = true)
     val out = t.readLatest()
-    assert(out.count() === 405)
+    assert(out.count() === Dml.RangePruneMinFiles * 100 + 5)
     assert(out.filter(col("k") === 155).select("v").as[String].head === "s155")
-    assert(out.filter(col("k") === 1002).count() === 1)
+    assert(out.filter(col("k") === 10002).count() === 1)
     assert(out.filter(col("k") === 5).select("v").as[String].head === "v5")
-    // the three out-of-range files were kept by reference, not rewritten
+    // every out-of-range file was kept by reference, not rewritten
     val kept = t.latest.files.map(_.path).toSet.intersect(fileFor0)
-    assert(kept.size === 3, s"expected 3 untouched files, kept $kept")
+    assert(kept.size === Dml.RangePruneMinFiles - 1, s"expected untouched files, kept $kept")
   }
 
   test("MERGE with duplicate source keys on a matched row raises a cardinality violation") {

@@ -75,6 +75,27 @@ class PrunedSqlEngineSpec extends SparkSpec {
     assert(expr.rows.head("n") === 2L)
   }
 
+  test("IN-list predicates prune per value, including bucket-transform pinning") {
+    import spark.implicits._
+    // bucket(8)-partitioned table: a SQL IN-list must keep only the listed
+    // keys' hash buckets (the reference's lookup workload shape in SQL)
+    val dir = scratchDir("sqlprune-inlist-")
+    val base = (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, base.schema,
+      partitionCols = Seq("k_bucket"),
+      properties = Map(graft.table.GraftTable.PartitionTransformsProp ->
+        "bucket(8,k)=k_bucket"))
+    t.append(base)
+    assert(t.latest.files.size === 8)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("kv_in", t)
+    val res = eng.execute("SELECT k FROM kv_in WHERE k IN (3, 17, 42) ORDER BY k")
+    assert(res.rows.map(_("k")) === Seq(3L, 17L, 42L))
+    val (scanned, total) = eng.lastPrune("kv_in")
+    assert(total === 8 && scanned <= 3,
+      s"IN-list must pin to the listed keys' buckets, scanned $scanned of $total")
+  }
+
   test("DML reads the full latest view, never a prior statement's pruned registration") {
     import spark.implicits._
     // the advisor's stale-view case: a filtered read leaves a file-pruned

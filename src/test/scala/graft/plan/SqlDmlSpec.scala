@@ -100,6 +100,28 @@ class SqlDmlSpec extends SparkSpec {
     assert(res.rows == Seq(Map("row_count" -> 4L)))
   }
 
+  test("MIN/MAX/COUNT(col) answer from snapshot metadata alongside COUNT(*)") {
+    val (eng, t) = mkTable("sqldml-metaagg")
+    // destroy the data files: only metadata can answer now
+    val dataDir = new java.io.File(s"${t.tableDir}/data")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dataDir)
+    val res = eng.execute(
+      """SELECT COUNT(*) AS c, COUNT(price) AS nn,
+                MIN(price) AS mn, MAX(price) AS mx, MAX(tenant_id) AS mt
+         FROM sales""")
+    assert(res.rows == Seq(Map(
+      "c" -> 4L, "nn" -> 4L, "mn" -> 5.0, "mx" -> 8.0, "mt" -> 13L)))
+    // a STRING min is not metadata-exact (writer-truncated bounds): the
+    // whole statement falls through to a scan, which fails loudly here
+    intercept[Exception] {
+      eng.execute("SELECT COUNT(*) AS c, MIN(channel) AS m FROM sales")
+    }
+  }
+
   test("COUNT(*) falls back to a real scan when metadata cannot answer") {
     import spark.implicits._
     val (eng, t) = mkTable("sqldml-count-fallback")

@@ -355,6 +355,26 @@ class StatsPruneSpec extends SparkSpec {
     assert(sel3.map(_.partitionValues("sku_pfx")).toSet == Set("ba", "bb"))
   }
 
+  test("integral truncate-transform values bound rows to [v, v+W), negatives floored") {
+    import spark.implicits._
+    val dir = scratchDir("statsprune-inttrunc-")
+    val df = (-25L until 25L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.schema,
+      partitionCols = Seq("k_t"),
+      properties = Map(GraftTable.PartitionTransformsProp -> "truncate(10,k)=k_t"))
+    t.append(df)
+    val snap = t.latest
+    // floor semantics: -25..-21 land in -30, -20..-11 in -20, ... (5 cells)
+    assert(snap.files.map(_.partitionValues("k_t")).toSet ==
+      Set("-30", "-20", "-10", "0", "10", "20"))
+    val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+    val (sel, total) = t.planBetween(statless, "k", 3L, 14L)
+    assert(total == 6 && sel.map(_.partitionValues("k_t")).toSet == Set("0", "10"))
+    val (seln, _) = t.planBetween(statless, "k", -22L, -22L)
+    assert(seln.size == 1 && seln.head.partitionValues("k_t") == "-30")
+    assert(t.readBetween("k", -22L, 14L).count() === 37L)
+  }
+
   test("days-transform derivation is UTC-pinned: a non-UTC writer session cannot mis-prune") {
     import spark.implicits._
     val dir = scratchDir("statsprune-tzsafe-")
