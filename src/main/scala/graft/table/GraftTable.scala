@@ -487,7 +487,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         }
       }
     val selected = snap.files.filter { f =>
-      nameAt(epochOf(f.writtenAt)) match {
+      // a provably empty file (pre-empty-skip commits) matches nothing
+      if (f.rowCount == 0L) false
+      else nameAt(epochOf(f.writtenAt)) match {
         case None => true
         case Some(phys) =>
           val partKeep = partPoint(f, phys).forall(v =>
@@ -573,7 +575,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val entries = resolveStats(snap, colName).getOrElse(return None)
     val perFile: Seq[Option[Option[(String, String)]]] =
       snap.files.zip(entries).map { case (f, entryOpt) =>
-        entryOpt match {
+        if (f.rowCount == 0L) Some(None) // empty file: contributes nothing
+        else entryOpt match {
           case Some(entry) if GraftTable.StatEntry.allNull(entry, f.rowCount) => Some(None)
           case Some(entry) => GraftTable.StatEntry.bounds(entry) match {
             case Some((mn, mx)) if parseable(mn) && parseable(mx) => Some(Some((mn, mx)))
@@ -605,7 +608,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       case None => None
       case Some(perFile) =>
         val counts = snap.files.zip(perFile).map { case (f, entry) =>
-          if (f.rowCount < 0) None
+          if (f.rowCount == 0) Some(0L) // empty file: zero non-null rows
+          else if (f.rowCount < 0) None
           else entry.flatMap(GraftTable.StatEntry.nullCount).map(f.rowCount - _)
         }
         if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
@@ -1554,7 +1558,15 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           .forkJoinPool.shutdown()
       }
     hfs.delete(commitDir, true)
-    entries
+    // A provably EMPTY part-file (a task whose split held no rows — e.g. a
+    // filtered write's empty partition) never enters the snapshot: it holds
+    // no data, carries no stats, and a statless entry would block every
+    // all-files metadata answer (min/max, non-null counts) for the whole
+    // table. Unknown counts (-1) are NOT empty and stay.
+    val (kept, empty) = entries.partition(_.rowCount != 0L)
+    empty.foreach(e =>
+      hfs.delete(new org.apache.hadoop.fs.Path(dataRoot, e.path), false))
+    kept
   }
 
   private def listParquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {

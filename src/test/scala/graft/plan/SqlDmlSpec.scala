@@ -275,6 +275,49 @@ class SqlDmlSpec extends SparkSpec {
     assert(eng.execute("SELECT COUNT(*) AS n FROM sales").rows.head("n") == 4L)
   }
 
+  test("SQL DDL records the full transform matrix; writes derive the partition columns") {
+    import graft.table.GraftTable
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-ddl-tf"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE tf")
+    eng.execute("""
+      CREATE TABLE tf.ev (
+        event_id BIGINT, tenant_id BIGINT, sku STRING,
+        event_ts TIMESTAMP_NTZ, price DOUBLE
+      ) USING iceberg
+      PARTITIONED BY (bucket(8, tenant_id), truncate(sku, 3), months(event_ts))""")
+    val t = cat.loadTable("tf", "ev")
+    assert(t.latest.partitionCols ==
+      List("tenant_id_bucket", "sku_trunc", "event_ts_month"))
+    assert(t.properties(GraftTable.PartitionTransformsProp).split(";").toSet == Set(
+      "bucket(8,tenant_id)=tenant_id_bucket", "truncate(3,sku)=sku_trunc",
+      "months(event_ts)=event_ts_month"))
+    eng.execute("""
+      INSERT INTO ev VALUES
+        (1, 10, 'sku-001', TIMESTAMP '2024-02-05 10:00:00', 5.0),
+        (2, 11, 'abc-002', TIMESTAMP '2024-03-06 10:00:00', 6.0)""")
+    val files = t.latest.files
+    assert(files.forall(_.partitionValues.keySet ==
+      Set("tenant_id_bucket", "sku_trunc", "event_ts_month")))
+    assert(files.flatMap(_.partitionValues.get("sku_trunc")).toSet == Set("sku", "abc"))
+    assert(files.flatMap(_.partitionValues.get("event_ts_month")).toSet ==
+      Set("2024-02-01", "2024-03-01"))
+    // the recorded bucket values match the write derivation pmod(hash(k), 8)
+    def expectedBucket(k: Long): String =
+      spark.range(1).select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(k)),
+        org.apache.spark.sql.functions.lit(8))).head.getInt(0).toString
+    files.foreach { f =>
+      val key = if (f.partitionValues("sku_trunc") == "sku") 10L else 11L
+      assert(f.partitionValues("tenant_id_bucket") == expectedBucket(key))
+    }
+    // and the rows read back whole (derived columns never surface)
+    val r = eng.execute("SELECT event_id, tenant_id, sku FROM ev ORDER BY event_id")
+    assert(r.rows.map(m => (m("event_id"), m("tenant_id"), m("sku"))) ==
+      Seq((1L, 10L, "sku-001"), (2L, 11L, "abc-002")))
+  }
+
   test("Snowflake dialect rewrites: postfix casts, AT clauses, constant arithmetic") {
     // pure-text layer first (snowflake.sql:359-361 shapes)
     assert(SqlDml.rewritePostfixCasts("SELECT '2024-01-01'::TIMESTAMP_LTZ AS t") ==
