@@ -135,10 +135,20 @@ object Bench {
       val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
       // three more appends so compaction and expiry have work to do
       (1 to 3).foreach(_ => t.append(txData(rows / 10, 8)))
-      val c = timeOnce { graft.maintenance.Maintenance.rewriteDataFiles(
-        t, targetFileSizeBytes = 128L * 1024 * 1024, minInputFiles = 2) }
-      val m = timeOnce { graft.maintenance.Maintenance.rewriteManifests(t) }
-      val e = timeOnce { graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 2) }
+      // maintenance phases run as the VERBATIM SQL the reference times
+      // (blob-dfs_bench.py:141-155, `spark.sql("CALL ...")`): same
+      // Maintenance layer, same arguments as prior rounds (128 MB target /
+      // min-input 2 — NOT the reference's 50, so the timed work matches
+      // r5-r8 artifacts), plus the statement-routing overhead the reference
+      // also pays.
+      val eng = new graft.plan.SparkSqlEngine(spark)
+      eng.registerGraftTable("tx_events", t)
+      val c = timeOnce { eng.execute(
+        """CALL graft.system.rewrite_data_files(table => 'tx_events',
+           options => map('min-input-files','2','target-file-size-bytes','134217728'))""") }
+      val m = timeOnce { eng.execute("CALL graft.system.rewrite_manifests('tx_events')") }
+      val e = timeOnce { eng.execute(
+        "CALL graft.system.expire_snapshots(table => 'tx_events', retain_last => 2)") }
       Seq("write_append" -> w, "rewrite_data_files" -> c,
         "rewrite_manifests" -> m, "expire_snapshots" -> e)
     }

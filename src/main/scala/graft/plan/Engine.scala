@@ -93,11 +93,15 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     // alone resetting was not enough). The metadata-only routes (DDL,
     // COUNT(*) pushdown) answer without touching any view and skip the
     // refresh — metadata must keep answering even when data files are gone.
-    SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable)
-      .orElse(SqlDml.tryMetaAgg(statement, spark, graftViews.toMap))
+    SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable,
+        graftViews.toMap, vn => {
+          graftViews.remove(vn)
+          spark.catalog.dropTempView(vn)
+        })
+      .orElse(SqlDml.tryMetaAgg(statement, spark, graftViews.toMap, catalogOpt))
       .orElse {
         refreshGraftViews()
-        SqlDml.tryExecute(spark, statement, graftViews.toMap).map { r =>
+        SqlDml.tryExecute(spark, statement, graftViews.toMap, catalogOpt).map { r =>
           // the DML committed a new snapshot: re-register immediately so
           // even out-of-band spark.sql readers (not routed through execute)
           // see it
@@ -106,7 +110,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
       }
       .orElse {
         pruneGraftViews(statement)
-        SqlDml.tryReadRewrites(spark, statement, graftViews.toMap).map(capture)
+        SqlDml.tryReadRewrites(spark, statement, graftViews.toMap, catalogOpt).map(capture)
       }
       .getOrElse(capture(spark.sql(statement)))
   }
@@ -158,10 +162,21 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
 
   /** The single registered view under a Filter's child (through aliases);
     * None for joins/subqueries — those shapes fall back to the full view.
+    * A catalog-qualified `ns.t` maps to its registered view (same table
+    * directory) so qualified reads prune exactly like bare ones — the read
+    * rewrite later resolves the qualified name to that same (pruned) view.
     */
   private def viewBelow(p: LogicalPlan): Option[String] = p match {
     case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
       Some(r.multipartIdentifier.head.toLowerCase)
+    case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
+      val Seq(ns, tn) = r.multipartIdentifier.toSeq
+      for {
+        cat <- catalogOpt
+        if cat.tableExists(ns, tn)
+        dir = cat.loadTable(ns, tn).tableDir
+        vn <- graftViews.collectFirst { case (n, t) if t.tableDir == dir => n }
+      } yield vn
     case s: SubqueryAlias => viewBelow(s.child)
     case _ => None
   }

@@ -31,14 +31,15 @@ object SqlDml {
     * None when it is not DML at all (callers fall through to `spark.sql`).
     */
   def tryExecute(spark: SparkSession, statement: String,
-      tables: Map[String, GraftTable]): Option[StatementResult] = {
-    if (tables.isEmpty) return None
+      tables: Map[String, GraftTable],
+      catalog: Option[graft.catalogsvc.CatalogService] = None): Option[StatementResult] = {
+    if (tables.isEmpty && catalog.isEmpty) return None
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case _: Exception => return None }
     parsed match {
       case u: UpdateTable =>
-        target(u.table, tables).map { case (alias, t) =>
+        target(u.table, tables, catalog).map { case (alias, t) =>
           val strip = dequalify(alias) _
           val assigns = u.assignments.map { a =>
             val k = a.key match {
@@ -53,22 +54,23 @@ object SqlDml {
         }
 
       case d: DeleteFromTable =>
-        target(d.table, tables).map { case (alias, t) =>
+        target(d.table, tables, catalog).map { case (alias, t) =>
           Dml.delete(t, dequalify(alias)(d.condition))
           StatementResult(statement, Nil, None)
         }
 
       case m: MergeIntoTable =>
-        target(m.targetTable, tables).map { case (tgtAlias, t) =>
-          executeMerge(spark, statement, m, tgtAlias, t)
+        target(m.targetTable, tables, catalog).map { case (tgtAlias, t) =>
+          executeMerge(spark, statement, m, tgtAlias, t, tables, catalog)
         }
 
       case ins: InsertIntoStatement =>
-        target(ins.table, tables).map { case (_, t) =>
+        target(ins.table, tables, catalog).map { case (_, t) =>
           // the reference's bulk-insert shape (bulk_insert_sales_events.sql:
           // 1-9): INSERT INTO t VALUES/SELECT, positional column matching.
           if (ins.partitionSpec.nonEmpty) unsupported("INSERT with PARTITION spec")
-          val src = SqlInternals.ofRows(spark, ins.query)
+          val src = SqlInternals.ofRows(spark,
+            resolveCatalogRelations(spark, ins.query, tables, catalog))
           val fields = t.schema.fields
           // explicit column list reorders; otherwise positional
           val ordered: Seq[(String, org.apache.spark.sql.types.StructField)] =
@@ -95,7 +97,9 @@ object SqlDml {
   }
 
   private def executeMerge(spark: SparkSession, statement: String,
-      m: MergeIntoTable, tgtAlias: String, t: GraftTable): StatementResult = {
+      m: MergeIntoTable, tgtAlias: String, t: GraftTable,
+      tables: Map[String, GraftTable] = Map.empty,
+      catalog: Option[graft.catalogsvc.CatalogService] = None): StatementResult = {
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("MERGE ... WHEN NOT MATCHED BY SOURCE")
     val (srcAlias, srcPlan) = m.sourceTable match {
@@ -104,8 +108,10 @@ object SqlDml {
       case other => unsupported(s"MERGE source ${other.nodeName} without an alias")
     }
     // The session's analyzer resolves the source exactly as spark.sql would
-    // (VALUES lists, temp views, functions)
-    val srcDf = SqlInternals.ofRows(spark, srcPlan)
+    // (VALUES lists, temp views, functions); catalog-qualified relations
+    // swap to snapshot views first
+    val srcDf = SqlInternals.ofRows(spark,
+      resolveCatalogRelations(spark, srcPlan, tables, catalog))
 
     // ON tgt.k = src.k (either side order) — the single-equi-key contract of
     // the table layer's merge
@@ -224,8 +230,9 @@ object SqlDml {
     * spark.sql over the registered view.
     */
   def tryMetaAgg(statement: String, spark: SparkSession,
-      tables: Map[String, GraftTable]): Option[StatementResult] = {
-    if (tables.isEmpty) return None
+      tables: Map[String, GraftTable],
+      catalog: Option[graft.catalogsvc.CatalogService] = None): Option[StatementResult] = {
+    if (tables.isEmpty && catalog.isEmpty) return None
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case _: Exception => return None }
@@ -263,7 +270,7 @@ object SqlDml {
           case _ => None
         }
         if (items.exists(_.isEmpty)) return None
-        target(child, tables).flatMap { case (_, t) =>
+        target(child, tables, catalog).flatMap { case (_, t) =>
           val values = items.flatten.map { case (out, f) => f(t).map(out -> _) }
           if (values.exists(_.isEmpty)) None // any unanswerable part: full scan
           else Some(StatementResult(statement,
@@ -282,6 +289,9 @@ object SqlDml {
     * column list is restricted to identifier characters so a trailing quote
     * or parenthesis (a literal's closing syntax) breaks the match.
     */
+  private val UseContextRe =
+    """(?is)\A\s*USE\s+(?:CATALOG|WAREHOUSE|DATABASE|SCHEMA|ROLE)\s+(?:IDENTIFIER\('[\w.]+'\)|[\w.`"]+)\s*;?\s*\z""".r
+
   private val WriteOrderedByRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+([\w.`,\s]+?)\s*;?\s*\z""".r
 
@@ -299,29 +309,353 @@ object SqlDml {
     *    syntax Spark's parser rejects, matched textually and routed to the
     *    sticky sort-order property.
     *
-    * None when no catalog is registered or the statement is not DDL.
+    * Schema evolution, lifecycle, and inspection statements route to the
+    * table layer's evolution API — the reference's
+    * `schema_evolution_sales_events.sql:3-12` runs verbatim:
+    *
+    *  - `ALTER TABLE t ADD COLUMN c TYPE [DEFAULT lit]` → `addColumn` (D4);
+    *  - `ALTER TABLE t RENAME COLUMN a TO b` → `renameColumn` (D5);
+    *  - `ALTER TABLE t ALTER COLUMN c TYPE T` → `widenColumn` (D6);
+    *  - `ALTER TABLE t DROP COLUMN c` → `dropColumn`;
+    *  - `ALTER TABLE t SET/UNSET TBLPROPERTIES` → `setProperties`;
+    *  - `DESCRIBE TABLE t` → the schema as rows (D7);
+    *  - `DROP TABLE ns.t` → catalog drop + view unregistration (S7);
+    *  - `SHOW TABLES IN ns` → catalog listing as rows;
+    *  - `CREATE TABLE ns.t AS SELECT ...` → create + append (CTAS);
+    *  - `TRUNCATE TABLE t` → metadata-only empty-overwrite commit;
+    *  - `CALL <cat>.system.<proc>(...)` → the Maintenance layer
+    *    (rewrite_data_files / rewrite_manifests / expire_snapshots /
+    *    remove_orphan_files / rollback_to_snapshot — the reference bench's
+    *    maintenance statements, blob-dfs_bench.py:141-155);
+    *  - `USE CATALOG c` / `USE ns` → accepted no-ops (the engine has one
+    *    implicit catalog; the reference scripts open with a context switch).
+    *
+    * An evolution target resolves like DML targets do: a bare single-part
+    * name against the registered views, `ns.t` against the catalog — a
+    * qualified name that is neither falls through to spark.sql and fails
+    * loudly. After an evolution commit every view over the table re-registers
+    * so subsequent statements see the new schema.
+    *
+    * None when the statement is not DDL (or needs a catalog none is
+    * registered for).
     */
   def tryDdl(spark: SparkSession, statement: String,
       catalog: Option[graft.catalogsvc.CatalogService],
-      register: (String, GraftTable) => Unit): Option[StatementResult] = {
-    val cat = catalog.getOrElse(return None)
+      register: (String, GraftTable) => Unit,
+      tables: Map[String, GraftTable] = Map.empty,
+      unregister: String => Unit = _ => ()): Option[StatementResult] = {
+    // Context-switch headers the reference scripts open with, in dialects
+    // Spark's parser rejects (`USE CATALOG x` is Databricks grammar,
+    // `USE DATABASE`/`USE SCHEMA [IDENTIFIER('x')]` Snowflake): the engine
+    // has one implicit catalog, so they are accepted no-ops — matched
+    // anchored and in full, like WRITE ORDERED BY, so a statement merely
+    // containing the phrase can never route here. Spark-parseable `USE ns`
+    // arrives as SetCatalogAndNamespace below instead.
     statement match {
-      case WriteOrderedByRe(ident, colsStr) =>
-        val parts = ident.replace("`", "").split("\\.")
-        if (parts.length != 2) unsupported(s"ALTER TABLE target $ident (need ns.table)")
-        val t = cat.loadTable(parts(0), parts(1))
-        val cols = colsStr.split(",").map(_.trim).filter(_.nonEmpty)
-        t.setProperties(Map(
-          GraftTable.SortOrderProp -> Some(cols.mkString(","))))
-        return Some(StatementResult(statement, Nil, None))
+      case UseContextRe() => return Some(StatementResult(statement, Nil, None))
       case _ =>
+    }
+    catalog.foreach { cat =>
+      statement match {
+        case WriteOrderedByRe(ident, colsStr) =>
+          val parts = ident.replace("`", "").split("\\.")
+          if (parts.length != 2) unsupported(s"ALTER TABLE target $ident (need ns.table)")
+          val t = cat.loadTable(parts(0), parts(1))
+          val cols = colsStr.split(",").map(_.trim).filter(_.nonEmpty)
+          t.setProperties(Map(
+            GraftTable.SortOrderProp -> Some(cols.mkString(","))))
+          return Some(StatementResult(statement, Nil, None))
+        case _ =>
+      }
     }
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case _: Exception => return None }
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace}
+    import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
+
+    // Same exact-name contract as DML's target(): one part → registered
+    // view, two parts → the catalog's ns.table; anything else is someone
+    // else's table (fall through, never hijack).
+    def nameParts(p: LogicalPlan): Option[Seq[String]] = p match {
+      case ut: UnresolvedTable => Some(ut.multipartIdentifier)
+      case utv: UnresolvedTableOrView => Some(utv.multipartIdentifier)
+      case ui: UnresolvedIdentifier => Some(ui.nameParts)
+      case _ => None
+    }
+    def resolve(p: LogicalPlan): Option[GraftTable] = nameParts(p).flatMap {
+      case Seq(one) => tables.get(one.toLowerCase)
+      case Seq(ns, t) =>
+        catalog.filter(_.tableExists(ns, t)).map(_.loadTable(ns, t))
+      case _ => None
+    }
+    // A CALL's table ident arrives as a string literal; a leading catalog
+    // part (the reference's `opencatalog.system...` call passes
+    // `catalog.ns.t`) drops off before the same resolution rule applies.
+    def resolveIdent(ident: String): Option[GraftTable] = {
+      val parts = ident.split("\\.").toSeq
+      (if (parts.size == 3) parts.drop(1) else parts) match {
+        case Seq(one) => tables.get(one.toLowerCase)
+        case Seq(ns, t) => catalog.filter(_.tableExists(ns, t)).map(_.loadTable(ns, t))
+        case _ => None
+      }
+    }
+    // After an evolution commit, re-register every view over the table so
+    // the rest of the script reads the evolved schema.
+    def evolved(t: GraftTable): StatementResult = {
+      tables.foreach { case (vn, vt) =>
+        if (vt.tableDir == t.tableDir) register(vn, t)
+      }
+      StatementResult(statement, Nil, None)
+    }
+    def singleField(f: FieldName): String = f.name match {
+      case Seq(one) => one
+      case parts => unsupported(s"nested column ${parts.mkString(".")}")
+    }
+    def defaultString(d: Option[DefaultValueExpression]): String = d match {
+      case None => ""
+      case Some(dv) => dv.child match {
+        case Literal(v, _) if v != null => v.toString
+        case other => unsupported(s"non-literal column DEFAULT ${other.sql}")
+      }
+    }
+
     parsed match {
+      case ac: AddColumns =>
+        resolve(ac.table).map { t =>
+          ac.columnsToAdd.foreach { qct =>
+            if (qct.path.nonEmpty) unsupported("ADD COLUMN with a nested path")
+            if (qct.position.nonEmpty) unsupported("ADD COLUMN ... FIRST/AFTER")
+            t.addColumn(qct.colName, qct.dataType.sql, defaultString(qct.default))
+          }
+          evolved(t)
+        }
+
+      case rc: RenameColumn =>
+        resolve(rc.table).map { t =>
+          t.renameColumn(singleField(rc.column), rc.newName)
+          evolved(t)
+        }
+
+      case alt: AlterColumns =>
+        resolve(alt.table).map { t =>
+          alt.specs.foreach { sp =>
+            val newType = sp.newDataType.getOrElse(
+              unsupported("ALTER COLUMN without a TYPE change"))
+            if (sp.newNullability.nonEmpty || sp.newComment.nonEmpty ||
+                sp.newPosition.nonEmpty || sp.newDefaultExpression.nonEmpty)
+              unsupported("ALTER COLUMN beyond TYPE")
+            t.widenColumn(singleField(sp.column), newType.sql)
+          }
+          evolved(t)
+        }
+
+      case dc: DropColumns =>
+        resolve(dc.table).map { t =>
+          dc.columnsToDrop.map(singleField).foreach { name =>
+            if (!dc.ifExists || t.schema.fieldNames.contains(name))
+              t.dropColumn(name)
+          }
+          evolved(t)
+        }
+
+      case sp: SetTableProperties =>
+        resolve(sp.table).map { t =>
+          t.setProperties(sp.properties.map { case (k, v) => k -> Some(v) })
+          StatementResult(statement, Nil, None)
+        }
+
+      case up: UnsetTableProperties =>
+        resolve(up.table).map { t =>
+          t.setProperties(up.propertyKeys.map(_ -> None).toMap)
+          StatementResult(statement, Nil, None)
+        }
+
+      case dr: DescribeRelation =>
+        resolve(dr.relation).map { t =>
+          val rows = t.schema.fields.toSeq.map(f =>
+            Map[String, Any]("col_name" -> f.name,
+              "data_type" -> f.dataType.simpleString,
+              "comment" -> null))
+          StatementResult(statement, rows, None)
+        }
+
+      case dt: DropTable =>
+        nameParts(dt.child).flatMap {
+          case Seq(ns, tname) => catalog.flatMap { cat =>
+            if (cat.tableExists(ns, tname)) {
+              cat.dropTable(ns, tname)
+              unregister(tname.toLowerCase)
+              Some(StatementResult(statement, Nil, None))
+            } else if (dt.ifExists) Some(StatementResult(statement, Nil, None))
+            else None // fall through: spark.sql raises its own not-found
+          }
+          case _ => None
+        }
+
+      case st: ShowTables =>
+        catalog.flatMap { cat =>
+          val ns = st.namespace match {
+            case u: UnresolvedNamespace => u.multipartIdentifier.mkString(".")
+            case _ => return None
+          }
+          if (!cat.namespaceExists(ns)) None
+          else {
+            val names = cat.listTables(ns).sorted
+              .filter(n => st.pattern.forall(p =>
+                java.util.regex.Pattern.matches(
+                  p.replace("*", ".*").replace("?", "."), n)))
+            Some(StatementResult(statement,
+              names.map(n => Map[String, Any](
+                "namespace" -> ns, "tableName" -> n, "isTemporary" -> false)),
+              None))
+          }
+        }
+
+      // `USE ns` / `USE CATALOG c`: single implicit catalog — accept and
+      // move on so the reference scripts' context-switch headers run.
+      case _: SetCatalogAndNamespace =>
+        Some(StatementResult(statement, Nil, None))
+      case cmd if cmd.getClass.getSimpleName == "SetCatalogCommand" =>
+        Some(StatementResult(statement, Nil, None))
+
+      // Iceberg maintenance procedures as SQL (the reference's bench
+      // statements, blob-dfs_bench.py:141-155): `CALL <cat>.system.<proc>`
+      // routes to the Maintenance layer. Strict: unknown procedures and
+      // non-system namespaces fall through; recognized procedures with
+      // arguments the maintenance layer can't honor (strategy, sort_order,
+      // older_than, non-literal args) raise with the construct named.
+      case c: Call =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+        import org.apache.spark.sql.catalyst.expressions.{CreateMap, NamedArgumentExpression}
+        val procParts = c.procedure match {
+          case up: UnresolvedProcedure => up.nameParts
+          case _ => return None
+        }
+        if (procParts.size > 1 && procParts(procParts.size - 2).toLowerCase != "system")
+          return None
+        val proc = procParts.last.toLowerCase
+        val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
+          "remove_orphan_files", "rollback_to_snapshot")
+        if (!known(proc)) return None
+        var positional = Vector.empty[Expression]
+        var named = Map.empty[String, Expression]
+        c.args.foreach {
+          case NamedArgumentExpression(k, v) => named += k.toLowerCase -> v
+          case e => positional :+= e
+        }
+        def litString(e: Expression): String = e match {
+          case Literal(v, _) if v != null => v.toString
+          case other => unsupported(s"CALL argument ${other.sql} (need a literal)")
+        }
+        def litLong(e: Expression): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case Literal(v: Short, _) => v.toLong
+          case other => unsupported(s"CALL argument ${other.sql} (need an integer literal)")
+        }
+        def argAt(name: String, pos: Int): Option[Expression] =
+          named.get(name).orElse(positional.lift(pos))
+        def strMap(e: Expression): Map[String, String] = e match {
+          // pre-analysis, `map('k','v',...)` is still an unresolved function
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.map(_.toLowerCase) == Seq("map") =>
+            f.arguments.map(litString).grouped(2)
+              .collect { case Seq(k, v) => k -> v }.toMap
+          case cm: CreateMap =>
+            cm.children.map(litString).grouped(2).collect { case Seq(k, v) => k -> v }.toMap
+          case other => unsupported(s"CALL options ${other.sql} (need map('k','v',...))")
+        }
+        val identExpr = argAt("table", 0).getOrElse(
+          unsupported(s"CALL $proc without a table argument"))
+        val t = resolveIdent(litString(identExpr)).getOrElse(return None)
+        def oneRow(m: (String, Any)*): StatementResult =
+          StatementResult(statement, Seq(m.toMap[String, Any]), None)
+        val result = proc match {
+          case "rewrite_data_files" =>
+            Seq("strategy", "sort_order", "where").foreach(k =>
+              if (named.contains(k)) unsupported(s"rewrite_data_files $k (binpack only)"))
+            val opts = argAt("options", 4).map(strMap).getOrElse(Map.empty)
+            val badOpt = opts.keySet.diff(
+              Set("min-input-files", "max-file-size-bytes", "target-file-size-bytes"))
+            if (badOpt.nonEmpty) unsupported(s"rewrite_data_files options $badOpt")
+            val target = opts.get("target-file-size-bytes")
+              .orElse(opts.get("max-file-size-bytes")).map(_.toLong)
+              .getOrElse(512L * 1024 * 1024)
+            val minIn = opts.get("min-input-files").map(_.toInt).getOrElse(2)
+            val before = t.latest.files.map(_.path).toSet
+            val after = graft.maintenance.Maintenance
+              .rewriteDataFiles(t, target, minIn)
+              .map(_.files.map(_.path).toSet).getOrElse(before)
+            oneRow("rewritten_data_files_count" -> (before -- after).size.toLong,
+              "added_data_files_count" -> (after -- before).size.toLong)
+          case "rewrite_manifests" =>
+            oneRow("rewritten_manifests_count" ->
+              graft.maintenance.Maintenance.rewriteManifests(t).toLong)
+          case "expire_snapshots" =>
+            if (named.contains("older_than")) unsupported("expire_snapshots older_than")
+            val retain = argAt("retain_last", 2).map(litLong(_).toInt).getOrElse(2)
+            oneRow("deleted_snapshots_count" ->
+              graft.maintenance.Maintenance.expireSnapshots(t, retain).toLong)
+          case "remove_orphan_files" =>
+            val removed = graft.maintenance.Maintenance.removeOrphanFiles(t)
+            StatementResult(statement,
+              removed.sorted.map(p => Map[String, Any]("orphan_file_location" -> p)), None)
+          case "rollback_to_snapshot" =>
+            val sid = argAt("snapshot_id", 1).map(litLong).getOrElse(
+              unsupported("rollback_to_snapshot without snapshot_id"))
+            val prev = t.latest.snapshotId
+            // rollbackTo commits a NEW snapshot mirroring the target —
+            // history stays linear — so "current" is the fresh head, with
+            // the restored content id alongside (Iceberg's pointer-move
+            // reports current == target; this engine's lineage differs)
+            val rolled = t.rollbackTo(sid)
+            oneRow("previous_snapshot_id" -> prev,
+              "current_snapshot_id" -> rolled.snapshotId,
+              "rolled_back_to" -> sid)
+        }
+        // maintenance may have changed the live file set (or, for rollback,
+        // the data): re-register every view over this table
+        tables.foreach { case (vn, vt) =>
+          if (vt.tableDir == t.tableDir) register(vn, t)
+        }
+        Some(result)
+
+      case tt: TruncateTable =>
+        resolve(tt.table).map { t =>
+          // metadata-only: an overwrite commit with an empty frame — old
+          // files stay readable via time travel until expiry
+          t.overwrite(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema),
+            operation = "truncate")
+          evolved(t)
+        }
+
+      case ctas: CreateTableAsSelect =>
+        val cat = catalog.getOrElse(return None)
+        val (ns, tname) = ctas.name match {
+          case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
+            (id.nameParts.head, id.nameParts.last)
+          case id: UnresolvedIdentifier =>
+            unsupported(s"CTAS name ${id.nameParts.mkString(".")} (need ns.table)")
+          case other => unsupported(s"CTAS target $other")
+        }
+        if (cat.tableExists(ns, tname)) {
+          if (ctas.ignoreIfExists) {
+            register(tname, cat.loadTable(ns, tname))
+            return Some(StatementResult(statement, Nil, None))
+          }
+          throw new IllegalStateException(s"table exists: $ns.$tname")
+        }
+        if (ctas.partitioning.nonEmpty) unsupported("CTAS with PARTITIONED BY")
+        val src = SqlInternals.ofRows(spark,
+          resolveCatalogRelations(spark, ctas.query, tables, catalog))
+        val t = cat.createTable(ns, tname, src.schema, Nil)
+        t.append(src)
+        register(tname, t)
+        Some(StatementResult(statement, Nil, None))
+
       case cn: CreateNamespace =>
+        val cat = catalog.getOrElse(return None)
         val ns = cn.name match {
           case u: UnresolvedNamespace => u.multipartIdentifier.mkString(".")
           case other => unsupported(s"CREATE NAMESPACE target $other")
@@ -330,6 +664,7 @@ object SqlDml {
         Some(StatementResult(statement, Nil, None))
 
       case ct: CreateTable =>
+        val cat = catalog.getOrElse(return None)
         val (ns, tname) = ct.name match {
           case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
             (id.nameParts.head, id.nameParts.last)
@@ -421,8 +756,9 @@ object SqlDml {
     * nothing was rewritten.
     */
   def tryReadRewrites(spark: SparkSession, statement: String,
-      tables: Map[String, GraftTable]): Option[DataFrame] = {
-    if (tables.isEmpty) return None
+      tables: Map[String, GraftTable],
+      catalog: Option[graft.catalogsvc.CatalogService] = None): Option[DataFrame] = {
+    if (tables.isEmpty && catalog.isEmpty) return None
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case _: Exception => return None }
@@ -434,17 +770,30 @@ object SqlDml {
       df.createOrReplaceTempView(vname)
       UnresolvedRelation(Seq(vname))
     }
-    // transformUpWithSubqueries, not transformUp: a rewritable relation
-    // inside a scalar subquery lives in an expression's nested plan
-    // Same exact-name rule as target(): registered views are single-part, so
-    // a travel relation routes only on a bare name, and a metadata suffix
-    // only as `<view>.<suffix>` — `otherdb.sales` / `otherdb.sales.snapshots`
-    // must not resolve against a registered `sales`.
-    val rewritten = parsed.transformUpWithSubqueries {
+    // exact catalog-backed ns.t, mirroring target()'s qualified rule
+    def catTable(parts: Seq[String]): Option[GraftTable] = parts match {
+      case Seq(ns, tn) => catalog.filter(_.tableExists(ns, tn)).map(_.loadTable(ns, tn))
+      case _ => None
+    }
+    // transformDownWithSubqueries, parents before children: a travel node
+    // must claim its child relation before the plain-relation rule sees it
+    // (the replacement view is single-part, which no rule below matches).
+    // Subquery traversal still applies — a rewritable relation inside a
+    // scalar subquery lives in an expression's nested plan.
+    // Same exact-name rule as target(): registered views route on a bare
+    // name, catalog tables on their exact two-part name, and a metadata
+    // suffix only as `<view>.<suffix>` / `<ns>.<t>.<suffix>` —
+    // `otherdb.sales` / `otherdb.sales.snapshots` must not resolve against
+    // a registered `sales`.
+    val rewritten = parsed.transformDownWithSubqueries {
       case RelationTimeTravel(r: UnresolvedRelation, ts, version)
-          if r.multipartIdentifier.size == 1 &&
-            tables.contains(r.multipartIdentifier.last.toLowerCase) =>
-        val t = tables(r.multipartIdentifier.last.toLowerCase)
+          if (r.multipartIdentifier.size == 1 &&
+            tables.contains(r.multipartIdentifier.last.toLowerCase)) ||
+            (r.multipartIdentifier.size == 2 && catTable(r.multipartIdentifier).nonEmpty) =>
+        val t =
+          if (r.multipartIdentifier.size == 1)
+            tables(r.multipartIdentifier.last.toLowerCase)
+          else catTable(r.multipartIdentifier).get
         val df = (version, ts) match {
           case (Some(v), _) => t.readVersionAsOf(v.toLong)
           case (None, Some(expr)) if expr.foldable =>
@@ -465,6 +814,15 @@ object SqlDml {
           case _ => unsupported("time travel without a literal version/timestamp")
         }
         registered(df, r.multipartIdentifier.last, "travel")
+      // a real catalog table named like a metadata suffix wins over the
+      // sugar (exact match beats suffix interpretation)
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.size == 2 && catTable(r.multipartIdentifier).nonEmpty =>
+        val t = catTable(r.multipartIdentifier).get
+        tables.collectFirst { case (vn, vt) if vt.tableDir == t.tableDir => vn } match {
+          case Some(vn) => n += 1; UnresolvedRelation(Seq(vn))
+          case None => registered(t.readLatest(), r.multipartIdentifier.last, "cat")
+        }
       case r: UnresolvedRelation
           if r.multipartIdentifier.size == 2 &&
             MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
@@ -472,6 +830,13 @@ object SqlDml {
         val base = r.multipartIdentifier.init.last
         val t = tables(base.toLowerCase)
         registered(MetaTables(r.multipartIdentifier.last.toLowerCase)(t), base, "meta")
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.size == 3 &&
+            MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
+            catTable(r.multipartIdentifier.init).nonEmpty =>
+        val t = catTable(r.multipartIdentifier.init).get
+        registered(MetaTables(r.multipartIdentifier.last.toLowerCase)(t),
+          r.multipartIdentifier(1), "meta")
     }
     if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))
   }
@@ -484,15 +849,50 @@ object SqlDml {
     * registered table, silently). Qualified names fall through to spark.sql,
     * which fails loudly for DML over an unknown relation.
     */
-  private def target(plan: LogicalPlan, tables: Map[String, GraftTable])
+  private def target(plan: LogicalPlan, tables: Map[String, GraftTable],
+      catalog: Option[graft.catalogsvc.CatalogService] = None)
       : Option[(String, GraftTable)] = plan match {
     case SubqueryAlias(id, child) =>
-      target(child, tables).map { case (_, t) => (id.name, t) }
+      target(child, tables, catalog).map { case (_, t) => (id.name, t) }
     case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
       val name = r.multipartIdentifier.head
       tables.get(name.toLowerCase).map(t => (name, t))
+    case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
+      // the reference's rendered scripts qualify every statement with
+      // `{{ target_namespace }}.{{ table_name }}` — an EXACT catalog match
+      // routes; any other qualified name still falls through loudly
+      val Seq(ns, tn) = r.multipartIdentifier.toSeq
+      catalog.filter(_.tableExists(ns, tn)).map(c => (tn, c.loadTable(ns, tn)))
     case _ => None
   }
+
+  /** Swap every exact catalog-backed `ns.t` relation in `plan` for a temp
+    * view over the table's latest snapshot — an already-registered view over
+    * the same table is reused (same refresh/prune lifecycle), an
+    * unregistered one materializes fresh. DML source plans (INSERT SELECT,
+    * MERGE USING) resolve through the session analyzer, which cannot see
+    * catalog names on its own.
+    */
+  private def resolveCatalogRelations(spark: SparkSession, plan: LogicalPlan,
+      tables: Map[String, GraftTable],
+      catalog: Option[graft.catalogsvc.CatalogService]): LogicalPlan =
+    catalog match {
+      case None => plan
+      case Some(cat) => plan.transformUpWithSubqueries {
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.size == 2 &&
+              cat.tableExists(r.multipartIdentifier.head, r.multipartIdentifier.last) =>
+          val Seq(ns, tn) = r.multipartIdentifier.toSeq
+          val t = cat.loadTable(ns, tn)
+          tables.collectFirst { case (vn, vt) if vt.tableDir == t.tableDir => vn } match {
+            case Some(vn) => UnresolvedRelation(Seq(vn))
+            case None =>
+              val vname = s"${tn}__cat_src"
+              t.readLatest().createOrReplaceTempView(vname)
+              UnresolvedRelation(Seq(vname))
+          }
+      }
+    }
 
   private def qualifierOf(a: UnresolvedAttribute): Option[String] =
     if (a.nameParts.size >= 2) Some(a.nameParts.init.last) else None

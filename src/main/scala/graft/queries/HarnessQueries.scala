@@ -324,8 +324,10 @@ object HarnessQueries {
 
     // The reference's spark script suite verbatim (bulk_insert → read →
     // update → delete → time_travel_validate, template placeholders
-    // rendered): INSERT VALUES, metadata-table read, COW DML, and VERSION AS
-    // OF all as plain SQL through one engine. Fully deterministic — the
+    // rendered — including the `{{ target_namespace }}.{{ table_name }}`
+    // qualification every rendered statement carries): INSERT VALUES,
+    // metadata-table read, COW DML, and VERSION AS OF all as plain SQL
+    // through one engine. Fully deterministic — the
     // VALUES rows are the reference's own — so the oracle is literal.
     "h_sql_script_suite" -> ((s, _) => {
       import s.implicits._
@@ -343,7 +345,7 @@ object HarnessQueries {
       eng.execute("ALTER TABLE analytics.sales_events WRITE ORDERED BY event_ts, tenant_id")
       val t = cat.loadTable("analytics", "sales_events")
       eng.execute("""
-        INSERT INTO sales_events VALUES
+        INSERT INTO analytics.sales_events VALUES
           (1, 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, 19.99, 'US', DATE '2024-01-01'),
           (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, 5.00, 'US', DATE '2024-01-01'),
           (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, 10.00, 'GB', DATE '2024-01-02'),
@@ -353,15 +355,16 @@ object HarnessQueries {
           (7, 12, TIMESTAMP '2024-01-04 15:55:00', 'sku-0003', 4, 11.00, 'GB', DATE '2024-01-04'),
           (8, 13, TIMESTAMP '2024-01-05 16:10:00', 'sku-0004', 6, 7.50, 'FR', DATE '2024-01-05')""")
       val baseline = eng.execute(
-        """SELECT snapshot_id, committed_at FROM sales_events.snapshots
+        """SELECT snapshot_id, committed_at FROM analytics.sales_events.snapshots
            ORDER BY committed_at DESC LIMIT 1""").rows.head("snapshot_id").asInstanceOf[Long]
-      eng.execute("UPDATE sales_events SET price = price * 1.1 WHERE event_id = 1")
-      eng.execute("DELETE FROM sales_events WHERE event_id = 8")
+      eng.execute("UPDATE analytics.sales_events SET price = price * 1.1 WHERE event_id = 1")
+      eng.execute("DELETE FROM analytics.sales_events WHERE event_id = 8")
       val cur = eng.execute(
-        """SELECT COUNT(*) AS c, CAST(SUM(qty) AS BIGINT) AS q FROM sales_events""").rows.head
+        """SELECT COUNT(*) AS c, CAST(SUM(qty) AS BIGINT) AS q
+           FROM analytics.sales_events""").rows.head
       val base = eng.execute(
         s"""SELECT COUNT(*) AS c, CAST(SUM(qty) AS BIGINT) AS q
-            FROM sales_events VERSION AS OF $baseline""").rows.head
+            FROM analytics.sales_events VERSION AS OF $baseline""").rows.head
       Seq((cur("c").asInstanceOf[Long], cur("q").asInstanceOf[Long],
         base("c").asInstanceOf[Long], base("q").asInstanceOf[Long],
         t.snapshotsList.size.toLong))
@@ -431,6 +434,101 @@ object HarnessQueries {
         .toDF("ts_rows", "ts_qty", "off_rows", "off_qty", "cur_rows", "cur_qty")
     }),
 
+    // D4-D7 through the SQL front door — the reference's
+    // schema_evolution_sales_events.sql:1-12 statements run VERBATIM
+    // (USE CATALOG, ADD COLUMN ... DEFAULT, RENAME COLUMN, ALTER COLUMN
+    // TYPE, DESCRIBE TABLE), plus DROP COLUMN and table lifecycle
+    // (SHOW TABLES / DROP TABLE). Deterministic literal VALUES → literal
+    // oracle. Old rows read the ADD default and the renamed/widened
+    // columns; the dropped column vanishes from reads and DESCRIBE.
+    "h_sql_evolution" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_evolution"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE IF NOT EXISTS analytics")
+      eng.execute("""
+        CREATE TABLE IF NOT EXISTS analytics.sales_events (
+          event_id BIGINT, tenant_id BIGINT, event_ts TIMESTAMP_NTZ, sku STRING,
+          qty BIGINT, price DOUBLE, country STRING, ds DATE
+        ) USING iceberg""")
+      eng.execute("""
+        INSERT INTO sales_events VALUES
+          (1, 10, TIMESTAMP '2024-01-01 00:00:00', 'sku-0001', 3, 19.99, 'US', DATE '2024-01-01'),
+          (2, 11, TIMESTAMP '2024-01-01 00:05:00', 'sku-0002', 5, 5.00, 'US', DATE '2024-01-01'),
+          (3, 12, TIMESTAMP '2024-01-02 09:30:00', 'sku-0003', 2, 10.00, 'GB', DATE '2024-01-02'),
+          (4, 13, TIMESTAMP '2024-01-02 10:45:00', 'sku-0004', 8, 7.50, 'FR', DATE '2024-01-02')""")
+      // schema_evolution_sales_events.sql rendered, statement for statement
+      eng.execute("USE CATALOG main")
+      eng.execute("ALTER TABLE analytics.sales_events ADD COLUMN channel STRING DEFAULT 'web'")
+      eng.execute("ALTER TABLE analytics.sales_events RENAME COLUMN sku TO product_sku")
+      eng.execute("ALTER TABLE analytics.sales_events ALTER COLUMN price TYPE DECIMAL(18,2)")
+      // post-evolution write carries the new shape (renamed sku, explicit channel)
+      eng.execute("""
+        INSERT INTO sales_events VALUES
+          (5, 12, TIMESTAMP '2024-01-03 08:00:00', 'sku-0009', 2, 10.00, 'GB',
+           DATE '2024-01-03', 'app')""")
+      eng.execute("ALTER TABLE analytics.sales_events DROP COLUMN country")
+      val desc = eng.execute("DESCRIBE TABLE analytics.sales_events")
+      val descStr = desc.rows.map(r => s"${r("col_name")}:${r("data_type")}").mkString(",")
+      // lifecycle: a scratch table shows up in SHOW TABLES and drops away
+      eng.execute("CREATE TABLE analytics.tmp_probe (k BIGINT) USING iceberg")
+      val before = eng.execute("SHOW TABLES IN analytics").rows
+        .map(_("tableName")).mkString(",")
+      eng.execute("DROP TABLE analytics.tmp_probe")
+      val after = eng.execute("SHOW TABLES IN analytics").rows
+        .map(_("tableName")).mkString(",")
+      val agg = eng.execute("""
+        SELECT channel, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS total_qty,
+               CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM sales_events GROUP BY channel ORDER BY channel""").rows
+      val web = agg.find(_("channel") == "web").get
+      val app = agg.find(_("channel") == "app").get
+      Seq((web("n").asInstanceOf[Long], web("total_qty").asInstanceOf[Long],
+        web("revenue").asInstanceOf[Double], app("n").asInstanceOf[Long],
+        app("total_qty").asInstanceOf[Long], app("revenue").asInstanceOf[Double],
+        descStr, before, after))
+        .toDF("web_n", "web_qty", "web_revenue", "app_n", "app_qty", "app_revenue",
+          "described", "tables_before", "tables_after")
+    }),
+
+    // M1-M3 through the SQL front door — the reference bench's maintenance
+    // statements run VERBATIM (blob-dfs_bench.py:141-155): CALL
+    // <cat>.system.rewrite_data_files(table => ..., options => map(...)),
+    // rewrite_manifests, expire_snapshots(retain_last => 2). Three small
+    // insert commits (two part-files each) binpack to one; expiry trims to 2;
+    // data never changes.
+    "h_sql_maintenance" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_maintenance"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5)")
+      eng.execute("INSERT INTO ev VALUES (3, 2), (4, 8)")
+      eng.execute("INSERT INTO ev VALUES (5, 1), (6, 6)")
+      val rw = eng.execute(
+        """CALL opencatalog.system.rewrite_data_files(table => 'ops.ev',
+           options => map('min-input-files','2','max-file-size-bytes','536870912'))""")
+        .rows.head
+      val rm = eng.execute("CALL opencatalog.system.rewrite_manifests('ops.ev')").rows.head
+      val ex = eng.execute(
+        "CALL opencatalog.system.expire_snapshots(table => 'ops.ev', retain_last => 2)")
+        .rows.head
+      val t = cat.loadTable("ops", "ev")
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM ev").rows.head
+      Seq((agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long],
+        rw("rewritten_data_files_count").asInstanceOf[Long],
+        rw("added_data_files_count").asInstanceOf[Long],
+        rm("rewritten_manifests_count").asInstanceOf[Long] >= 1L,
+        ex("deleted_snapshots_count").asInstanceOf[Long],
+        t.latest.files.size.toLong, t.snapshotsList.size.toLong))
+        .toDF("row_count", "total_qty", "files_rewritten", "files_added",
+          "manifests_consolidated", "snapshots_deleted", "files_after", "snapshots_after")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -493,6 +591,19 @@ object HarnessQueries {
               (SELECT COUNT(*) c,
                  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) q
                FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R') b""",
+    "h_sql_maintenance" ->
+      """SELECT CAST(6 AS BIGINT) AS row_count, CAST(25 AS BIGINT) AS total_qty,
+           CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,
+           TRUE AS manifests_consolidated, CAST(3 AS BIGINT) AS snapshots_deleted,
+           CAST(1 AS BIGINT) AS files_after, CAST(2 AS BIGINT) AS snapshots_after""",
+    "h_sql_evolution" ->
+      """SELECT CAST(4 AS BIGINT) AS web_n, CAST(18 AS BIGINT) AS web_qty,
+           CAST(42.49 AS DOUBLE) AS web_revenue,
+           CAST(1 AS BIGINT) AS app_n, CAST(2 AS BIGINT) AS app_qty,
+           CAST(10.00 AS DOUBLE) AS app_revenue,
+           'event_id:bigint,tenant_id:bigint,event_ts:timestamp_ntz,product_sku:string,qty:bigint,price:decimal(18,2),ds:date,channel:string' AS described,
+           'sales_events,tmp_probe' AS tables_before,
+           'sales_events' AS tables_after""",
     "h_sql_pruned_read" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

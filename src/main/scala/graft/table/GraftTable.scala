@@ -1171,6 +1171,33 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         if (f.name == name) f.copy(dataType = DataType.fromDDL(newType)) else f)),
       "widen-column")
 
+  /** Drop a column (metadata-only, like the Iceberg `drop column`): old
+    * files keep the physical data; reads replay the drop so the column never
+    * surfaces, and a later re-`addColumn` of the same name starts a FRESH
+    * column (the replay order drop-then-add resurrects nothing, and
+    * `writeTimeName`'s add rule keeps old files' stats from aliasing in).
+    * Refused for columns the table still depends on: partition columns
+    * (identity or a transform's source) and live MOR delete keys — dropping
+    * those would break scan planning / delete application, not just hide
+    * data.
+    */
+  def dropColumn(name: String): Snapshot = {
+    val snap = latest
+    require(snap.partitionCols.forall(_ != name),
+      s"cannot drop partition column $name of $tableDir")
+    require(!GraftTable.parseTransforms(properties).exists(_.src == name),
+      s"cannot drop $name: it is the source of a partition transform in $tableDir")
+    val liveKeyCols = snap.deletes
+      .flatMap(d => d.keyCols.map(k => GraftTable.currentName(snap, k, d.appliedAt)))
+    require(!liveKeyCols.contains(name),
+      s"cannot drop $name: live merge-on-read delete files key on it in $tableDir")
+    evolveSchema(GraftTable.dropColumnOp(name),
+      s => {
+        require(s.fieldNames.contains(name), s"no column $name in $tableDir")
+        StructType(s.fields.filterNot(_.name == name))
+      }, "drop-column")
+  }
+
   /** S3 — bulk append (ref blob-dfs_bench.py:104-106). Metadata-only for
     * existing files. `sortWithinPartitionsCols` implements WRITE ORDERED BY
     * (O5, ref create_sales_events.sql:21-24). `extraSummary` entries land in
@@ -1863,6 +1890,8 @@ object GraftTable {
     writeOp(Map("op" -> "rename", "from" -> from, "to" -> to))
   def widenColumnOp(name: String, newType: String): String =
     writeOp(Map("op" -> "widen", "name" -> name, "dataType" -> newType))
+  def dropColumnOp(name: String): String =
+    writeOp(Map("op" -> "drop", "name" -> name))
 
   private def writeOp(m: Map[String, String]): String =
     org.json4s.jackson.Serialization.write(m)(SnapshotLog.formats)
@@ -2129,6 +2158,10 @@ object GraftTable {
       case "widen" =>
         if (df.columns.contains(m("name"))) df.withColumn(m("name"), col(m("name")).cast(m("dataType")))
         else df
+      case "drop" =>
+        // replay order makes drop-then-re-add sound: the old file's column
+        // vanishes here before the later add op re-creates it at its default
+        if (df.columns.contains(m("name"))) df.drop(m("name")) else df
       case _ => throw new IllegalArgumentException(s"bad evolution op: $op")
     }
   }

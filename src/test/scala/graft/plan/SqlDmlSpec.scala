@@ -318,6 +318,171 @@ class SqlDmlSpec extends SparkSpec {
       Seq((1L, 10L, "sku-001"), (2L, 11L, "abc-002")))
   }
 
+  test("schema-evolution SQL routes to the table layer; old rows read the evolved shape") {
+    val (eng, t) = mkTable("sqldml-evolve")
+    // the reference's schema_evolution_sales_events.sql statements, rendered
+    eng.execute("ALTER TABLE sales ADD COLUMN country STRING DEFAULT 'US'")
+    eng.execute("ALTER TABLE sales RENAME COLUMN channel TO sales_channel")
+    eng.execute("ALTER TABLE sales ALTER COLUMN price TYPE DECIMAL(18,2)")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("event_id", "tenant_id", "price", "sales_channel", "country"))
+    assert(t.schema("price").dataType.simpleString == "decimal(18,2)")
+    // pre-evolution rows surface the default, the rename, and the widen —
+    // through the engine's re-registered view, no manual refresh
+    val r = eng.execute(
+      """SELECT country, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS s
+         FROM sales GROUP BY country""").rows
+    assert(r.size == 1 && r.head("country") == "US" && r.head("n") == 4L &&
+      r.head("s") == 26.0)
+    // DESCRIBE surfaces the evolved schema as rows
+    val d = eng.execute("DESCRIBE TABLE sales").rows
+    assert(d.map(m => (m("col_name"), m("data_type"))) == Seq(
+      ("event_id", "bigint"), ("tenant_id", "bigint"), ("price", "decimal(18,2)"),
+      ("sales_channel", "string"), ("country", "string")))
+    // DROP COLUMN hides the column from reads; re-ADD starts fresh (the
+    // default, never the old values)
+    eng.execute("ALTER TABLE sales DROP COLUMN sales_channel")
+    assert(!t.schema.fieldNames.contains("sales_channel"))
+    eng.execute("ALTER TABLE sales ADD COLUMN sales_channel STRING DEFAULT 'none'")
+    val re = eng.execute(
+      "SELECT DISTINCT sales_channel AS c FROM sales").rows.map(_("c"))
+    assert(re == Seq("none"), s"re-added column resurrected old values: $re")
+  }
+
+  test("evolution DDL on a qualified name is never hijacked; guarded drops refuse") {
+    val (eng, t) = mkTable("sqldml-evolve-neg")
+    // qualified name ending in the registered view name: falls through to
+    // spark.sql and fails loudly — never evolves the registered table
+    intercept[Exception] {
+      eng.execute("ALTER TABLE otherdb.sales ADD COLUMN x INT")
+    }
+    assert(!t.schema.fieldNames.contains("x"))
+    // ALTER COLUMN beyond a TYPE change is refused, not approximated
+    val e = intercept[UnsupportedOperationException] {
+      eng.execute("ALTER TABLE sales ALTER COLUMN price COMMENT 'c'")
+    }
+    assert(e.getMessage.contains("not supported"))
+    // dropping a column the table depends on refuses with the reason named
+    val pt = GraftTable.create(spark, scratchDir("sqldml-evolve-part"),
+      t.schema, partitionCols = Seq("channel"))
+    val pe = intercept[IllegalArgumentException] { pt.dropColumn("channel") }
+    assert(pe.getMessage.contains("partition column"))
+  }
+
+  test("DROP TABLE drops from the catalog and unregisters the view") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-drop"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE lifecycle")
+    eng.execute("CREATE TABLE lifecycle.probe (k BIGINT) USING iceberg")
+    eng.execute("INSERT INTO probe VALUES (1), (2)")
+    assert(eng.execute("SHOW TABLES IN lifecycle").rows.map(_("tableName")) == Seq("probe"))
+    eng.execute("DROP TABLE lifecycle.probe")
+    assert(!cat.tableExists("lifecycle", "probe"))
+    assert(eng.execute("SHOW TABLES IN lifecycle").rows.isEmpty)
+    // the view is gone too: the next read fails loudly instead of serving
+    // the dropped table's last registration
+    intercept[Exception] { eng.execute("SELECT COUNT(*) AS n FROM probe") }
+  }
+
+  test("catalog-qualified names route everywhere the rendered scripts use them") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-qualified"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE analytics")
+    eng.execute("CREATE TABLE analytics.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+    // the reference's rendered statements qualify EVERY name with
+    // `{{ target_namespace }}.{{ table_name }}` — all of these are that shape
+    eng.execute("INSERT INTO analytics.ev VALUES (1, 3), (2, 5)")
+    eng.execute("UPDATE analytics.ev SET qty = qty + 1 WHERE event_id = 1")
+    assert(eng.execute("SELECT CAST(SUM(qty) AS BIGINT) AS q FROM analytics.ev")
+      .rows.head("q") == 9L)
+    // whole-table COUNT(*) on the qualified name answers from metadata
+    assert(eng.execute("SELECT COUNT(*) AS n FROM analytics.ev").rows.head("n") == 2L)
+    // three-part metadata relation and qualified time travel
+    assert(eng.execute(
+      "SELECT snapshot_id FROM analytics.ev.snapshots ORDER BY snapshot_id").rows.size == 3)
+    assert(eng.execute(
+      "SELECT CAST(SUM(qty) AS BIGINT) AS q FROM analytics.ev VERSION AS OF 2")
+      .rows.head("q") == 8L)
+    // qualified MERGE target AND qualified source subquery
+    eng.execute("CREATE TABLE analytics.src (event_id BIGINT, qty BIGINT) USING iceberg")
+    eng.execute("INSERT INTO analytics.src VALUES (2, 50), (9, 9)")
+    eng.execute("""
+      MERGE INTO analytics.ev AS tgt
+      USING (SELECT * FROM analytics.src) AS src ON tgt.event_id = src.event_id
+      WHEN MATCHED THEN UPDATE SET qty = src.qty
+      WHEN NOT MATCHED THEN INSERT (event_id, qty) VALUES (src.event_id, src.qty)""")
+    eng.execute("DELETE FROM analytics.ev WHERE event_id = 9")
+    val fin = eng.execute(
+      "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM analytics.ev").rows.head
+    assert(fin("n") == 2L && fin("q") == 54L)
+    // a qualified name NOT in the catalog still falls through loudly
+    intercept[Exception] { eng.execute("UPDATE otherdb.ev SET qty = 0") }
+    // qualified reads prune files exactly like bare ones (the prune pass
+    // maps ns.t to its registered view before the read rewrite reuses it)
+    eng.execute("CREATE TABLE analytics.pr (k BIGINT, v BIGINT) USING iceberg")
+    eng.execute("INSERT INTO analytics.pr VALUES (1, 1), (2, 2)")
+    eng.execute("INSERT INTO analytics.pr VALUES (100, 3), (200, 4)")
+    val pruned = eng.execute(
+      "SELECT CAST(SUM(v) AS BIGINT) AS s FROM analytics.pr WHERE k >= 100").rows.head
+    assert(pruned("s") == 7L)
+    val (scanned, total) = eng.lastPrune("pr")
+    assert(scanned < total, s"qualified read did not prune: $scanned/$total")
+  }
+
+  test("CTAS and TRUNCATE TABLE route to the table layer") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-ctas"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE analytics")
+    eng.execute("CREATE TABLE analytics.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+    eng.execute("INSERT INTO analytics.ev VALUES (1, 3), (2, 5), (3, 2)")
+    // CTAS from a qualified source; the new table registers for the script
+    eng.execute("""
+      CREATE TABLE analytics.big AS
+      SELECT event_id, qty * 10 AS qty10 FROM analytics.ev WHERE qty >= 3""")
+    assert(cat.tableExists("analytics", "big"))
+    val r = eng.execute("SELECT CAST(SUM(qty10) AS BIGINT) AS s FROM big").rows.head
+    assert(r("s") == 80L)
+    // TRUNCATE keeps the table and schema, empties the data, stays travelable
+    eng.execute("TRUNCATE TABLE analytics.big")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM analytics.big").rows.head("n") == 0L)
+    val t = cat.loadTable("analytics", "big")
+    assert(t.schema.fieldNames.toSeq == Seq("event_id", "qty10"))
+    assert(t.readVersionAsOf(t.latest.snapshotId - 1).count() == 2L)
+  }
+
+  test("CALL maintenance procedures route to the Maintenance layer") {
+    val (eng, t) = mkTable("sqldml-call")
+    eng.execute("UPDATE sales SET price = price + 100.0 WHERE event_id = 1")
+    // rollback via the Iceberg procedure, positional args, catalog-prefixed
+    // name: history stays linear, the data reverts
+    val rb = eng.execute(
+      "CALL opencatalog.system.rollback_to_snapshot('sales', 2)").rows.head
+    assert(rb("rolled_back_to") == 2L)
+    assert(rb("current_snapshot_id") == 4L) // linear history: a fresh head
+    assert(eng.execute("SELECT CAST(SUM(price) AS DOUBLE) AS s FROM sales")
+      .rows.head("s") == 26.0)
+    // remove_orphan_files: a stray file under data/ comes back as a row
+    val stray = new java.io.File(s"${t.tableDir}/data/stray-debris.parquet")
+    java.nio.file.Files.writeString(stray.toPath, "junk")
+    val removed = eng.execute(
+      "CALL opencatalog.system.remove_orphan_files(table => 'sales')").rows
+    assert(removed.map(_("orphan_file_location")) == Seq("stray-debris.parquet"))
+    assert(!stray.exists())
+    // an unknown procedure is never swallowed: falls through and raises
+    intercept[Exception] {
+      eng.execute("CALL opencatalog.system.no_such_proc('sales')")
+    }
+    // a recognized procedure with an argument the layer can't honor names it
+    val e = intercept[UnsupportedOperationException] {
+      eng.execute(
+        "CALL opencatalog.system.rewrite_data_files(table => 'sales', strategy => 'sort')")
+    }
+    assert(e.getMessage.contains("strategy"))
+  }
+
   test("Snowflake dialect rewrites: postfix casts, AT clauses, constant arithmetic") {
     // pure-text layer first (snowflake.sql:359-361 shapes)
     assert(SqlDml.rewritePostfixCasts("SELECT '2024-01-01'::TIMESTAMP_LTZ AS t") ==
