@@ -68,6 +68,32 @@ object Sampling {
     docs.filter(bucket6(col("text")) < thr)
   }
 
+  /** Deterministic corpus shuffle + train/val/test split — the last step
+    * before a corpus ships to training. Split membership hashes the DOC ID,
+    * not the content: a document keeps its split across corpus versions even
+    * when its text is re-extracted or cleaned, so a re-release can never
+    * leak yesterday's training docs into tomorrow's held-out set. The
+    * shuffle key hashes (epochSeed, doc_id): each epoch seed is a fresh,
+    * engine- and partitioning-independent permutation. Both are map-only
+    * derivations; the global order is a range-partitioned sort on the
+    * uniform hash key — every partition sorts in parallel and readers
+    * consume partitions in key order, no single-task stage anywhere.
+    */
+  def shuffleSplit(docs: DataFrame, epochSeed: Long, testPct: Int, valPct: Int): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"split percentages out of range: test=$testPct val=$valPct")
+    val h = md5(concat_ws(":", lit(epochSeed), col("doc_id").cast("string")).cast("binary"))
+    val withKey = docs.withColumn("shuffle_key", h)
+    val b = conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("bigint") % 100
+    withKey
+      .withColumn("split",
+        when(b < lit(testPct), lit("test"))
+          .when(b < lit(testPct + valPct), lit("val"))
+          .otherwise(lit("train")))
+      .repartitionByRange(col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified deterministic sample: halve English, keep 10% Chinese,
     // 25% everything else; per-stratum counts + id checksum
@@ -77,6 +103,13 @@ object Sampling {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
         .orderBy("lang")),
+
+    // Deterministic shuffle + 10/5/85 test/val/train split at epoch seed 7:
+    // per-doc split assignment and permutation key, bit-identical
+    // cross-engine (md5 of the same utf8 bytes)
+    "sample_shuffle_split" -> ((s, dir) =>
+      shuffleSplit(Tables.documents(s, dir), epochSeed = 7L, testPct = 10, valPct = 5)
+        .select(col("doc_id"), col("split"), col("shuffle_key"))),
 
     // Temperature mixing at alpha=0.5 over the language column: the
     // smallest language keeps ~100%, dominant ones are damped toward
@@ -89,6 +122,13 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_shuffle_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 10 THEN 'test' WHEN b < 15 THEN 'val' ELSE 'train' END AS split,
+           h AS shuffle_key
+         FROM (SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h,
+                      CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+               FROM documents)""",
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
          FROM documents
