@@ -46,7 +46,8 @@ case class MaintenanceReport(
     materializedDeletes: Boolean,
     compacted: Boolean,
     manifestsConsolidated: Int,
-    snapshotsExpired: Int)
+    snapshotsExpired: Int,
+    danglingDeletesDropped: Boolean = false)
 
 object Maintenance {
 
@@ -278,6 +279,11 @@ object Maintenance {
       else false
     val compacted = rewriteDataFiles(t, policy.targetFileSizeBytes,
       policy.minInputFiles).isDefined
+    // compaction rewrites affected files with new writtenAt ids, stranding
+    // their deletes — drop the now-dangling entries (pure metadata, no IO;
+    // full consolidation stays an explicit rewriteDeleteFiles/CALL decision)
+    val danglingDropped =
+      t.latest.deletes.nonEmpty && t.rewriteDeleteFiles(consolidate = false).isDefined
     val conf = t.spark.sessionState.newHadoopConf()
     val logDir = SnapshotLog.logPath(t.tableDir)
     val fs = SnapshotLog.fs(conf, t.tableDir)
@@ -288,7 +294,7 @@ object Maintenance {
       if (nDocs > policy.maxSnapshotDocs) rewriteManifests(t) else 0
     val expired =
       if (policy.retainLast > 0) expireSnapshots(t, policy.retainLast) else 0
-    MaintenanceReport(materialized, compacted, consolidated, expired)
+    MaintenanceReport(materialized, compacted, consolidated, expired, danglingDropped)
   }
 
   /** M4 — orphan-file removal (spec ICEBERG-Interoperability-Test-Spec.md:85,104):

@@ -535,7 +535,7 @@ object SqlDml {
           return None
         val proc = procParts.last.toLowerCase
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-          "remove_orphan_files", "rollback_to_snapshot")
+          "remove_orphan_files", "rollback_to_snapshot", "rewrite_position_delete_files")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -600,6 +600,16 @@ object SqlDml {
             val removed = graft.maintenance.Maintenance.removeOrphanFiles(t)
             StatementResult(statement,
               removed.sorted.map(p => Map[String, Any]("orphan_file_location" -> p)), None)
+          case "rewrite_position_delete_files" =>
+            // equality-delete analog: dangling entries dropped, survivors
+            // consolidated per key group with per-tuple bounds
+            val before = t.latest.deletes
+            val after = t.rewriteDeleteFiles()
+              .map(_.deletes).getOrElse(before)
+            val beforePaths = before.map(_.path).toSet
+            val afterPaths = after.map(_.path).toSet
+            oneRow("rewritten_delete_files_count" -> (beforePaths -- afterPaths).size.toLong,
+              "added_delete_files_count" -> (afterPaths -- beforePaths).size.toLong)
           case "rollback_to_snapshot" =>
             val sid = argAt("snapshot_id", 1).map(litLong).getOrElse(
               unsupported("rollback_to_snapshot without snapshot_id"))

@@ -294,8 +294,11 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val filtered = byKeys.toSeq.sortBy(_._1.mkString(","))
       .foldLeft(withW) { case (df, (keyCols, entries)) =>
         val delSide = entries.map { d =>
-          spark.read.parquet(s"$dataRoot/${d.path}")
-            .withColumn("_gf_applied_at", lit(d.appliedAt))
+          val raw = spark.read.parquet(s"$dataRoot/${d.path}")
+          // consolidated files carry each tuple's own bound; plain files
+          // apply their commit's bound to every tuple
+          if (d.perRowAppliedAt) raw
+          else raw.withColumn("_gf_applied_at", lit(d.appliedAt))
         }.reduce(_.unionByName(_))
         // Map each delete-time key name forward through renames committed
         // after the delete, per entry (two deletes sharing key NAMES can
@@ -322,8 +325,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           // renames diverged between delete commits in this group: apply each
           // entry as its own anti-join (rare; correctness over plan width)
           entries.foldLeft(df) { (acc, d) =>
-            val one = spark.read.parquet(s"$dataRoot/${d.path}")
-              .withColumn("_gf_applied_at", lit(d.appliedAt))
+            val raw = spark.read.parquet(s"$dataRoot/${d.path}")
+            val one = if (d.perRowAppliedAt) raw
+              else raw.withColumn("_gf_applied_at", lit(d.appliedAt))
             antiJoin(acc, one,
               keyCols.map(k => k -> GraftTable.currentName(snap, k, d.appliedAt)))
           }
@@ -1344,6 +1348,74 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     }
     hfs.delete(stage, true)
     entries
+  }
+
+  /** M-step — the Iceberg `rewrite_position_delete_files` analog for
+    * equality deletes: drop DANGLING entries (no data file with
+    * `writtenAt < appliedAt` remains — the state compaction leaves behind)
+    * and CONSOLIDATE the survivors into one file per resolved key-column
+    * group, carrying each tuple's own applicability bound in a
+    * `_gf_applied_at` column. A key repeated across delete commits collapses
+    * to its MAX bound — a row dies iff ANY merged delete applies iff
+    * `writtenAt < max`, exactly the union semantics — so hot streaming-
+    * upsert keys store once. Data files are untouched; the commit is
+    * metadata plus O(delete tuples), never O(table).
+    *
+    * At 100 TB this keeps merge-on-read flat: the upsert sink adds one small
+    * delete file per batch, and while the read path already folds each
+    * key-group into ONE anti-join, its delete side unions and re-broadcasts
+    * N files every scan. After consolidation both are 1 per group. Old
+    * delete files stay for time travel until expiry + orphan removal.
+    * Returns None when nothing is dangling and every group is one file.
+    *
+    * `consolidate = false` runs only the dangling half — pure metadata,
+    * zero file IO — which `maintainTable` applies after every compaction.
+    */
+  def rewriteDeleteFiles(consolidate: Boolean = true): Option[Snapshot] = {
+    val planned = latest
+    if (planned.deletes.isEmpty) return None
+    val (live, dangling) = planned.deletes.partition(d =>
+      planned.files.exists(_.writtenAt < d.appliedAt))
+    // group by RESOLVED current key names (order-sensitive): entries whose
+    // delete-time names differ but resolve identically merge; diverged
+    // resolutions stay separate, exactly as they are separate read joins
+    val groups = live.groupBy(d =>
+      d.keyCols.map(k => GraftTable.currentName(planned, k, d.appliedAt)))
+    val (toMerge, singles) =
+      if (consolidate) groups.partition(_._2.size > 1)
+      else (Map.empty[List[String], List[DeleteEntry]], groups)
+    if (dangling.isEmpty && toMerge.isEmpty) return None
+    val dataRoot = SnapshotLog.dataPath(tableDir).toString
+    val written = toMerge.toSeq.sortBy(_._1.mkString(",")).flatMap { case (_, entries) =>
+      val canon = entries.maxBy(_.appliedAt)
+      val union = entries.map { d =>
+        val raw = spark.read.parquet(s"$dataRoot/${d.path}")
+        val bounded = if (d.perRowAppliedAt) raw
+          else raw.withColumn("_gf_applied_at", lit(d.appliedAt))
+        // one atomic positional projection onto the canonical entry's
+        // delete-time names (alias-select, immune to rename collisions)
+        bounded.select(d.keyCols.zip(canon.keyCols).map { case (from, to) =>
+          col(from).as(to) } :+ col("_gf_applied_at"): _*)
+      }.reduce(_.unionByName(_))
+      val collapsed = union.groupBy(canon.keyCols.map(col): _*)
+        .agg(max(col("_gf_applied_at")).as("_gf_applied_at"))
+      writeDeleteFile(collapsed).map(_.copy(
+        keyCols = canon.keyCols, appliedAt = canon.appliedAt, perRowAppliedAt = true))
+    }
+    val newDeletes = (singles.values.flatten ++ written).toList.sortBy(_.path)
+    Some(commitWithRetry { parent =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException("delete rewrite on empty table"))
+      if (p.snapshotId != planned.snapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table advanced to ${p.snapshotId} since delete rewrite planned at ${planned.snapshotId}")
+      Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "rewrite-delete-files",
+        p.schemaJson, p.partitionCols, p.files,
+        Map("rewritten-delete-files" -> toMerge.values.map(_.size).sum.toString,
+          "added-delete-files" -> written.size.toString,
+          "dangling-delete-files" -> dangling.size.toString),
+        Nil, p.schemas, p.chain, newDeletes)
+    })
   }
 
   /** Prune a schemas map to the writtenAt ids the file list still references,

@@ -48,13 +48,20 @@ case class FileEntry(
   *                  exactly to data files with `writtenAt < appliedAt`, so
   *                  rows appended in the same commit (upsert) or later
   *                  (re-insert) are never affected
+  * @param perRowAppliedAt a consolidated file (`rewriteDeleteFiles`) carries
+  *                  each tuple's own applicability bound in a
+  *                  `_gf_applied_at` column; `appliedAt` is then the MAX over
+  *                  rows — still the correct ceiling for affected-file
+  *                  partitioning and evolution-name resolution (the entry's
+  *                  keyCols are the names at that epoch)
   */
 case class DeleteEntry(
     path: String,
     keyCols: List[String],
     rowCount: Long,
     sizeBytes: Long,
-    appliedAt: Long)
+    appliedAt: Long,
+    perRowAppliedAt: Boolean = false)
 
 /** One schema-evolution commit's ops, carried forward in every descendant
   * snapshot so evolution replay never needs another snapshot doc.
