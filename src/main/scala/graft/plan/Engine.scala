@@ -97,7 +97,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         graftViews.toMap, vn => {
           graftViews.remove(vn)
           spark.catalog.dropTempView(vn)
-        })
+        }, () => refreshGraftViews())
       .orElse(SqlDml.tryMetaAgg(statement, spark, graftViews.toMap, catalogOpt))
       .orElse {
         refreshGraftViews()

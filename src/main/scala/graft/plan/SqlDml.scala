@@ -343,7 +343,8 @@ object SqlDml {
       catalog: Option[graft.catalogsvc.CatalogService],
       register: (String, GraftTable) => Unit,
       tables: Map[String, GraftTable] = Map.empty,
-      unregister: String => Unit = _ => ()): Option[StatementResult] = {
+      unregister: String => Unit = _ => (),
+      refreshViews: () => Unit = () => ()): Option[StatementResult] = {
     // Context-switch headers the reference scripts open with, in dialects
     // Spark's parser rejects (`USE CATALOG x` is Databricks grammar,
     // `USE DATABASE`/`USE SCHEMA [IDENTIFIER('x')]` Snowflake): the engine
@@ -411,10 +412,14 @@ object SqlDml {
       case Seq(one) => one
       case parts => unsupported(s"nested column ${parts.mkString(".")}")
     }
-    def defaultString(d: Option[DefaultValueExpression]): String = d match {
-      case None => ""
+    // None = no declared default (replay NULL); Some("") = an explicit
+    // empty-string default, honored as-is. DEFAULT NULL is a declared NULL,
+    // which replays identically to no-default.
+    def defaultString(d: Option[DefaultValueExpression]): Option[String] = d match {
+      case None => None
       case Some(dv) => dv.child match {
-        case Literal(v, _) if v != null => v.toString
+        case Literal(null, _) => None
+        case Literal(v, _) => Some(v.toString)
         case other => unsupported(s"non-literal column DEFAULT ${other.sql}")
       }
     }
@@ -483,8 +488,15 @@ object SqlDml {
         nameParts(dt.child).flatMap {
           case Seq(ns, tname) => catalog.flatMap { cat =>
             if (cat.tableExists(ns, tname)) {
+              val droppedDir = cat.loadTable(ns, tname).tableDir
               cat.dropTable(ns, tname)
               unregister(tname.toLowerCase)
+              // sweep EVERY view over the dropped table's dir — a view
+              // registered under another name must not keep serving the
+              // dropped table's last snapshot
+              tables.foreach { case (vn, vt) =>
+                if (vt.tableDir == droppedDir) unregister(vn)
+              }
               Some(StatementResult(statement, Nil, None))
             } else if (dt.ifExists) Some(StatementResult(statement, Nil, None))
             else None // fall through: spark.sql raises its own not-found
@@ -657,6 +669,11 @@ object SqlDml {
           throw new IllegalStateException(s"table exists: $ns.$tname")
         }
         if (ctas.partitioning.nonEmpty) unsupported("CTAS with PARTITIONED BY")
+        // CTAS READS data: a prior statement's file-pruned registration must
+        // not leak into the source query (the DML routes refresh the same
+        // way; metadata-only DDL branches stay refresh-free so they keep
+        // answering when data files are gone)
+        refreshViews()
         val src = SqlInternals.ofRows(spark,
           resolveCatalogRelations(spark, ctas.query, tables, catalog))
         val t = cat.createTable(ns, tname, src.schema, Nil)
@@ -952,30 +969,57 @@ object SqlDml {
     case _ => t
   }
 
+  /** Quoted spans `[open, close]` (quote chars inclusive) of `s`: Spark's
+    * default (non-ANSI) mode treats BOTH `'...'` and `"..."` as string
+    * literals, and backticks quote identifiers. Honors backslash escapes
+    * (string literals only) and the doubled-quote escape (`''`, `""`,
+    * ` `` `). An unterminated quote spans to end-of-string.
+    */
+  private[plan] def quoteSpans(s: String): Vector[(Int, Int)] = {
+    val spans = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val open = i; val q = c
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val d = s.charAt(i)
+          if (d == '\\' && q != '`' && i + 1 < s.length) i += 2
+          else if (d == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+          else if (d == q) closed = true
+          else i += 1
+        }
+        spans += ((open, if (closed) i else s.length - 1))
+        if (closed) i += 1
+      } else i += 1
+    }
+    spans.result()
+  }
+
   /** Rewrite postfix casts `x::TYPE` → `CAST(x AS TYPE)` outside string
-    * literals (operand = a quoted literal or an identifier/number run;
-    * Snowflake timestamp aliases map to Spark's TIMESTAMP). Anything that
-    * does not look like a cast is left untouched.
+    * literals and quoted identifiers (operand = a quoted literal or an
+    * identifier/number run; Snowflake timestamp aliases map to Spark's
+    * TIMESTAMP). Anything that does not look like a cast is left untouched.
     */
   private[plan] def rewritePostfixCasts(statement: String): String = {
     def once(s: String): Option[String] = {
-      var i = 0; var inQ = false; var pos = -1
+      val spans = quoteSpans(s)
+      def inSpan(p: Int): Boolean = spans.exists { case (a, b) => p >= a && p <= b }
+      var i = 0; var pos = -1
       while (i < s.length - 1 && pos < 0) {
-        val c = s.charAt(i)
-        if (c == '\'') inQ = !inQ
-        else if (!inQ && c == ':' && s.charAt(i + 1) == ':') pos = i
+        if (s.charAt(i) == ':' && s.charAt(i + 1) == ':' && !inSpan(i)) pos = i
         i += 1
       }
       if (pos < 0) return None
       var e = pos - 1
       while (e >= 0 && s.charAt(e).isWhitespace) e -= 1
       if (e < 0) return None
+      val spanEnd = spans.find(_._2 == e)
       val start =
-        if (s.charAt(e) == '\'') {
-          var b = e - 1
-          while (b >= 0 && s.charAt(b) != '\'') b -= 1
-          if (b < 0) return None else b
-        } else {
+        if (spanEnd.isDefined) spanEnd.get._1
+        else {
           var b = e
           while (b >= 0 && (s.charAt(b).isLetterOrDigit ||
             s.charAt(b) == '.' || s.charAt(b) == '_')) b -= 1

@@ -1156,8 +1156,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     throw new IllegalStateException(s"could not publish properties in $tableDir")
   }
 
-  /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4). */
-  def addColumn(name: String, dataType: String, default: String = ""): Snapshot =
+  /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4).
+    * An explicit default (even the empty string) replays over pre-evolution
+    * rows; the no-default overload replays NULL — absence is encoded by
+    * omitting the key, never by a sentinel value.
+    */
+  def addColumn(name: String, dataType: String): Snapshot =
+    addColumn(name, dataType, None)
+  def addColumn(name: String, dataType: String, default: String): Snapshot =
+    addColumn(name, dataType, Some(default))
+  def addColumn(name: String, dataType: String, default: Option[String]): Snapshot =
     evolveSchema(GraftTable.addColumnOp(name, dataType, default),
       s => StructType(s.fields :+ org.apache.spark.sql.types.StructField(
         name, DataType.fromDDL(dataType), nullable = true)), "add-column")
@@ -1845,6 +1853,12 @@ object GraftTable {
       case "bucket" =>
         val n = td.arg.getOrElse(throw new IllegalArgumentException(
           "bucket transform needs a bucket count: bucket(N,col)=pc"))
+        // NOTE: uses Spark's murmur3 seed-42 `hash()`, not the Iceberg
+        // bucket-transform spec (murmur3_x86_32 over each type's defined
+        // byte layout). Write and scan sides share this derivation (see
+        // bucketOf), so pruning is sound — but a bucket(N,col) table lays
+        // rows out in DIFFERENT buckets than a spec-compliant engine would;
+        // no cross-engine physical-layout compatibility is claimed.
         pmod(hash(c), lit(n))
       case "truncate" =>
         val n = td.arg.getOrElse(throw new IllegalArgumentException(
@@ -1956,8 +1970,9 @@ object GraftTable {
     * column names, DDL types (`struct<a:int>`), and default values may contain
     * any character without corrupting committed metadata.
     */
-  def addColumnOp(name: String, dataType: String, default: String): String =
-    writeOp(Map("op" -> "add", "name" -> name, "dataType" -> dataType, "default" -> default))
+  def addColumnOp(name: String, dataType: String, default: Option[String]): String =
+    writeOp(Map("op" -> "add", "name" -> name, "dataType" -> dataType) ++
+      default.map("default" -> _))
   def renameColumnOp(from: String, to: String): String =
     writeOp(Map("op" -> "rename", "from" -> from, "to" -> to))
   def widenColumnOp(name: String, newType: String): String =
@@ -2222,8 +2237,10 @@ object GraftTable {
       case "add" =>
         if (df.columns.contains(m("name"))) df
         else {
-          val d = m.getOrElse("default", "")
-          df.withColumn(m("name"), (if (d.isEmpty) lit(null) else lit(d)).cast(m("dataType")))
+          // key absent = no declared default (replay NULL); present = replay
+          // the declared literal, INCLUDING an explicit empty string
+          val d = m.get("default")
+          df.withColumn(m("name"), d.fold(lit(null))(lit(_)).cast(m("dataType")))
         }
       case "rename" =>
         if (df.columns.contains(m("from"))) df.withColumnRenamed(m("from"), m("to")) else df

@@ -114,6 +114,23 @@ class PrunedSqlEngineSpec extends SparkSpec {
       "INSERT read a stale file-pruned registration of its source view")
   }
 
+  test("CTAS reads the full latest view, never a prior statement's pruned registration") {
+    // the r9 advisor's high finding: tryDdl routes before any refresh, so a
+    // filtered read's file-pruned registration leaked into the CTAS source
+    // query and silently committed a fraction of the rows
+    val t = kvTable("sqlprune-ctas-stale-")
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqlprune-ctas-cat"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE ns")
+    eng.registerGraftTable("kv_ctas_src", t)
+    eng.execute("SELECT k FROM kv_ctas_src WHERE k >= 35") // 1-of-4 files registered
+    assert(eng.lastPrune("kv_ctas_src") === ((1, 4)))
+    eng.execute("CREATE TABLE ns.big AS SELECT * FROM kv_ctas_src")
+    assert(cat.loadTable("ns", "big").readLatest().count() === 40L,
+      "CTAS read a stale file-pruned registration of its source view")
+  }
+
   test("a DML commit re-registers the view for out-of-band readers immediately") {
     import spark.implicits._
     val t = kvTable("sqlprune-dml-refresh-")

@@ -489,8 +489,22 @@ class SqlDmlSpec extends SparkSpec {
       "SELECT CAST('2024-01-01' AS TIMESTAMP) AS t")
     assert(SqlDml.rewritePostfixCasts("SELECT a.b::DECIMAL(18,2), c::DATE FROM t") ==
       "SELECT CAST(a.b AS DECIMAL(18,2)), CAST(c AS DATE) FROM t")
-    // a :: inside a string literal is data, not syntax
+    // a :: inside a string literal is data, not syntax — in EITHER quote
+    // style (Spark's default non-ANSI mode treats "..." as a string literal
+    // too), past a backslash-escaped quote, and in a backtick identifier
     assert(SqlDml.rewritePostfixCasts("SELECT 'a::b' AS s") == "SELECT 'a::b' AS s")
+    assert(SqlDml.rewritePostfixCasts("SELECT \"a::b\" AS s") == "SELECT \"a::b\" AS s")
+    assert(SqlDml.rewritePostfixCasts("SELECT 'it\\'s::x' AS s") == "SELECT 'it\\'s::x' AS s")
+    assert(SqlDml.rewritePostfixCasts("SELECT 'it''s::x' AS s") == "SELECT 'it''s::x' AS s")
+    assert(SqlDml.rewritePostfixCasts("SELECT `a::b` FROM t") == "SELECT `a::b` FROM t")
+    // ...while a real cast AFTER such a literal still rewrites, with the
+    // full literal (escapes included) as the operand
+    assert(SqlDml.rewritePostfixCasts("SELECT 'it\\'s ok'::STRING AS s") ==
+      "SELECT CAST('it\\'s ok' AS STRING) AS s")
+    assert(SqlDml.rewritePostfixCasts("SELECT \"2024-01-01\"::DATE AS d") ==
+      "SELECT CAST(\"2024-01-01\" AS DATE) AS d")
+    assert(SqlDml.rewritePostfixCasts("SELECT `a b`::INT FROM t") ==
+      "SELECT CAST(`a b` AS INT) FROM t")
     assert(SqlDml.evalIntExpr("-60*1800").contains(-108000L))
     assert(SqlDml.evalIntExpr("(3+2)*60").contains(300L))
     assert(SqlDml.evalIntExpr("DROP TABLE x").isEmpty)
@@ -533,6 +547,42 @@ class SqlDmlSpec extends SparkSpec {
     assert(eng.execute(s"SELECT COUNT(*) AS n FROM snowt AT(OFFSET => -$offSec)")
       .rows.head("n") == 3L)
     assert(eng.execute("SELECT COUNT(*) AS n FROM snowt").rows.head("n") == 2L)
+  }
+
+  test("DROP TABLE unregisters every view over the dropped table, not just its name") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-dropviews"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE ns")
+    eng.execute("CREATE TABLE ns.ev (k BIGINT) USING iceberg")
+    eng.execute("INSERT INTO ns.ev VALUES (1), (2)")
+    // a second view over the SAME table dir, under an unrelated name
+    eng.registerGraftTable("ev_alias", cat.loadTable("ns", "ev"))
+    assert(eng.execute("SELECT COUNT(*) AS n FROM ev_alias").rows.head("n") == 2L)
+    eng.execute("DROP TABLE ns.ev")
+    // the alias must not keep serving the dropped table's last snapshot
+    val e = intercept[Exception] {
+      eng.execute("SELECT COUNT(*) AS n FROM ev_alias")
+    }
+    assert(e.getMessage.toLowerCase.contains("ev_alias") ||
+      e.getMessage.toLowerCase.contains("table or view not found") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("an explicit empty-string column default replays as '' for old rows") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0)).toDF("event_id", "price")
+    val t = graft.table.GraftTable.create(spark, scratchDir("sqldml-emptydef"), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("edt", t)
+    eng.execute("ALTER TABLE edt ADD COLUMN tag STRING DEFAULT ''")
+    val rows = eng.execute("SELECT tag FROM edt").rows
+    assert(rows.map(_("tag")) == Seq(""),
+      "explicit '' default replayed as NULL for pre-evolution rows")
+    // and the no-default form still replays NULL
+    eng.execute("ALTER TABLE edt ADD COLUMN note STRING")
+    assert(eng.execute("SELECT note FROM edt").rows.map(_("note")) == Seq(null))
   }
 
   test("WRITE ORDERED BY routing is anchored to the statement head") {
