@@ -34,6 +34,30 @@ object Pipeline {
     Sampling.temperatureMix(filtered, "lang", alpha = 0.5)
   }
 
+  /** The FULL corpus prep (VERDICT r9 #6): `prepareCorpus`'s dedup → filter
+    * → mix, then exact-SPAN decontamination (drop any doc whose k-word-span
+    * duplication fraction against the surviving corpus exceeds
+    * `maxDupFrac` — boilerplate/quotation contamination that whole-doc
+    * dedup cannot see), then the deterministic epoch-seeded train/val/test
+    * split — one dataflow ending where a training run would pick it up.
+    *
+    * Shuffle ledger: one hash shuffle (dedup window) + one small agg (mix
+    * rates) from `prepareCorpus`, two span shuffles (gram MIN-agg + per-doc
+    * re-agg) from `spanDupStats`, and a broadcast-able stats join back; the
+    * split label is map-only (`splitFromKey` — no repartition here; callers
+    * writing epochs add their own `repartitionByRange`).
+    */
+  def prepareCorpusV2(docs: DataFrame, spanK: Int = 8, maxDupFrac: Double = 0.5,
+      epochSeed: Long = 7L, testPct: Int = 10, valPct: Int = 5): DataFrame = {
+    val mixed = prepareCorpus(docs)
+    val spans = Dedup.spanDupStats(mixed, k = spanK).select(col("doc_id"), col("dup_frac"))
+    mixed.join(spans, Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_frac"), lit(0.0)) <= maxDupFrac)
+      .drop("dup_frac")
+      .withColumn("split",
+        Sampling.splitFromKey(Sampling.shuffleKey(epochSeed), testPct, valPct))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_prep" -> ((s, dir) =>
       prepareCorpus(Tables.documents(s, dir))
@@ -41,7 +65,18 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
           sum(col("doc_id")).as("id_sum"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // The complete chain through span decontamination and split assignment,
+    // rolled up per (lang, split) — the integration surface a training-data
+    // job actually consumes
+    "pipeline_corpus_prep_v2" -> ((s, dir) =>
+      prepareCorpusV2(Tables.documents(s, dir))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "split"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -71,6 +106,61 @@ object Pipeline {
                 CAST(SUM(k.doc_id) AS BIGINT) AS id_sum
          FROM kept k JOIN r ON k.lang = r.lang
          WHERE CAST(('0x' || substr(md5(k.text), 1, 6)) AS BIGINT) % 1000000 < r.thr
-         GROUP BY k.lang ORDER BY k.lang"""
+         GROUP BY k.lang ORDER BY k.lang""",
+    "pipeline_corpus_prep_v2" ->
+      raw"""WITH dedup AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         q AS (
+           SELECT *,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+                  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS mwl,
+                  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) AS sr
+           FROM dedup),
+         kept AS (
+           SELECT doc_id, lang, text FROM q
+           WHERE n_words >= 10 AND n_words <= 100000
+             AND mwl >= 2.0 AND mwl <= 12.0 AND sr <= 0.1),
+         c AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+         m AS (SELECT MIN(n) AS nmin FROM c),
+         r AS (SELECT lang, CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS thr
+               FROM c, m),
+         mixed AS (
+           SELECT k.doc_id, k.lang, k.text
+           FROM kept k JOIN r ON k.lang = r.lang
+           WHERE CAST(('0x' || substr(md5(k.text), 1, 6)) AS BIGINT) % 1000000 < r.thr),
+         toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               w -> w <> '') AS w
+           FROM mixed),
+         grams AS (
+           SELECT doc_id, UNNEST(list_distinct(
+             CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(w) - 7),
+                         i -> array_to_string(w[i:i+7], ' ')) END)) AS gram
+           FROM toks),
+         own AS (SELECT gram, MIN(doc_id) AS owner FROM grams GROUP BY gram),
+         sp AS (
+           SELECT g.doc_id,
+                  CAST(SUM(CASE WHEN o.owner < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) AS dup_frac
+           FROM grams g JOIN own o USING (gram) GROUP BY g.doc_id),
+         decon AS (
+           SELECT mx.doc_id, mx.lang, mx.text
+           FROM mixed mx LEFT JOIN sp ON mx.doc_id = sp.doc_id
+           WHERE COALESCE(sp.dup_frac, 0) <= 0.5)
+         SELECT lang,
+                CASE WHEN b < 10 THEN 'test' WHEN b < 15 THEN 'val' ELSE 'train' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM (SELECT *,
+                 CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+               FROM decon)
+         GROUP BY lang, split ORDER BY lang, split"""
   )
 }

@@ -79,20 +79,30 @@ object Sampling {
     * uniform hash key — every partition sorts in parallel and readers
     * consume partitions in key order, no single-task stage anywhere.
     */
-  def shuffleSplit(docs: DataFrame, epochSeed: Long, testPct: Int, valPct: Int): DataFrame = {
+  /** Deterministic permutation key: md5 of (seed, doc_id) — a new epoch
+    * seed reshuffles the whole corpus, same seed reproduces it exactly.
+    */
+  def shuffleKey(epochSeed: Long): Column =
+    md5(concat_ws(":", lit(epochSeed), col("doc_id").cast("string")).cast("binary"))
+
+  /** Split label from a shuffle key: the key's leading 24 bits mod 100
+    * bucket the corpus into test/val/train at the given percentages.
+    * Map-only — composable into any dataflow without forcing a shuffle.
+    */
+  def splitFromKey(key: Column, testPct: Int, valPct: Int): Column = {
     require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
       s"split percentages out of range: test=$testPct val=$valPct")
-    val h = md5(concat_ws(":", lit(epochSeed), col("doc_id").cast("string")).cast("binary"))
-    val withKey = docs.withColumn("shuffle_key", h)
-    val b = conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("bigint") % 100
-    withKey
-      .withColumn("split",
-        when(b < lit(testPct), lit("test"))
-          .when(b < lit(testPct + valPct), lit("val"))
-          .otherwise(lit("train")))
+    val b = conv(substring(key, 1, 6), 16, 10).cast("bigint") % 100
+    when(b < lit(testPct), lit("test"))
+      .when(b < lit(testPct + valPct), lit("val"))
+      .otherwise(lit("train"))
+  }
+
+  def shuffleSplit(docs: DataFrame, epochSeed: Long, testPct: Int, valPct: Int): DataFrame =
+    docs.withColumn("shuffle_key", shuffleKey(epochSeed))
+      .withColumn("split", splitFromKey(col("shuffle_key"), testPct, valPct))
       .repartitionByRange(col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
-  }
 
   val queries: Map[String, Q] = Map(
     // Stratified deterministic sample: halve English, keep 10% Chinese,

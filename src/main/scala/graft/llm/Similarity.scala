@@ -245,12 +245,15 @@ object Similarity {
           coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
     }),
 
-    // IVF-cell ANN — deterministic rows-only (centroid assignment + probe)
+    // IVF-cell ANN — fully deterministic (mean centroids, cosine probes,
+    // windowed top-k), so the whole per-row result set is DuckDB-checked
+    // (VERDICT r9 #3); round(·,6) on the output sim only — ranking runs on
+    // the raw doubles in both engines
     "emb_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2)
-        .agg(count(lit(1)).as("n_results"),
-          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
     }),
 
     // Bucket-occupancy profile of the LSH index (skew check) — rows-only
@@ -289,6 +292,36 @@ object Similarity {
            FROM pairs)
          SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
          WHERE rn <= 10 ORDER BY qid, vec_id""",
+    // Mirrors ivfTopK stage by stage: per-(cell,pos) mean centroids, probe
+    // = top-nProbe cells per query by centroid cosine (ties → lower cell),
+    // search restricted to probed cells, top-k by (sim DESC, vec_id). Only
+    // the probe RANKING depends on the avg()'s float fold order (not the
+    // output sim values), and cell cosines are far enough apart that the
+    // two engines' summation orders can never flip it.
+    "emb_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         expl AS (
+           SELECT label AS cell, p AS pos, emb[p] AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS p) t),
+         cm AS (SELECT cell, pos, avg(v) AS m FROM expl GROUP BY cell, pos),
+         cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+         q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),
+         probes AS (
+           SELECT qid, qe, cell,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY list_cosine_similarity(qe, centroid) DESC, cell) AS rn
+           FROM q CROSS JOIN cent),
+         pr AS (SELECT qid, qe, cell FROM probes WHERE rn <= 2),
+         cand AS (
+           SELECT pr.qid, e.vec_id, list_cosine_similarity(pr.qe, e.emb) AS sim
+           FROM pr JOIN e ON e.label = pr.cell
+           WHERE e.vec_id <> pr.qid),
+         ranked AS (
+           SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM cand WHERE NOT isnan(sim))
+         SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
+         WHERE rn <= 5 ORDER BY qid, vec_id""",
     "emb_norms" ->
       """SELECT vec_id, label,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2

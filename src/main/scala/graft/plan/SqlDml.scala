@@ -824,23 +824,42 @@ object SqlDml {
         val df = (version, ts) match {
           case (Some(v), _) => t.readVersionAsOf(v.toLong)
           case (None, Some(expr)) if expr.foldable =>
-            // a parsed-but-unanalyzed Cast has no timezone yet; pin the
-            // session zone before folding (what ResolveTimeZone would do)
-            val zoned = expr.transform {
-              case e: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
-                  if e.timeZoneId.isEmpty =>
-                e.withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
-            }
-            val millis = zoned.eval(null) match {
-              case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
-              case s: org.apache.spark.unsafe.types.UTF8String =>
-                java.sql.Timestamp.valueOf(s.toString).getTime
-              case other => unsupported(s"TIMESTAMP AS OF value $other")
-            }
-            t.readTimestampAsOf(millis)
+            t.readTimestampAsOf(foldTimestampMillis(spark, expr))
           case _ => unsupported("time travel without a literal version/timestamp")
         }
         registered(df, r.multipartIdentifier.last, "travel")
+      // Snowflake INFORMATION_SCHEMA TVFs (ref snowflake.sql:364-378) —
+      // `TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(TABLE_NAME => 't'
+      // [, AT => ts]))` and `...ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(...)`
+      // parse as the generic TABLE(<fn>) wrapper; route them to the named
+      // registered table's files()/history() metadata frames. Matching is
+      // anchored on the full two-part INFORMATION_SCHEMA function name, so
+      // Spark's own TABLE(range(...)) and every other TVF pass through.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.size == 1 && tvf.name.head.equalsIgnoreCase("table") &&
+            infoSchemaTvf(tvf).nonEmpty =>
+        val (kind, f) = infoSchemaTvf(tvf).get
+        val named = f.arguments.collect {
+          case org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression(k, v) =>
+            k.toUpperCase -> v
+        }.toMap
+        val tableName = named.get("TABLE_NAME") match {
+          case Some(Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+            s.toString
+          case other => unsupported(s"$kind needs TABLE_NAME => '<name>', got $other")
+        }
+        val t = tables.getOrElse(tableName.toLowerCase,
+          unsupported(s"$kind over unregistered table $tableName"))
+        val df = kind match {
+          case "ICEBERG_TABLE_FILES" => named.get("AT") match {
+            case Some(expr) if expr.foldable =>
+              t.filesAsOf(foldTimestampMillis(spark, expr))
+            case Some(other) => unsupported(s"non-literal AT argument ${other.sql}")
+            case None => t.files()
+          }
+          case _ => t.history() // ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY
+        }
+        registered(df, tableName, "tvf")
       // a real catalog table named like a metadata suffix wins over the
       // sugar (exact match beats suffix interpretation)
       case r: UnresolvedRelation
@@ -867,6 +886,41 @@ object SqlDml {
     }
     if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))
   }
+
+  /** Fold a parsed (unanalyzed) literal timestamp expression to epoch
+    * millis. A parsed-but-unanalyzed Cast has no timezone yet; pin the
+    * session zone before folding (what ResolveTimeZone would do).
+    */
+  private def foldTimestampMillis(spark: SparkSession, expr: Expression): Long = {
+    val zoned = expr.transform {
+      case e: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+          if e.timeZoneId.isEmpty =>
+        e.withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
+    }
+    zoned.eval(null) match {
+      case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        java.sql.Timestamp.valueOf(s.toString).getTime
+      case other => unsupported(s"timestamp value $other")
+    }
+  }
+
+  /** The Snowflake INFORMATION_SCHEMA table functions this engine serves,
+    * matched by their FULL two-part name inside the `TABLE(...)` wrapper.
+    */
+  private def infoSchemaTvf(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction)
+      : Option[(String, org.apache.spark.sql.catalyst.analysis.UnresolvedFunction)] =
+    tvf.functionArgs match {
+      case Seq(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction) =>
+        f.nameParts.map(_.toUpperCase) match {
+          case Seq("INFORMATION_SCHEMA",
+              fn @ ("ICEBERG_TABLE_FILES" | "ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY")) =>
+            Some((fn, f))
+          case _ => None
+        }
+      case _ => None
+    }
 
   /** Resolve a DML target plan to (alias-or-name, registered table).
     * ONLY an exact bare single-part name routes: registered views are

@@ -434,6 +434,52 @@ object HarnessQueries {
         .toDF("ts_rows", "ts_qty", "off_rows", "off_qty", "cur_rows", "cur_qty")
     }),
 
+    // The reference's INFORMATION_SCHEMA metadata section
+    // (snowflake.sql:364-378) run VERBATIM: `TABLE(INFORMATION_SCHEMA.
+    // ICEBERG_TABLE_FILES(TABLE_NAME => 't', AT => ts))` lists the file
+    // set as of a wall-clock time, the no-AT form lists the current files,
+    // and `ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY` returns the commit
+    // history — each TVF routed to the registered table's metadata frames.
+    // Output reduces the file listings to counts/row totals (paths are
+    // scratch-dir-dependent) → literal oracle.
+    "h_sql_infoschema" -> ((s, _) => {
+      import s.implicits._
+      val df = Seq(("kun", "w", 100L, java.sql.Date.valueOf("2025-07-01")),
+          ("mia", "z", 300L, java.sql.Date.valueOf("2025-07-02")))
+        .toDF("first_name", "last_name", "amount", "join_date")
+      val t = GraftTable.create(s, scratch("sql_infoschema"), df.schema)
+      var now = (System.currentTimeMillis() / 1000L) * 1000L
+      t.clock = () => { now += 60000L; now }
+      t.append(df.coalesce(1))
+      val afterInsert = t.latest.committedAt
+      val eng = new SparkSqlEngine(s)
+      eng.registerGraftTable("catalog_linked_table", t)
+      val tsStr = java.time.Instant.ofEpochMilli(afterInsert)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val filesAt = eng.execute(s"""
+        SELECT *
+          FROM TABLE(
+            INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(
+              TABLE_NAME => 'catalog_linked_table',
+              AT => CAST('$tsStr' AS TIMESTAMP_LTZ)
+            )
+          )""").rows
+      eng.execute(
+        "INSERT INTO catalog_linked_table VALUES ('lily', 'bai', 200, DATE '2025-08-12')")
+      val filesNow = eng.execute("SELECT * FROM TABLE(INFORMATION_SCHEMA" +
+        ".ICEBERG_TABLE_FILES(TABLE_NAME => 'catalog_linked_table'))").rows
+      val hist = eng.execute("""
+        SELECT *
+          FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(
+            TABLE_NAME => 'catalog_linked_table'
+          ))""").rows
+      Seq((filesAt.size.toLong, filesAt.map(_("row_count").asInstanceOf[Long]).sum,
+          filesNow.size.toLong, filesNow.map(_("row_count").asInstanceOf[Long]).sum,
+          hist.size.toLong, hist.map(_("operation")).mkString(",")))
+        .toDF("files_t1", "rows_t1", "files_now", "rows_now", "n_history", "history_ops")
+    }),
+
     // D4-D7 through the SQL front door — the reference's
     // schema_evolution_sales_events.sql:1-12 statements run VERBATIM
     // (USE CATALOG, ADD COLUMN ... DEFAULT, RENAME COLUMN, ALTER COLUMN
@@ -591,6 +637,11 @@ object HarnessQueries {
               (SELECT COUNT(*) c,
                  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) q
                FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R') b""",
+    "h_sql_infoschema" ->
+      """SELECT CAST(1 AS BIGINT) AS files_t1, CAST(2 AS BIGINT) AS rows_t1,
+           CAST(2 AS BIGINT) AS files_now, CAST(3 AS BIGINT) AS rows_now,
+           CAST(3 AS BIGINT) AS n_history,
+           'create,append,append' AS history_ops""",
     "h_sql_maintenance" ->
       """SELECT CAST(6 AS BIGINT) AS row_count, CAST(25 AS BIGINT) AS total_qty,
            CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,

@@ -67,9 +67,21 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   }
 
   /** S9 — file-listing metadata table (ref snowflake.sql:364-378). */
-  def files(): DataFrame = {
+  def files(): DataFrame = filesOf(latest)
+
+  /** File listing as of a wall-clock time — the Snowflake
+    * `INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(TABLE_NAME => …, AT => ts)`
+    * TVF shape (ref snowflake.sql:364-370): the newest snapshot committed
+    * at or before `tsMillis`, same resolution rule as `readTimestampAsOf`.
+    */
+  def filesAsOf(tsMillis: Long): DataFrame = {
+    val candidates = snapshotsList.filter(_.committedAt <= tsMillis)
+    require(candidates.nonEmpty, s"no snapshot at or before $tsMillis in $tableDir")
+    filesOf(candidates.last)
+  }
+
+  private def filesOf(snap: Snapshot): DataFrame = {
     import spark.implicits._
-    val snap = latest
     snap.files.map(f => (f.path, f.rowCount, f.sizeBytes, f.writtenAt))
       .toDF("file_path", "row_count", "size_bytes", "written_at_snapshot")
   }

@@ -114,6 +114,16 @@ class LlmEdgeSpec extends SparkSpec {
     assert(kept === Seq(1L, 9L)) // 2 and 3 fold into 1's component
     // no pairs above an impossible threshold → the whole corpus is kept
     assert(Dedup.deduplicateCorpus(docs, threshold = 1.1).count() === 4)
+    // the flagged frame carries EVERY doc, so kept/total stats need one
+    // aggregation over one dataflow (no second corpus count — VERDICT r9 #5)
+    val flags = Dedup.corpusDedupFlags(docs, threshold = 0.4)
+    assert(flags.count() === 4)
+    val stats = flags.agg(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs")).collect()(0)
+    assert(stats.getLong(0) === 2L && stats.getLong(1) === 4L)
   }
 
   test("similarity handles zero vectors without exceptions") {

@@ -549,6 +549,43 @@ class SqlDmlSpec extends SparkSpec {
     assert(eng.execute("SELECT COUNT(*) AS n FROM snowt").rows.head("n") == 2L)
   }
 
+  test("INFORMATION_SCHEMA TVFs route to files()/history(), other TVFs pass through") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, scratchDir("sqldml-tvf"), df.schema)
+    var now = (System.currentTimeMillis() / 1000L) * 1000L
+    t.clock = () => { now += 60000L; now }
+    t.append(df.coalesce(1))
+    val t1 = t.latest.committedAt
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("tvft", t)
+    // no-AT files listing = current snapshot's files
+    val cur = eng.execute(
+      "SELECT * FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(TABLE_NAME => 'tvft'))")
+    assert(cur.rows.size === 2)
+    assert(cur.rows.map(_("row_count").asInstanceOf[Long]).sum === 3L)
+    // AT => first-commit time pins the listing to that snapshot's file set
+    val tsStr = java.time.Instant.ofEpochMilli(t1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val at = eng.execute(s"SELECT * FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(" +
+      s"TABLE_NAME => 'tvft', AT => CAST('$tsStr' AS TIMESTAMP_LTZ)))")
+    assert(at.rows.size === 1)
+    assert(at.rows.map(_("row_count").asInstanceOf[Long]).sum === 2L)
+    // refresh history = the commit history (create + two appends)
+    val hist = eng.execute("SELECT * FROM TABLE(" +
+      "INFORMATION_SCHEMA.ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(TABLE_NAME => 'tvft'))")
+    assert(hist.rows.map(_("operation")) === Seq("create", "append", "append"))
+    // an unregistered table fails loudly, never silently empty
+    val e = intercept[UnsupportedOperationException](eng.execute(
+      "SELECT * FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(TABLE_NAME => 'nope'))"))
+    assert(e.getMessage.contains("nope"))
+    // Spark's own TVFs are untouched by the route
+    val r = eng.execute("SELECT * FROM range(3)")
+    assert(r.rows.size === 3)
+  }
+
   test("DROP TABLE unregisters every view over the dropped table, not just its name") {
     val eng = new SparkSqlEngine(spark)
     val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-dropviews"))
