@@ -270,7 +270,7 @@ object Dml {
   def update(t: GraftTable, pred: Column, assignments: Map[String, Column]): Snapshot = {
     val (matched, untouched, planned) = planFiles(t, pred)
     if (matched.isEmpty) return t.latest
-    val rewritten = assignments.foldLeft(t.readFiles(matched)) { case (df, (c, e)) =>
+    val rewritten = assignments.foldLeft(t.readFiles(matched, planned)) { case (df, (c, e)) =>
       df.withColumn(c, when(pred, e).otherwise(col(c)))
     }
     t.commitRewrite(rewritten, untouched, "update", basedOn = Some(planned))
@@ -280,7 +280,7 @@ object Dml {
   def delete(t: GraftTable, pred: Column): Snapshot = {
     val (matched, untouched, planned) = planFiles(t, pred)
     if (matched.isEmpty) return t.latest
-    val rewritten = t.readFiles(matched).filter(!pred)
+    val rewritten = t.readFiles(matched, planned).filter(!pred)
     t.commitRewrite(rewritten, untouched, "delete", basedOn = Some(planned))
   }
 
@@ -402,7 +402,7 @@ object Dml {
     val (matched, untouched) = planned.files.partition(e => touched.contains(e.path))
     // Rewrite matched files: left-join to source, drop matched rows the
     // delete condition selects, apply updates where joined.
-    val tgt = t.readFiles(matched).alias("tgt")
+    val tgt = t.readFiles(matched, planned).alias("tgt")
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "left")
     val hasMatch = col(s"src.$key").isNotNull
     val cardinalityOk = coalesce(col("src._src_cnt"), lit(1L)) <= 1
@@ -444,7 +444,7 @@ object Dml {
           case Some(d) => src.filter(!coalesce(d, lit(false)))
           case None => src
         }
-        val matchedKeys = t.readFiles(matched).select(key)
+        val matchedKeys = t.readFiles(matched, planned).select(key)
         val inserts = srcInsertable.join(matchedKeys, Seq(key), "left_anti")
           .select(t.schema.fieldNames.map(col).toSeq: _*)
         rewritten.unionByName(inserts)

@@ -74,7 +74,7 @@ object Maintenance {
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     // writeDataFiles re-clusters by partition columns before a partitioned
     // write, so per-partition output files land at ~target size
-    val df = t.readFiles(toRewrite).repartition(targetFiles)
+    val df = t.readFiles(toRewrite, planned).repartition(targetFiles)
     // basedOn-validated: a concurrent append between plan and commit aborts
     // the compaction instead of being silently dropped by an overwrite
     Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
@@ -202,10 +202,10 @@ object Maintenance {
     if (affected.isEmpty) {
       // nothing the deletes can touch: commit a metadata-only drop
       return Some(t.commitRewrite(
-        t.readFiles(Nil), keep, "materialize-deletes",
+        t.readFiles(Nil, planned), keep, "materialize-deletes",
         basedOn = Some(planned), clearDeletes = true))
     }
-    val df = t.readFiles(affected) // merge-on-read: deletes applied
+    val df = t.readFiles(affected, planned) // merge-on-read: deletes applied
     Some(t.commitRewrite(df, keep, "materialize-deletes",
       basedOn = Some(planned), clearDeletes = true))
   }

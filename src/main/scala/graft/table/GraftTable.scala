@@ -350,8 +350,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   /** Evolution-aware read of a subset of the latest snapshot's files
     * (copy-on-write DML reads only the files it will rewrite).
     */
-  def readFiles(entries: Seq[FileEntry]): DataFrame =
-    readSnapshot(latest.copy(files = entries.toList))
+  def readFiles(entries: Seq[FileEntry]): DataFrame = readFiles(entries, latest)
+
+  /** Read `entries` in the schema/evolution context of `asOf`. DML and
+    * maintenance MUST pass the snapshot they PLANNED against: re-resolving
+    * `latest` here would race a concurrent rewrite — the winner's snapshot
+    * no longer carries the write-time schemas of files it replaced, so the
+    * loser's read of its planned (now-replaced) files fails spuriously (or,
+    * after a concurrent evolution, silently replays the wrong ops) instead
+    * of reaching the commit-time conflict abort.
+    */
+  def readFiles(entries: Seq[FileEntry], asOf: Snapshot): DataFrame =
+    readSnapshot(asOf.copy(files = entries.toList))
 
   /** Metadata-level partition pruning (the manifest-pruning role in Iceberg):
     * resolve the file list against equality predicates on partition columns
