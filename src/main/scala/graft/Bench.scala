@@ -163,9 +163,88 @@ object Bench {
         Nil
     }
 
+    // Routing-overhead adjudication probe (VERDICT r10 ask #2): round 9
+    // moved the ms-scale maintenance phases onto the VERBATIM CALL
+    // statements, adding parse+route cost that is the same order as the
+    // work itself (rewrite_manifests/expire_snapshots read 10-50 ms). Time
+    // both routes back-to-back on the surviving 10M-row bench table — the
+    // call/direct delta is pure statement routing, machine-independent
+    // evidence for whether the r9 "regression" was protocol, not plans.
+    val overheadJson: String = if (only.isDefined) "null" else try {
+      val t = graft.table.GraftTable.load(spark,
+        "/root/repo/target/graft-scratch/bench_txevents")
+      val eng = new graft.plan.SparkSqlEngine(spark)
+      eng.registerGraftTable("tx_events_oh", t)
+      val callM = median((1 to 5).map(_ => timeOnce {
+        eng.execute("CALL graft.system.rewrite_manifests('tx_events_oh')") }))
+      val directM = median((1 to 5).map(_ => timeOnce {
+        graft.maintenance.Maintenance.rewriteManifests(t) }))
+      val callE = median((1 to 5).map(_ => timeOnce { eng.execute(
+        "CALL graft.system.expire_snapshots(table => 'tx_events_oh', retain_last => 2)") }))
+      val directE = median((1 to 5).map(_ => timeOnce {
+        graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 2) }))
+      s"""{"call_rewrite_manifests":$callM,"direct_rewrite_manifests":$directM,""" +
+        s""""call_expire_snapshots":$callE,"direct_expire_snapshots":$directE}"""
+    } catch {
+      case ex: Throwable =>
+        errors += "maintenance_overhead" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
+        "null"
+    }
+
+    // 100M-row scale proof (VERDICT r10 ask #1): the reference's own default
+    // SCALE_ROWS (blob-dfs_bench.py:30, 100_000_000) run ONCE — a single
+    // measured round, not median-of-3 (the 10M protocol above stays the
+    // cross-round comparable; this section exists to prove the driver-side
+    // O(files) planning, the task-stats threshold, and the write path hold
+    // at 10x file counts without OOM). write_commit_sec isolates the
+    // driver-side metadata commit from the executor write.
+    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "100000000").toLong
+    val scaleJson: String = if (only.isDefined || scaleRows <= 0) "null" else try {
+      val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (dir.exists()) rm(dir)
+      val data = txData(scaleRows, 256)
+      val t = graft.table.GraftTable.create(spark, dir.toString, data.schema,
+        partitionCols = Seq("ds"))
+      val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
+      val wCommit = t.lastCommitNanos / 1e9
+      val filesAfterWrite = t.latest.files.size
+      (1 to 3).foreach(_ => t.append(txData(scaleRows / 10, 32)))
+      val filesBeforeMaint = t.latest.files.size
+      val eng = new graft.plan.SparkSqlEngine(spark)
+      eng.registerGraftTable("tx_events_scale", t)
+      val c = timeOnce { eng.execute(
+        """CALL graft.system.rewrite_data_files(table => 'tx_events_scale',
+           options => map('min-input-files','2','target-file-size-bytes','134217728'))""") }
+      val m = timeOnce { eng.execute(
+        "CALL graft.system.rewrite_manifests('tx_events_scale')") }
+      val e = timeOnce { eng.execute(
+        "CALL graft.system.expire_snapshots(table => 'tx_events_scale', retain_last => 2)") }
+      val out = s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
+        s""""us_per_row":${w * 1e6 / scaleRows},"n_files_after_append":$filesAfterWrite,""" +
+        s""""n_files_before_maintenance":$filesBeforeMaint,"rewrite_data_files":$c,""" +
+        s""""rewrite_manifests":$m,"expire_snapshots":$e,"reps":1}"""
+      rm(dir) // ~10 GB of scratch parquet — free it before the JSON lands
+      out
+    } catch {
+      case ex: Throwable =>
+        errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
+        "null"
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ph = phaseJson(phases)
     val rp = phaseJson(refPhases)
+    // Calibration-normalized phase medians (VERDICT r10 ask #2): each
+    // reference-protocol phase as a MULTIPLE of the fixed CPU probe — a
+    // machine-speed-independent number directly comparable across rounds.
+    val rpCal: String =
+      if (calibrationSec <= 0) "null"
+      else refPhases.map { case (k, samples) =>
+        "\"" + k + "\":" + (median(samples) / calibrationSec)
+      }.mkString("{", ",", "}")
     val er = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Field order is deliberate (VERDICT r8 "what's wrong" #1): the harness
@@ -173,7 +252,7 @@ object Bench {
     // every small summary scalar — calibration_sec above all, the very field
     // built for cross-round normalization — lands at the END of the line
     // where truncation can't eat it.
-    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"unit":"sec","value":$total}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"unit":"sec","value":$total}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

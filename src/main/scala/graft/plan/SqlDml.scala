@@ -1162,17 +1162,19 @@ object SqlDml {
   private[plan] def rewriteAtClauses(statement: String, nowMillis: () => Long): String = {
     val AtRe = """(?i)\bAT\s*\(""".r
     def once(s: String): Option[String] = {
+      // same literal discipline as rewritePostfixCasts: skip matches and
+      // parens inside '...'/"..."/`...` regions, escapes included
+      val spans = quoteSpans(s)
+      def inSpan(p: Int): Boolean = spans.exists { case (a, b) => p >= a && p <= b }
       for (m <- AtRe.findAllMatchIn(s)) {
-        // skip matches inside string literals
-        val quotesBefore = s.substring(0, m.start).count(_ == '\'')
-        if (quotesBefore % 2 == 0) {
+        if (!inSpan(m.start)) {
           var d = 1; var j = m.end
-          var inQ = false
           while (j < s.length && d > 0) {
             val c = s.charAt(j)
-            if (c == '\'') inQ = !inQ
-            else if (!inQ && c == '(') d += 1
-            else if (!inQ && c == ')') d -= 1
+            if (!inSpan(j)) {
+              if (c == '(') d += 1
+              else if (c == ')') d -= 1
+            }
             j += 1
           }
           if (d == 0) {

@@ -1477,6 +1477,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   private def shapeOf(s: StructType): Set[(String, DataType)] =
     s.fields.map(f => (f.name, f.dataType)).toSet
 
+  /** Driver-side metadata time of the LAST data commit on this instance:
+    * everything after the executor write returns — snapshot build, delta
+    * encode, atomic publish, retries. The bench reports it separately from
+    * the write so the O(files) driver planning cost is visible at scale.
+    */
+  @volatile private[graft] var lastCommitNanos: Long = 0L
+
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
       sortCols: Seq[String] = Nil, extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val writeShape = shapeOf(df.schema)
@@ -1491,7 +1498,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     }
     val written = writeDataFiles(df,
       snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
-    commitWithRetry { parent =>
+    val commitT0 = System.nanoTime()
+    try commitWithRetry { parent =>
       val id = parent.map(_.snapshotId + 1).getOrElse(1L)
       val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
       val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)
@@ -1522,7 +1530,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         schemasFor(files,
           parent.map(_.schemas).getOrElse(Map.empty) + (id.toString -> schemaJson)),
         parent.map(_.chain).getOrElse(Nil), deletes)
-    }
+    } finally lastCommitNanos = System.nanoTime() - commitT0
   }
 
   /** D8 — partition evolution (spec ICEBERG-Interoperability-Test-Spec.md:79):

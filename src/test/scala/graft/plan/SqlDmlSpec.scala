@@ -520,6 +520,13 @@ class SqlDmlSpec extends SparkSpec {
       "SELECT at(x, 1) FROM t")
     assert(SqlDml.rewriteAtClauses("SELECT 'AT(OFFSET => -1)' AS s", () => 0L) ==
       "SELECT 'AT(OFFSET => -1)' AS s")
+    // ...in double-quoted literals too, and a ')' inside a literal must not
+    // close the AT clause early
+    assert(SqlDml.rewriteAtClauses("SELECT \"AT(OFFSET => -1)\" AS s", () => 0L) ==
+      "SELECT \"AT(OFFSET => -1)\" AS s")
+    assert(SqlDml.rewriteAtClauses(
+      "SELECT * FROM t AT(TIMESTAMP => CAST(') 2024' AS TIMESTAMP))", () => 0L) ==
+      "SELECT * FROM t TIMESTAMP AS OF CAST(') 2024' AS TIMESTAMP)")
   }
 
   test("Snowflake travel statements run verbatim against a registered table") {
