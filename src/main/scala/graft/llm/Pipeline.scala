@@ -48,9 +48,16 @@ object Pipeline {
     * writing epochs add their own `repartitionByRange`).
     */
   def prepareCorpusV2(docs: DataFrame, spanK: Int = 8, maxDupFrac: Double = 0.5,
-      epochSeed: Long = 7L, testPct: Int = 10, valPct: Int = 5): DataFrame = {
+      epochSeed: Long = 7L, testPct: Int = 10, valPct: Int = 5,
+      hashedSpans: Boolean = true): DataFrame = {
     val mixed = prepareCorpus(docs)
-    val spans = Dedup.spanDupStats(mixed, k = spanK).select(col("doc_id"), col("dup_frac"))
+    // default = the 100 TB span keying (8-byte rolling-hash grams, ~6x
+    // narrower shuffles); string grams only where a SQL oracle must recompute
+    // the spans (SpanDedupSpec proves the two keyings produce equal stats)
+    val spanStats =
+      if (hashedSpans) Dedup.spanDupStatsHashed(mixed, k = spanK)
+      else Dedup.spanDupStats(mixed, k = spanK)
+    val spans = spanStats.select(col("doc_id"), col("dup_frac"))
     mixed.join(spans, Seq("doc_id"), "left")
       .filter(coalesce(col("dup_frac"), lit(0.0)) <= maxDupFrac)
       .drop("dup_frac")
@@ -71,7 +78,7 @@ object Pipeline {
     // rolled up per (lang, split) — the integration surface a training-data
     // job actually consumes
     "pipeline_corpus_prep_v2" -> ((s, dir) =>
-      prepareCorpusV2(Tables.documents(s, dir))
+      prepareCorpusV2(Tables.documents(s, dir), hashedSpans = false)
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),

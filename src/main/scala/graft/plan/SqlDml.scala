@@ -295,6 +295,14 @@ object SqlDml {
   private val WriteOrderedByRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+([\w.`,\s]+?)\s*;?\s*\z""".r
 
+  // Snowflake `ALTER ICEBERG TABLE t REFRESH` (ref snowflake.sql:389): a
+  // catalog-linked metadata re-sync. Locally the equivalent is re-reading
+  // the snapshot log and re-registering views — anchored full match, like
+  // the other textual routes. (The `ICEBERG` keyword itself is stripped by
+  // the dialect pass before this matcher runs.)
+  private val AlterRefreshRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+[\w.`"]+\s+REFRESH\s*;?\s*\z""".r
+
   /** SQL DDL against a registered catalog — the remaining statement shapes
     * of the reference's spark scripts (`bootstrap_namespace.sql:1`,
     * `create_sales_events.sql:1-24`):
@@ -354,6 +362,9 @@ object SqlDml {
     // arrives as SetCatalogAndNamespace below instead.
     statement match {
       case UseContextRe() => return Some(StatementResult(statement, Nil, None))
+      case AlterRefreshRe() =>
+        refreshViews()
+        return Some(StatementResult(statement, Nil, None))
       case _ =>
     }
     catalog.foreach { cat =>
@@ -1213,11 +1224,20 @@ object SqlDml {
     cur
   }
 
+  /** `ALTER ICEBERG TABLE ...` (ref snowflake.sql:389-391) is Snowflake's
+    * spelling for DDL on an Iceberg table; Spark's grammar has no ICEBERG
+    * keyword — strip it, anchored to the statement head, so the evolution /
+    * REFRESH routes see standard `ALTER TABLE` text.
+    */
+  private val AlterIcebergHeadRe = """(?is)\A(\s*)ALTER\s+ICEBERG\s+TABLE\b""".r
+
   /** The full Snowflake-dialect pre-parse pass: postfix casts first (so an
     * `AT(TIMESTAMP => '...'::TIMESTAMP_LTZ)` body is already Spark-legal
-    * when the AT clause is lifted), then AT travel clauses.
+    * when the AT clause is lifted), then AT travel clauses, then the
+    * `ALTER ICEBERG TABLE` head normalization.
     */
   def rewriteSnowflakeDialect(statement: String,
       nowMillis: () => Long = () => System.currentTimeMillis()): String =
-    rewriteAtClauses(rewritePostfixCasts(statement), nowMillis)
+    AlterIcebergHeadRe.replaceFirstIn(
+      rewriteAtClauses(rewritePostfixCasts(statement), nowMillis), "$1ALTER TABLE")
 }

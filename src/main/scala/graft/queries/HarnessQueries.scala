@@ -474,10 +474,23 @@ object HarnessQueries {
           FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(
             TABLE_NAME => 'catalog_linked_table'
           ))""").rows
+      // the rest of the section (snowflake.sql:389-402) verbatim: REFRESH,
+      // ALTER ICEBERG TABLE ADD COLUMN, a post-evolution INSERT, UPDATE
+      eng.execute("ALTER ICEBERG TABLE catalog_linked_table REFRESH")
+      eng.execute(
+        "ALTER ICEBERG TABLE catalog_linked_table ADD COLUMN mail STRING comment 'e-mail'")
+      eng.execute("INSERT INTO catalog_linked_table VALUES " +
+        "('kiki', 'liu', 500, DATE '2025-12-05','kiki.liu@mail.com')")
+      eng.execute("UPDATE catalog_linked_table SET amount = 400 WHERE first_name = 'kun'")
+      val fin = eng.execute("SELECT COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS amt, " +
+        "COUNT(mail) AS n_mail FROM catalog_linked_table").rows.head
       Seq((filesAt.size.toLong, filesAt.map(_("row_count").asInstanceOf[Long]).sum,
           filesNow.size.toLong, filesNow.map(_("row_count").asInstanceOf[Long]).sum,
-          hist.size.toLong, hist.map(_("operation")).mkString(",")))
-        .toDF("files_t1", "rows_t1", "files_now", "rows_now", "n_history", "history_ops")
+          hist.size.toLong, hist.map(_("operation")).mkString(","),
+          fin("n").asInstanceOf[Long], fin("amt").asInstanceOf[Long],
+          fin("n_mail").asInstanceOf[Long]))
+        .toDF("files_t1", "rows_t1", "files_now", "rows_now", "n_history", "history_ops",
+          "final_rows", "amount_sum", "n_mail")
     }),
 
     // D4-D7 through the SQL front door — the reference's
@@ -641,7 +654,9 @@ object HarnessQueries {
       """SELECT CAST(1 AS BIGINT) AS files_t1, CAST(2 AS BIGINT) AS rows_t1,
            CAST(2 AS BIGINT) AS files_now, CAST(3 AS BIGINT) AS rows_now,
            CAST(3 AS BIGINT) AS n_history,
-           'create,append,append' AS history_ops""",
+           'create,append,append' AS history_ops,
+           CAST(4 AS BIGINT) AS final_rows, CAST(1400 AS BIGINT) AS amount_sum,
+           CAST(1 AS BIGINT) AS n_mail""",
     "h_sql_maintenance" ->
       """SELECT CAST(6 AS BIGINT) AS row_count, CAST(25 AS BIGINT) AS total_qty,
            CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,

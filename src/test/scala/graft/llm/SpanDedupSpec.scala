@@ -74,6 +74,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(keys(1L) !== keys(2L))
   }
 
+  test("prepareCorpusV2: hashed-span default produces exactly the string-span output") {
+    // the shipping path keys spans by the 8-byte rolling hash; the oracle
+    // entry recomputes with string grams — the full composed output (decon
+    // survivors AND split labels) must be identical either way
+    val docs = (0L until 60L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val text =
+        if (i % 7 == 0) "shared boilerplate prefix that repeats verbatim across documents " +
+          s"followed by unique suffix number $i with several more words to pass quality"
+        else s"document $i carries its own distinct words " +
+          s"sufficiently many of them to pass the quality filter thresholds easily $i"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val hashed = Pipeline.prepareCorpusV2(docs)
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect().sorted
+    val strings = Pipeline.prepareCorpusV2(docs, hashedSpans = false)
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect().sorted
+    assert(hashed === strings)
+    assert(hashed.nonEmpty)
+  }
+
   test("shuffleSplit plans a range-partitioned sort, never a single-task stage") {
     val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val plan = Sampling.shuffleSplit(docs, 7L, 10, 5).queryExecution.executedPlan.toString

@@ -593,6 +593,22 @@ class SqlDmlSpec extends SparkSpec {
     assert(r.rows.size === 3)
   }
 
+  test("ALTER ICEBERG TABLE: REFRESH no-ops with a view refresh, ADD COLUMN evolves") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0)).toDF("event_id", "price")
+    val t = graft.table.GraftTable.create(spark, scratchDir("sqldml-altice"), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("cl_t", t)
+    eng.execute("ALTER ICEBERG TABLE cl_t REFRESH")
+    eng.execute("ALTER ICEBERG TABLE cl_t ADD COLUMN mail STRING comment 'e-mail'")
+    assert(t.schema.fieldNames.toSeq === Seq("event_id", "price", "mail"))
+    assert(eng.execute("SELECT mail FROM cl_t").rows.map(_("mail")) == Seq(null))
+    // a statement merely CONTAINING the refresh phrase is data, not a route
+    val res = eng.execute("SELECT 'ALTER TABLE cl_t REFRESH' AS s")
+    assert(res.rows.head("s") == "ALTER TABLE cl_t REFRESH")
+  }
+
   test("DROP TABLE unregisters every view over the dropped table, not just its name") {
     val eng = new SparkSqlEngine(spark)
     val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-dropviews"))
