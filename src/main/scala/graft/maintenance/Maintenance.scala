@@ -70,14 +70,31 @@ object Maintenance {
     if (compactable.isEmpty) return None
     val toRewrite = compactable.values.flatten.toSeq
     val keep = untouched.values.flatten.toSeq
-    val totalBytes = toRewrite.map(_.sizeBytes).sum
-    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    // writeDataFiles re-clusters by partition columns before a partitioned
-    // write, so per-partition output files land at ~target size
-    val df = t.readFiles(toRewrite, planned).repartition(targetFiles)
+    val df = t.readFiles(toRewrite, planned)
     // basedOn-validated: a concurrent append between plan and commit aborts
     // the compaction instead of being silently dropped by an overwrite
-    Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
+    if (planned.partitionCols.nonEmpty) {
+      // A partitioned write already pays ONE shuffle inside writeDataFiles
+      // (the AQE rebalance by partition columns); a pre-repartition here
+      // would be a SECOND full shuffle of the same rows — at 100 TB the
+      // dominant cost of the whole procedure. Honor the requested file size
+      // through the rebalance's advisory split/coalesce target instead.
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val prev = t.spark.conf.getOption(key)
+      t.spark.conf.set(key, targetFileSizeBytes.toString)
+      try Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
+      finally prev match {
+        case Some(v) => t.spark.conf.set(key, v)
+        case None => t.spark.conf.unset(key)
+      }
+    } else {
+      // unpartitioned: writeDataFiles adds no distribution of its own, so
+      // the explicit repartition IS the single sizing shuffle
+      val totalBytes = toRewrite.map(_.sizeBytes).sum
+      val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+      Some(t.commitRewrite(df.repartition(targetFiles), keep,
+        "rewrite-data-files", basedOn = Some(planned)))
+    }
   }
 
   /** Z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` / Iceberg
