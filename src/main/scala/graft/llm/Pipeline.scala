@@ -50,7 +50,13 @@ object Pipeline {
   def prepareCorpusV2(docs: DataFrame, spanK: Int = 8, maxDupFrac: Double = 0.5,
       epochSeed: Long = 7L, testPct: Int = 10, valPct: Int = 5,
       hashedSpans: Boolean = true): DataFrame = {
-    val mixed = prepareCorpus(docs)
+    // Materialize the mixed corpus ONCE (the connectedComponents pattern,
+    // Dedup.scala): the span stage consumes it twice (gram explode + owner
+    // agg) and the decon join a third time — unmaterialized, each consumer
+    // re-runs the dedup window, quality filter, and mix from the raw scan
+    // (exchange reuse does not collapse them), which at 100 TB is two extra
+    // full corpus passes.
+    val mixed = prepareCorpus(docs).localCheckpoint(eager = true)
     // default = the 100 TB span keying (8-byte rolling-hash grams, ~6x
     // narrower shuffles); string grams only where a SQL oracle must recompute
     // the spans (SpanDedupSpec proves the two keyings produce equal stats)
