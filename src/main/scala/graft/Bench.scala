@@ -206,15 +206,49 @@ object Bench {
       }
       if (dir.exists()) rm(dir)
       val data = txData(scaleRows, 256)
-      val t = graft.table.GraftTable.create(spark, dir.toString, data.schema,
-        partitionCols = Seq("ds"))
+      // the reference's own layout at this scale: days + bucket(16, user_id)
+      // (blob-dfs_bench.py:31-32 PARTITION_BY_DAYS + BUCKETS=16) — the
+      // bucket column derives from the transform at write, and IN-list
+      // lookups pin to the listed keys' buckets at plan time
+      def mkTable(d: java.io.File) = graft.table.GraftTable.create(spark,
+        d.toString, data.schema, partitionCols = Seq("ds", "ub"),
+        properties = Map(graft.table.GraftTable.PartitionTransformsProp ->
+          "bucket(16,user_id)=ub"))
+      // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
+      // 10M ref_phases table is ds-only, so its µs/row is not comparable to
+      // this section's 16-bucket layout) — also serves as the warm-up
+      val dirSmall = new java.io.File(dir.getPath + "_small")
+      if (dirSmall.exists()) rm(dirSmall)
+      val tSmall = mkTable(dirSmall)
+      val wSmall = timeOnce {
+        tSmall.append(txData(scaleRows / 10, 64), sortWithinPartitionsCols = Seq("ts")) }
+      rm(dirSmall)
+      val t = mkTable(dir)
       val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
       val wCommit = t.lastCommitNanos / 1e9
       val filesAfterWrite = t.latest.files.size
-      (1 to 3).foreach(_ => t.append(txData(scaleRows / 10, 32)))
-      val filesBeforeMaint = t.latest.files.size
       val eng = new graft.plan.SparkSqlEngine(spark)
       eng.registerGraftTable("tx_events_scale", t)
+      // the reference's three read phases ON the written table
+      // (blob-dfs_bench.py:117-136): 1 untimed warm-up + median-of-reps,
+      // through the SQL route so metadata pruning engages like a user read
+      def timedRead(sql: String): Double = {
+        eng.execute(sql)
+        median((1 to reps).map(_ => timeOnce { eng.execute(sql) }))
+      }
+      val rPruned = timedRead(
+        """SELECT city, COUNT(*) AS n FROM tx_events_scale
+           WHERE ts >= TIMESTAMP '2025-01-05 00:00:00' AND ts < TIMESTAMP '2025-01-07 00:00:00'
+           GROUP BY city""")
+      val prunedScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
+      val rAgg = timedRead(
+        """SELECT category, percentile_approx(amount, 0.95) AS p95, COUNT(*) AS n
+           FROM tx_events_scale GROUP BY category""")
+      val rLookup = timedRead(
+        "SELECT * FROM tx_events_scale WHERE user_id IN (123, 456789, 987654321)")
+      val lookupScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
+      (1 to 3).foreach(_ => t.append(txData(scaleRows / 10, 32)))
+      val filesBeforeMaint = t.latest.files.size
       val c = timeOnce { eng.execute(
         """CALL graft.system.rewrite_data_files(table => 'tx_events_scale',
            options => map('min-input-files','2','target-file-size-bytes','134217728'))""") }
@@ -223,7 +257,13 @@ object Bench {
       val e = timeOnce { eng.execute(
         "CALL graft.system.expire_snapshots(table => 'tx_events_scale', retain_last => 2)") }
       val out = s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
-        s""""us_per_row":${w * 1e6 / scaleRows},"n_files_after_append":$filesAfterWrite,""" +
+        s""""us_per_row":${w * 1e6 / scaleRows},""" +
+        s""""rows_small":${scaleRows / 10},"write_append_small":$wSmall,""" +
+        s""""us_per_row_small":${wSmall * 1e6 / (scaleRows / 10)},""" +
+        s""""n_files_after_append":$filesAfterWrite,""" +
+        s""""read_pruned":$rPruned,"read_pruned_files":[${prunedScan._1},${prunedScan._2}],""" +
+        s""""read_agg":$rAgg,"read_lookup":$rLookup,""" +
+        s""""read_lookup_files":[${lookupScan._1},${lookupScan._2}],""" +
         s""""n_files_before_maintenance":$filesBeforeMaint,"rewrite_data_files":$c,""" +
         s""""rewrite_manifests":$m,"expire_snapshots":$e,"reps":1}"""
       rm(dir) // ~10 GB of scratch parquet — free it before the JSON lands
