@@ -212,8 +212,10 @@ object Bench {
       // lookups pin to the listed keys' buckets at plan time
       def mkTable(d: java.io.File) = graft.table.GraftTable.create(spark,
         d.toString, data.schema, partitionCols = Seq("ds", "ub"),
-        properties = Map(graft.table.GraftTable.PartitionTransformsProp ->
-          "bucket(16,user_id)=ub"))
+        properties = Map(
+          graft.table.GraftTable.PartitionTransformsProp -> "bucket(16,user_id)=ub",
+          // the reference's write config (blob-dfs_bench.py:84-87)
+          graft.table.GraftTable.TargetFileSizeProp -> "134217728"))
       // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
       // 10M ref_phases table is ds-only, so its µs/row is not comparable to
       // this section's 16-bucket layout) — also serves as the warm-up

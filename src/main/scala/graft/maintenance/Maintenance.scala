@@ -81,7 +81,13 @@ object Maintenance {
       // through the rebalance's advisory split/coalesce target instead.
       val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
       val prev = t.spark.conf.getOption(key)
-      t.spark.conf.set(key, targetFileSizeBytes.toString)
+      // same shuffle-to-parquet compensation as the write path (a table
+      // carrying write.target-file-size-bytes re-applies its own advisory
+      // inside writeDataFiles, which then wins — values agree when the
+      // procedure target matches the table property)
+      val factor = t.properties.get(graft.table.GraftTable.ShuffleCompressionFactorProp)
+        .flatMap(x => scala.util.Try(x.toDouble).toOption).getOrElse(2.0)
+      t.spark.conf.set(key, math.max(1L, (targetFileSizeBytes * factor).toLong).toString)
       try Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
       finally prev match {
         case Some(v) => t.spark.conf.set(key, v)

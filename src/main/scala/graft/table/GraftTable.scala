@@ -1622,6 +1622,24 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.get(tsConfKey)
     spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    // `write.target-file-size-bytes` (the Iceberg write knob the reference
+    // configures, blob-dfs_bench.py / framework.yaml): the rebalance splits
+    // on SHUFFLE bytes, but parquet encodes several-fold smaller — without
+    // compensation a 64 MB advisory lands ~8-15 MB files, which at 100 TB
+    // is millions of undersized files. Advisory = target x the estimated
+    // shuffle-to-parquet ratio (`write.shuffle-compression-factor`,
+    // default 2.0 — conservative; oversizing a split is corrected by the
+    // next compaction, undersizing never is).
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val targetAdvisory = props.get(TargetFileSizeProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map { target =>
+        val factor = props.get(ShuffleCompressionFactorProp)
+          .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+        math.max(1L, (target * factor).toLong)
+      }
+    val prevAdvisory = targetAdvisory.map(_ => spark.conf.getOption(advisoryKey))
+    targetAdvisory.foreach(v => spark.conf.set(advisoryKey, v.toString))
     try {
       var writer = sorted.write.mode("errorifexists")
       // Bloom filters on configured key columns (table property; the Iceberg
@@ -1638,7 +1656,13 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       }
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(commitDir.toString)
-    } finally spark.conf.set(tsConfKey, prevTsType)
+    } finally {
+      spark.conf.set(tsConfKey, prevTsType)
+      prevAdvisory.foreach {
+        case Some(v) => spark.conf.set(advisoryKey, v)
+        case None => spark.conf.unset(advisoryKey)
+      }
+    }
     // Publish the staged files into the SHARED hive layout directly under
     // data/ (partition dirs common to all commits, part-file names unique per
     // write job). One layout for every commit means a read over files from
@@ -1812,6 +1836,12 @@ object GraftTable {
     * per-call sort argument overrides it.
     */
   val SortOrderProp = "write.sort-order"
+  /** Iceberg's `write.target-file-size-bytes`: when set, partitioned writes
+    * size their rebalance splits to land parquet files near this target
+    * (advisory = target × [[ShuffleCompressionFactorProp]]).
+    */
+  val TargetFileSizeProp = "write.target-file-size-bytes"
+  val ShuffleCompressionFactorProp = "write.shuffle-compression-factor"
 
   /** Property: semicolon-separated partition transforms,
     * `fn(srcCol)=partCol` or `fn(N,srcCol)=partCol` each (e.g.

@@ -73,6 +73,34 @@ class WriteDistributionSpec extends SparkSpec {
     } finally spark.conf.set(advisoryKey, prev)
   }
 
+  test("write.target-file-size-bytes sizes rebalance splits; conf restored after") {
+    import spark.implicits._
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = spark.conf.getOption(advisoryKey)
+    val rows = (1 to 40000).map { i =>
+      ("only", (i * 2654435761L) % 999983L, f"${i * 40503L}%x-${i.toHexString}")
+    }.toDF("p", "k", "payload")
+    // a tiny target (factor pinned to 1.0) must SPLIT the single partition
+    // value into many small files...
+    val dirSmall = scratchDir("tfs-small")
+    val tSmall = GraftTable.create(spark, dirSmall, rows.schema, Seq("p"),
+      properties = Map(GraftTable.TargetFileSizeProp -> (64L * 1024).toString,
+        GraftTable.ShuffleCompressionFactorProp -> "1.0"))
+    tSmall.append(rows)
+    assert(tSmall.latest.files.size > 1,
+      s"64 KB target should split: got ${tSmall.latest.files.size} files")
+    // ...while a huge target keeps it one file per partition value
+    val dirBig = scratchDir("tfs-big")
+    val tBig = GraftTable.create(spark, dirBig, rows.schema, Seq("p"),
+      properties = Map(GraftTable.TargetFileSizeProp -> (1L << 30).toString))
+    tBig.append(rows)
+    assert(tBig.latest.files.size === 1,
+      s"1 GB target should not split: got ${tBig.latest.files.size} files")
+    // the session advisory is restored either way
+    assert(spark.conf.getOption(advisoryKey) === before,
+      "write leaked the advisory partition size into the session")
+  }
+
   test("unpartitioned appends keep the caller's partitioning (no extra shuffle)") {
     import spark.implicits._
     val dir = scratchDir("rebalance-unpart")
