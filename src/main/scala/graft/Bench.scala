@@ -119,16 +119,16 @@ object Bench {
     // phases were setup-dominated; BASELINE.md carries a matching 10M-row
     // re-measure so the 2x gate compares like against like.
     val writeRows = sys.env.getOrElse("SPARK_GRAFT_WRITE_ROWS", "10000000").toLong
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete()
+    }
     def txData(rows: Long, parts: Int) =
       graft.gen.Synthesize.txEvents(spark, rows, partitions = parts)
         .withColumn("ds", org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col("ts")).cast("string"))
     def refPhaseRound(rows: Long): Seq[(String, Double)] = {
       val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      if (dir.exists()) rm(dir)
+      if (dir.exists()) rmDir(dir)
       val data = txData(rows, 64)
       val t = graft.table.GraftTable.create(spark, dir.toString, data.schema,
         partitionCols = Seq("ds"))
@@ -199,12 +199,13 @@ object Bench {
     // at 10x file counts without OOM). write_commit_sec isolates the
     // driver-side metadata commit from the executor write.
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "100000000").toLong
-    val scaleJson: String = if (only.isDefined || scaleRows <= 0) "null" else try {
-      val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      if (dir.exists()) rm(dir)
+    // rows below 10 would truncate the 1/10 anchor to zero rows — treat the
+    // section as disabled rather than emit a divide-by-zero Infinity token
+    // that would corrupt the JSON line
+    val scaleDir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
+    val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
+      val dir = scaleDir
+      if (dir.exists()) rmDir(dir)
       val data = txData(scaleRows, 256)
       // the reference's own layout at this scale: days + bucket(16, user_id)
       // (blob-dfs_bench.py:31-32 PARTITION_BY_DAYS + BUCKETS=16) — the
@@ -220,11 +221,11 @@ object Bench {
       // 10M ref_phases table is ds-only, so its µs/row is not comparable to
       // this section's 16-bucket layout) — also serves as the warm-up
       val dirSmall = new java.io.File(dir.getPath + "_small")
-      if (dirSmall.exists()) rm(dirSmall)
+      if (dirSmall.exists()) rmDir(dirSmall)
       val tSmall = mkTable(dirSmall)
       val wSmall = timeOnce {
         tSmall.append(txData(scaleRows / 10, 64), sortWithinPartitionsCols = Seq("ts")) }
-      rm(dirSmall)
+      rmDir(dirSmall)
       val t = mkTable(dir)
       val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
       val wCommit = t.lastCommitNanos / 1e9
@@ -267,13 +268,18 @@ object Bench {
         s""""read_agg":$rAgg,"read_lookup":$rLookup,""" +
         s""""read_lookup_files":[${lookupScan._1},${lookupScan._2}],""" +
         s""""n_files_before_maintenance":$filesBeforeMaint,"rewrite_data_files":$c,""" +
-        s""""rewrite_manifests":$m,"expire_snapshots":$e,"reps":1}"""
-      rm(dir) // ~10 GB of scratch parquet — free it before the JSON lands
+        s""""rewrite_manifests":$m,"expire_snapshots":$e,""" +
+        s""""write_reps":1,"read_reps":$reps}"""
       out
     } catch {
       case ex: Throwable =>
         errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
         "null"
+    } finally {
+      // ~10 GB of scratch parquet — freed on success AND failure, else
+      // failed rounds accumulate until the disk fills
+      try { rmDir(scaleDir); rmDir(new java.io.File(scaleDir.getPath + "_small")) }
+      catch { case _: Throwable => }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -55,7 +55,11 @@ object Pipeline {
     // agg) and the decon join a third time — unmaterialized, each consumer
     // re-runs the dedup window, quality filter, and mix from the raw scan
     // (exchange reuse does not collapse them), which at 100 TB is two extra
-    // full corpus passes.
+    // full corpus passes. The checkpoint blocks are released by Spark's
+    // ContextCleaner once the returned frame is no longer referenced; a
+    // long-lived driver that calls this repeatedly and HOLDS the results
+    // should drop them promptly (no explicit unpersist hook is exposed —
+    // the frame's lineage roots at the checkpoint).
     val mixed = prepareCorpus(docs).localCheckpoint(eager = true)
     // default = the 100 TB span keying (8-byte rolling-hash grams, ~6x
     // narrower shuffles); string grams only where a SQL oracle must recompute

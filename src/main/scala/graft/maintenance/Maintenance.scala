@@ -77,22 +77,15 @@ object Maintenance {
       // A partitioned write already pays ONE shuffle inside writeDataFiles
       // (the AQE rebalance by partition columns); a pre-repartition here
       // would be a SECOND full shuffle of the same rows — at 100 TB the
-      // dominant cost of the whole procedure. Honor the requested file size
-      // through the rebalance's advisory split/coalesce target instead.
-      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-      val prev = t.spark.conf.getOption(key)
-      // same shuffle-to-parquet compensation as the write path (a table
-      // carrying write.target-file-size-bytes re-applies its own advisory
-      // inside writeDataFiles, which then wins — values agree when the
-      // procedure target matches the table property)
+      // dominant cost of the whole procedure. The requested file size rides
+      // the rebalance's advisory split/coalesce target, passed as an
+      // explicit override so the PROCEDURE argument wins over any
+      // write.target-file-size-bytes table property (Iceberg's precedence),
+      // with the same shuffle-to-parquet compensation as the write path.
       val factor = t.properties.get(graft.table.GraftTable.ShuffleCompressionFactorProp)
         .flatMap(x => scala.util.Try(x.toDouble).toOption).getOrElse(2.0)
-      t.spark.conf.set(key, math.max(1L, (targetFileSizeBytes * factor).toLong).toString)
-      try Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned)))
-      finally prev match {
-        case Some(v) => t.spark.conf.set(key, v)
-        case None => t.spark.conf.unset(key)
-      }
+      Some(t.commitRewrite(df, keep, "rewrite-data-files", basedOn = Some(planned),
+        advisoryBytesOverride = Some(math.max(1L, (targetFileSizeBytes * factor).toLong))))
     } else {
       // unpartitioned: writeDataFiles adds no distribution of its own, so
       // the explicit repartition IS the single sizing shuffle

@@ -911,7 +911,13 @@ object SqlDml {
     zoned.eval(null) match {
       case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        java.sql.Timestamp.valueOf(s.toString).getTime
+        // a bare string literal resolves in the SESSION timezone — the same
+        // zone the folded-Cast branch uses — never the JVM default
+        // (java.sql.Timestamp.valueOf would silently disagree between the
+        // two spellings on any host whose JVM zone is not the session zone)
+        java.time.LocalDateTime.parse(s.toString.replace(' ', 'T'))
+          .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+          .toInstant.toEpochMilli
       case other => unsupported(s"timestamp value $other")
     }
   }

@@ -1278,9 +1278,11 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * concurrent rewrite may have replaced files this plan kept.
     */
   def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String,
-      basedOn: Option[Snapshot] = None, clearDeletes: Boolean = false): Snapshot = {
+      basedOn: Option[Snapshot] = None, clearDeletes: Boolean = false,
+      advisoryBytesOverride: Option[Long] = None): Snapshot = {
     val planned = basedOn.getOrElse(latest)
-    val written = writeDataFiles(df, planned.snapshotId + 1)
+    val written = writeDataFiles(df, planned.snapshotId + 1,
+      advisoryOverride = advisoryBytesOverride)
     commitWithRetry { parent =>
       val p = parent.getOrElse(throw new IllegalStateException("rewrite on empty table"))
       if (p.snapshotId != planned.snapshotId)
@@ -1558,7 +1560,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     */
   private def writeDataFiles(df: DataFrame, snapshotId: Long,
       sortCols: Seq[String] = Nil,
-      partColsOverride: Option[Seq[String]] = None): Seq[FileEntry] = {
+      partColsOverride: Option[Seq[String]] = None,
+      advisoryOverride: Option[Long] = None): Seq[FileEntry] = {
     val parent = snapshotsList.lastOption
     val partCols = partColsOverride.map(_.toList)
       .getOrElse(parent.map(_.partitionCols).getOrElse(Nil))
@@ -1631,13 +1634,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // default 2.0 — conservative; oversizing a split is corrected by the
     // next compaction, undersizing never is).
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val targetAdvisory = props.get(TargetFileSizeProp)
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .map { target =>
-        val factor = props.get(ShuffleCompressionFactorProp)
-          .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
-        math.max(1L, (target * factor).toLong)
-      }
+    // explicit caller override (a maintenance procedure's target argument)
+    // WINS over the table property — Iceberg's procedure-option precedence
+    val targetAdvisory = advisoryOverride.orElse(
+      props.get(TargetFileSizeProp)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .map { target =>
+          val factor = props.get(ShuffleCompressionFactorProp)
+            .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+          math.max(1L, (target * factor).toLong)
+        })
     val prevAdvisory = targetAdvisory.map(_ => spark.conf.getOption(advisoryKey))
     targetAdvisory.foreach(v => spark.conf.set(advisoryKey, v.toString))
     try {
@@ -2029,6 +2035,13 @@ object GraftTable {
   /** Evolution-op encoding shared with SnapshotLog docs — JSON objects, so
     * column names, DDL types (`struct<a:int>`), and default values may contain
     * any character without corrupting committed metadata.
+    *
+    * Encoding note: since the round-10 build, `add` ops OMIT the `default`
+    * key for no-default columns; a present `default` (including the empty
+    * string) always replays as the declared literal. Op logs written by
+    * earlier builds encoded no-default as `"default":""` — loading such a
+    * table under this build replays '' instead of NULL for those columns
+    * (no such tables exist in this environment; every run creates fresh).
     */
   def addColumnOp(name: String, dataType: String, default: Option[String]): String =
     writeOp(Map("op" -> "add", "name" -> name, "dataType" -> dataType) ++
