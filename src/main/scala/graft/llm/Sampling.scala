@@ -79,6 +79,35 @@ object Sampling {
     * uniform hash key — every partition sorts in parallel and readers
     * consume partitions in key order, no single-task stage anywhere.
     */
+  /** Quality-weighted sampling (the quality-curriculum step of modern
+    * data pipelines — DCLM/FineWeb-style: better documents survive at a
+    * higher rate instead of a hard pass/fail): each doc keeps with
+    * probability `minKeepPct% + score × (100 − minKeepPct)%`, decided by a
+    * deterministic doc_id-keyed hash bucket (content edits never flip
+    * membership; same corpus → same sample, like [[shuffleSplit]]).
+    *
+    * The score ∈ [0,1] is a smooth product of the Gopher-rule metrics
+    * `qualityFilter` computes — length (saturating at 100 words), distance
+    * of mean word length from the ~5-char sweet spot, symbol density — all
+    * per-row IEEE arithmetic on the ROUNDED metric columns, so membership
+    * is bit-reproducible cross-engine. Map-only after one scan: the
+    * sampling rides the scan at any corpus size.
+    */
+  def qualityWeightedSample(docs: DataFrame, minKeepPct: Int = 10): DataFrame = {
+    require(minKeepPct >= 0 && minKeepPct < 100, s"minKeepPct in [0,100), got $minKeepPct")
+    val q = TextAnalysis.qualityFilter(docs)
+    val wordScore = least(col("n_words").cast("double") / 100.0, lit(1.0))
+    val lenScore = lit(1.0) - least(abs(col("mean_word_len") - lit(5.0)) / 5.0, lit(1.0))
+    val symScore = lit(1.0) - least(col("symbol_ratio") / 0.2, lit(1.0))
+    val score = round(wordScore * lenScore * symScore, 6)
+    val bucket = conv(substring(
+      md5(concat(lit("q:"), col("doc_id").cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("bigint") % 100
+    q.withColumn("quality_score", score)
+      .filter(bucket.cast("double") < lit(minKeepPct) + col("quality_score") * (100 - minKeepPct))
+      .select((docs.columns.map(col) :+ col("quality_score")).toSeq: _*)
+  }
+
   /** Deterministic permutation key: md5 of (seed, doc_id) — a new epoch
     * seed reshuffles the whole corpus, same seed reproduces it exactly.
     */
@@ -121,6 +150,17 @@ object Sampling {
       shuffleSplit(Tables.documents(s, dir), epochSeed = 7L, testPct = 10, valPct = 5)
         .select(col("doc_id"), col("split"), col("shuffle_key"))),
 
+    // Quality-curriculum sampling: keep rate rises with the doc's quality
+    // score; per-lang kept counts, id checksum, and micro-scaled score sum
+    // (integer — no float accumulation crosses the engine boundary)
+    "sample_quality_weighted" -> ((s, dir) =>
+      qualityWeightedSample(Tables.documents(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          sum(round(col("quality_score") * 1e6).cast("bigint")).as("score_sum_micro"))
+        .orderBy("lang")),
+
     // Temperature mixing at alpha=0.5 over the language column: the
     // smallest language keeps ~100%, dominant ones are damped toward
     // sqrt-proportional representation; per-source counts + id checksum
@@ -139,6 +179,28 @@ object Sampling {
          FROM (SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h,
                       CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
                FROM documents)""",
+    "sample_quality_weighted" ->
+      raw"""WITH q AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+             round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mwl,
+             round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1), 4) AS sr
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+             round(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+               * (1.0 - LEAST(abs(mwl - 5.0) / 5.0, 1.0))
+               * (1.0 - LEAST(sr / 0.2, 1.0)), 6) AS score
+           FROM q),
+         kept AS (
+           SELECT * FROM sc
+           WHERE CAST(CAST(('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS DOUBLE)
+                 < 10 + score * 90)
+         SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+                CAST(SUM(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS score_sum_micro
+         FROM kept GROUP BY lang ORDER BY lang""",
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
          FROM documents

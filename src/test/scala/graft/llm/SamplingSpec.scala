@@ -7,6 +7,33 @@ import graft.SparkSpec
 /** Deterministic sampling and temperature-weighted source mixing. */
 class SamplingSpec extends SparkSpec {
 
+  test("qualityWeightedSample keeps better docs at a higher rate, deterministically") {
+    import spark.implicits._
+    // 300 high-quality docs (normal prose) vs 300 degenerate ones
+    // (symbol-heavy), interleaved ids so hash buckets are comparable
+    val docs = (0L until 600L).map { i =>
+      val text =
+        if (i % 2 == 0) "the quick brown fox jumps over the lazy dog near the quiet river " +
+          s"and keeps running through the field for a while longer $i"
+        else ("@@!! ##%% " * 8) + i
+      (i, "en", text)
+    }.toDF("doc_id", "lang", "text")
+    val kept = Sampling.qualityWeightedSample(docs)
+    val good = kept.filter(col("doc_id") % 2 === 0).count()
+    val bad = kept.filter(col("doc_id") % 2 === 1).count()
+    assert(good > bad * 2,
+      s"quality docs must survive at a much higher rate: good=$good bad=$bad")
+    // the floor keeps SOME low-quality docs (curriculum, not a hard filter)...
+    assert(bad > 0, "minKeepPct floor should retain a slice of low-quality docs")
+    // ...and membership is id-keyed: rerun is identical
+    val again = Sampling.qualityWeightedSample(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === kept.select("doc_id").as[Long].collect().sorted)
+    // scores stay in [0, 1]
+    val mm = kept.agg(min("quality_score"), max("quality_score")).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
   import spark.implicits._
 
   private def corpus(nBig: Int, nSmall: Int) = {
