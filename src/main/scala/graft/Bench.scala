@@ -204,7 +204,7 @@ object Bench {
     // that would corrupt the JSON line
     val scaleDir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
     val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
-      val dir = scaleDir
+      val dir = scaleDir // single name for the section body; finally uses scaleDir
       if (dir.exists()) rmDir(dir)
       val data = txData(scaleRows, 256)
       // the reference's own layout at this scale: days + bucket(16, user_id)

@@ -68,17 +68,6 @@ object Sampling {
     docs.filter(bucket6(col("text")) < thr)
   }
 
-  /** Deterministic corpus shuffle + train/val/test split — the last step
-    * before a corpus ships to training. Split membership hashes the DOC ID,
-    * not the content: a document keeps its split across corpus versions even
-    * when its text is re-extracted or cleaned, so a re-release can never
-    * leak yesterday's training docs into tomorrow's held-out set. The
-    * shuffle key hashes (epochSeed, doc_id): each epoch seed is a fresh,
-    * engine- and partitioning-independent permutation. Both are map-only
-    * derivations; the global order is a range-partitioned sort on the
-    * uniform hash key — every partition sorts in parallel and readers
-    * consume partitions in key order, no single-task stage anywhere.
-    */
   /** Quality-weighted sampling (the quality-curriculum step of modern
     * data pipelines — DCLM/FineWeb-style: better documents survive at a
     * higher rate instead of a hard pass/fail): each doc keeps with
@@ -108,6 +97,18 @@ object Sampling {
       .select((docs.columns.map(col) :+ col("quality_score")).toSeq: _*)
   }
 
+
+  /** Deterministic corpus shuffle + train/val/test split — the last step
+    * before a corpus ships to training. Split membership hashes the DOC ID,
+    * not the content: a document keeps its split across corpus versions even
+    * when its text is re-extracted or cleaned, so a re-release can never
+    * leak yesterday's training docs into tomorrow's held-out set. The
+    * shuffle key hashes (epochSeed, doc_id): each epoch seed is a fresh,
+    * engine- and partitioning-independent permutation. Both are map-only
+    * derivations; the global order is a range-partitioned sort on the
+    * uniform hash key — every partition sorts in parallel and readers
+    * consume partitions in key order, no single-task stage anywhere.
+    */
   /** Deterministic permutation key: md5 of (seed, doc_id) — a new epoch
     * seed reshuffles the whole corpus, same seed reproduces it exactly.
     */

@@ -62,6 +62,11 @@ object Maintenance {
     */
   def rewriteDataFiles(t: GraftTable, targetFileSizeBytes: Long = 512L * 1024 * 1024,
       minInputFiles: Int = 2): Option[graft.table.Snapshot] = {
+    // `targetFileSizeBytes` is treated as EXPLICIT (it both selects the
+    // compactable files and sizes the output): a front end offering
+    // Iceberg's "absent option → table property → default" resolution does
+    // it before calling (the SQL CALL route does).
+
     val planned = t.latest
     val byPartition = planned.files.groupBy(_.partitionValues)
     val (compactable, untouched) = byPartition.partition { case (_, fs) =>

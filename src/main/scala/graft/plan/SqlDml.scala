@@ -601,8 +601,14 @@ object SqlDml {
             val badOpt = opts.keySet.diff(
               Set("min-input-files", "max-file-size-bytes", "target-file-size-bytes"))
             if (badOpt.nonEmpty) unsupported(s"rewrite_data_files options $badOpt")
+            // Iceberg's option resolution: an explicit procedure option wins;
+            // ABSENT the option, the table's own write.target-file-size-bytes
+            // applies before the engine default (Maintenance treats its
+            // argument as explicit, so the property is resolved HERE)
             val target = opts.get("target-file-size-bytes")
               .orElse(opts.get("max-file-size-bytes")).map(_.toLong)
+              .orElse(t.properties.get(graft.table.GraftTable.TargetFileSizeProp)
+                .flatMap(s => scala.util.Try(s.toLong).toOption))
               .getOrElse(512L * 1024 * 1024)
             val minIn = opts.get("min-input-files").map(_.toInt).getOrElse(2)
             val before = t.latest.files.map(_.path).toSet
@@ -911,13 +917,18 @@ object SqlDml {
     zoned.eval(null) match {
       case micros: Long => Math.floorDiv(micros, 1000L) // ts literal = epoch-micros
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        // a bare string literal resolves in the SESSION timezone — the same
-        // zone the folded-Cast branch uses — never the JVM default
-        // (java.sql.Timestamp.valueOf would silently disagree between the
-        // two spellings on any host whose JVM zone is not the session zone)
-        java.time.LocalDateTime.parse(s.toString.replace(' ', 'T'))
-          .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
-          .toInstant.toEpochMilli
+        // a bare string literal resolves through Spark's OWN string→timestamp
+        // cast pinned to the SESSION zone — the same parser (and the same
+        // lenient forms: date-only, unpadded fields, embedded offsets) as
+        // the explicit CAST spelling, never the JVM default zone
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+          Literal(s, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+        cast.eval(null) match {
+          case micros: Long => Math.floorDiv(micros, 1000L)
+          case _ => unsupported(s"unparseable timestamp literal '$s'")
+        }
       case other => unsupported(s"timestamp value $other")
     }
   }
