@@ -580,6 +580,14 @@ class SqlDmlSpec extends SparkSpec {
       s"TABLE_NAME => 'tvft', AT => CAST('$tsStr' AS TIMESTAMP_LTZ)))")
     assert(at.rows.size === 1)
     assert(at.rows.map(_("row_count").asInstanceOf[Long]).sum === 2L)
+    // lenient literal forms resolve through Spark's own cast in the session
+    // zone: unpadded fields and a bare string (no CAST) — same snapshot
+    val tsLenient = java.time.Instant.ofEpochMilli(t1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-M-d H:mm:ss"))
+    val atBare = eng.execute(s"SELECT * FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES(" +
+      s"TABLE_NAME => 'tvft', AT => '$tsLenient'))")
+    assert(atBare.rows.size === 1)
     // refresh history = the commit history (create + two appends)
     val hist = eng.execute("SELECT * FROM TABLE(" +
       "INFORMATION_SCHEMA.ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(TABLE_NAME => 'tvft'))")
