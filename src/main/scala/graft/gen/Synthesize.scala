@@ -30,7 +30,15 @@ object Synthesize {
     spark.range(0, n, 1, partitions)
       .withColumnRenamed("id", "user_id")
       .withColumn("ts", to_timestamp(from_unixtime(lit(EpochBase) + col("user_id") % SecondsIn30Days)))
-      .withColumn("amount", (rand(42) * 1000.0).cast("double"))
+      // hash-derived uniform in [0, 1000): unlike rand(seed) — whose draw
+      // depends on Spark's partition-seeded XORShift and therefore on the
+      // PARTITIONING — this is a pure function of user_id, so the generator
+      // is deterministic across engines, partitionings, and re-runs (and
+      // the full table is DuckDB-oracle-checkable)
+      .withColumn("amount",
+        round(pmod(conv(substring(md5(concat(lit("amt:"),
+          col("user_id").cast("string")).cast("binary")), 1, 8), 16, 10).cast("bigint"),
+          lit(1000000L)).cast("double") / 1000.0, 3))
       .withColumn("city", element_at(cities, (col("user_id") % Cities.size).cast("int") + 1))
       .withColumn("category", element_at(cats, (col("user_id") % Categories.size).cast("int") + 1))
   }

@@ -219,9 +219,10 @@ object RelationalQueries {
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
         .orderBy("o_orderpriority")),
 
-    // S2 — deterministic synthetic range source, rand-free columns
-    // (ref blob_dfs/blob-dfs_bench.py:48-65); the rand(42) `amount` column is
-    // Spark-specific so it is exercised rows-only in s2_synth_full
+    // S2 — deterministic synthetic range source
+    // (ref blob_dfs/blob-dfs_bench.py:48-65); every column including the
+    // hash-derived `amount` is a pure function of user_id, so the FULL
+    // table is oracle-checked
     "s2_synth_range" -> ((s, _) =>
       graft.gen.Synthesize.txEvents(s, 1000)
         .select("user_id", "ts", "city", "category")
@@ -314,6 +315,13 @@ object RelationalQueries {
     "s2_synth_range" ->
       """SELECT i AS user_id,
            make_timestamp((1735689600 + i % 2592000) * 1000000) AS ts,
+           (['Paris','Seoul','Tokyo','Lyon','Lille','Marseille','Nantes','Bordeaux'])[CAST(i % 8 AS INT) + 1] AS city,
+           (['A','B','C','D','E'])[CAST(i % 5 AS INT) + 1] AS category
+         FROM range(1000) t(i) ORDER BY user_id""",
+    "s2_synth_full" ->
+      """SELECT i AS user_id,
+           make_timestamp((1735689600 + i % 2592000) * 1000000) AS ts,
+           round(CAST(CAST(('0x' || substr(md5('amt:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) / 1000.0, 3) AS amount,
            (['Paris','Seoul','Tokyo','Lyon','Lille','Marseille','Nantes','Bordeaux'])[CAST(i % 8 AS INT) + 1] AS city,
            (['A','B','C','D','E'])[CAST(i % 5 AS INT) + 1] AS category
          FROM range(1000) t(i) ORDER BY user_id"""
