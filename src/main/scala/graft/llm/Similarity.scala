@@ -84,12 +84,26 @@ object Similarity {
   /** Seed-fixed random hyperplanes (driver-side constants, shipped as a
     * literal array-of-arrays — no data dependence, no nondeterminism).
     */
-  private def hyperplanes(bits: Int, dim: Int, seed: Long): Column = {
+  private def hyperplaneValues(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    array((0 until bits).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }: _*)
+    (0 until bits).map(_ => (0 until dim).map(_ => rnd.nextGaussian()))
   }
+
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Column =
+    array(hyperplaneValues(bits, dim, seed).map(p => array(p.map(lit): _*)): _*)
+
+  /** The [[lshBucket]] derivation as DuckDB SQL, the hyperplane constants
+    * rendered as literal arrays: sign-LSH is plain dot-product arithmetic,
+    * so the oracle can recompute the exact buckets (only the xxhash-keyed
+    * families are genuinely engine-specific). `Double.toString` round-trips,
+    * so the rendered literals are the bit-exact plane values.
+    */
+  private def lshBucketSql(embCol: String, bits: Int = 8, dim: Int = 64,
+      seed: Long = 7L): String =
+    hyperplaneValues(bits, dim, seed).zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST($embCol AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** LSH bucket id: integer of sign bits of the hyperplane projections. */
   def lshBucket(embedding: Column, bits: Int = 8, dim: Int = 64, seed: Long = 7L): Column = {
@@ -237,12 +251,15 @@ object Similarity {
         .orderBy("vec_id")
         .limit(200)),
 
-    // LSH ANN — approximate by construction → deterministic rows-only check
+    // LSH ANN — approximate by construction but fully deterministic (sign
+    // bits of rendered hyperplane constants + cosine + windowed top-k), so
+    // the per-row result set is DuckDB-checked like emb_ann_ivf
     "emb_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
-        .agg(count(lit(1)).as("n_results"),
-          coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+        .filter(!isnan(col("sim")))
+        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
     }),
 
     // IVF-cell ANN — fully deterministic (mean centroids, cosine probes,
@@ -292,6 +309,48 @@ object Similarity {
            FROM pairs)
          SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
          WHERE rn <= 10 ORDER BY qid, vec_id""",
+    // The sign-LSH bucket histogram recomputed from the rendered hyperplane
+    // constants — dot products and sign bits, no engine-specific hashing
+    "emb_lsh_buckets" ->
+      s"""SELECT CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket,
+            COUNT(*) AS n_vectors
+          FROM embeddings GROUP BY bucket ORDER BY bucket""",
+    // Multi-table sign-LSH near-dups recomputed from the rendered
+    // hyperplanes: candidates share ANY of the 8 4-bit table buckets
+    // (seeds 7..14, matching lshTables), then the same cosine verify
+    "dedup_embedding_lsh" -> {
+      val buckets = (0 until 8).map(t =>
+        s"CAST(${lshBucketSql("emb", bits = 4, seed = 7L + t)} AS BIGINT) AS b$t")
+        .mkString(",\n                 ")
+      val anyShared = (0 until 8).map(t => s"a.b$t = c.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb,
+                 $buckets
+               FROM e),
+         cand AS (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                  list_cosine_similarity(a.emb, c.emb) AS sim
+           FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($anyShared))
+         SELECT COUNT(*) AS n_pairs,
+                COALESCE(round(SUM(round(sim, 6)), 4), 0.0) AS sim_sum
+         FROM cand WHERE NOT isnan(sim) AND sim > 0.5"""
+    },
+    // Same-bucket top-k recomputed from the rendered hyperplanes (ranking
+    // happens before the NaN exclusion on BOTH sides, mirroring lshTopK)
+    "emb_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb,
+                 CAST(${lshBucketSql("emb")} AS BIGINT) AS bucket FROM e),
+         q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM b WHERE vec_id < 50),
+         cand AS (
+           SELECT q.qid, b.vec_id, list_cosine_similarity(q.qe, b.emb) AS sim
+           FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM cand)
+         SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
+         WHERE rn <= 5 AND NOT isnan(sim) ORDER BY qid, vec_id""",
     // Mirrors ivfTopK stage by stage: per-(cell,pos) mean centroids, probe
     // = top-nProbe cells per query by centroid cosine (ties → lower cell),
     // search restricted to probed cells, top-k by (sim DESC, vec_id). Only
