@@ -82,7 +82,12 @@ object Bench {
     // reference phases) so a single entry can be timed in isolation. The
     // driver never sets it, so round artifacts always carry the full sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Dev aid: SPARK_GRAFT_SWEEP=0 skips the full query sweep but KEEPS the
+    // reference write/maintenance phases — the knob for adjudicating a
+    // write-phase drift in isolation on an otherwise idle machine. The
+    // driver never sets it, so round artifacts always carry the full sweep.
+    val runSweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
+    val results = (if (runSweep) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>
       try {

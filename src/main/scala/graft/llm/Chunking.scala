@@ -99,7 +99,7 @@ object Chunking {
   }
 
   val queries: Map[String, Q] = Map(
-    // Exact-capacity packing — strict budget, deterministic rows-only
+    // Exact-capacity packing — strict budget, recursive-CTE oracle
     "chunk_packing_exact" -> ((s, dir) => {
       val packed = packChunksExact(chunkDocuments(Tables.documents(s, dir)))
       packed.groupBy("shard", "pack_seq")
@@ -161,6 +161,46 @@ object Chunking {
          SELECT CAST(shard AS BIGINT) AS shard,
                 CAST(FLOOR((cum_tokens - 1) / 256) AS BIGINT) AS pack_seq,
                 COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-         FROM cum GROUP BY 1, 2 ORDER BY shard, pack_seq"""
+         FROM cum GROUP BY 1, 2 ORDER BY shard, pack_seq""",
+    // The stateful greedy reset (close a pack when the next chunk would
+    // exceed the budget) is no window function, but it IS a linear
+    // recurrence — a recursive CTE threads (used, pack_seq) through each
+    // shard's row chain, so DuckDB replays the exact sequential semantics
+    // the flatMapGroups implementation runs. Recursion depth = the longest
+    // shard's chunk count (bounded at the oracle's sf).
+    "chunk_packing_exact" ->
+      raw"""WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         n AS (
+           SELECT doc_id, len(toks) AS n_tok,
+                  GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+           FROM t),
+         c AS (
+           SELECT doc_id, n_tok, UNNEST(range(0, n_chunks)) AS i FROM n),
+         ch AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                  CAST(LEAST(64, n_tok - i * 48) AS INT) AS n_tokens,
+                  doc_id % 8 AS shard FROM c),
+         seq AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY doc_id, chunk_idx) AS rn
+           FROM ch),
+         rec AS (
+           SELECT shard, rn, n_tokens, n_tokens AS used, CAST(0 AS BIGINT) AS pack_seq
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.shard, s.rn, s.n_tokens,
+                  CASE WHEN r.used > 0 AND r.used + s.n_tokens > 256
+                       THEN s.n_tokens ELSE r.used + s.n_tokens END,
+                  CASE WHEN r.used > 0 AND r.used + s.n_tokens > 256
+                       THEN r.pack_seq + 1 ELSE r.pack_seq END
+           FROM rec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1),
+         packs AS (
+           SELECT shard, pack_seq, SUM(n_tokens) AS pack_tokens
+           FROM rec GROUP BY 1, 2)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+                CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+                CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens
+         FROM packs"""
   )
 }

@@ -321,7 +321,7 @@ object RelationalQueries {
     "s2_synth_full" ->
       """SELECT i AS user_id,
            make_timestamp((1735689600 + i % 2592000) * 1000000) AS ts,
-           round(CAST(CAST(('0x' || substr(md5('amt:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) / 1000.0, 3) AS amount,
+           round(CAST(xor(i * 2654435761 + 40503, (i * 2654435761 + 40503) >> 16) % 1000000 AS DOUBLE) / 1000.0, 3) AS amount,
            (['Paris','Seoul','Tokyo','Lyon','Lille','Marseille','Nantes','Bordeaux'])[CAST(i % 8 AS INT) + 1] AS city,
            (['A','B','C','D','E'])[CAST(i % 5 AS INT) + 1] AS category
          FROM range(1000) t(i) ORDER BY user_id"""

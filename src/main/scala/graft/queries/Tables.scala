@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated testdata tables (see TESTDATA.md).
@@ -32,28 +32,45 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
-  /** `events` with `ts` normalized from nanosecond longs to TimestampType (µs,
-    * truncated — matches DuckDB's ns→µs cast bit-for-bit).
+  /** `events` with `ts` normalized to session-zoned TimestampType (µs).
+    * The generator has shipped `ts` as BOTH nanosecond longs (timestamp[ns]
+    * read under `nanosAsLong`) and native timestamp[us] (read as
+    * TIMESTAMP_NTZ) across testdata generations — branch on the physical
+    * type so either encoding lands on the same logical column. The long
+    * path truncates ns→µs exactly like DuckDB's ns→µs cast; the NTZ path
+    * is a value-preserving cast under the UTC session timezone.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    read(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(read(spark, sfDir, "events"))
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** `events` restricted to `[startUtc, endUtc)` — the range predicate is
-    * applied to the RAW nanosecond long so it pushes into the parquet scan
-    * (row-group min/max skipping; partition pruning on a partitioned layout).
-    * Filtering the reconstructed timestamp instead would sit above a computed
-    * projection and scan everything — the difference between a pruned read
-    * and a full 100 TB pass.
+    * applied to the RAW stored column (nanosecond long or native timestamp)
+    * so it pushes into the parquet scan (row-group min/max skipping;
+    * partition pruning on a partitioned layout). Filtering the normalized
+    * timestamp instead would sit above a computed projection and scan
+    * everything — the difference between a pruned read and a full 100 TB
+    * pass.
     */
   def eventsBetween(spark: SparkSession, sfDir: String,
       startUtc: String, endUtc: String): DataFrame = {
-    def ns(s: String): Long =
-      java.time.LocalDateTime.parse(s.replace(" ", "T"))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-    read(spark, sfDir, "events")
-      .filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ldt = (s: String) => java.time.LocalDateTime.parse(s.replace(" ", "T"))
+    val raw = read(spark, sfDir, "events")
+    import org.apache.spark.sql.types._
+    val bound: String => Column = raw.schema("ts").dataType match {
+      case LongType => s => lit(
+        ldt(s).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)
+      case TimestampNTZType => s => lit(ldt(s))
+      case _ => s => lit(java.sql.Timestamp.from(
+        ldt(s).toInstant(java.time.ZoneOffset.UTC)))
+    }
+    normalizeTs(raw.filter(col("ts") >= bound(startUtc) && col("ts") < bound(endUtc)))
   }
 
   /** Config every SparkSession in this project needs. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -138,11 +138,17 @@ object StreamOps {
     try java.nio.file.Files.createSymbolicLink(target, src)
     catch { case _: Throwable => java.nio.file.Files.copy(src, target) }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // ts normalization matches Tables.events: ns-long and native-timestamp
+    // testdata generations both land on session-zoned TimestampType
+    val tsNorm: Column = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsNorm)
     // State-store partition count is pinned at the query's first run from
     // spark.sql.shuffle.partitions; 32 stores per stateful op is pure
     // overhead at test scale (each is a checkpoint dir written per batch).
@@ -171,9 +177,9 @@ object StreamOps {
 
     // Custom stateful op: final per-user stats from update-mode stream.
     // Update mode emits one row per user per batch; the max per user is the
-    // final state. Event counts are exact → DuckDB-checked; the float
-    // total_value stays in a separate rows-only entry (stream accumulation
-    // order vs SQL sum order differ in the last ulp).
+    // final state. Event counts are exact, and the 4-decimal-rounded float
+    // totals are grid-stable (see the stream_user_totals oracle note), so
+    // both entries are DuckDB-checked.
     "stream_user_stats" -> ((s, dir) => {
       import s.implicits._
       val result = runAvailableNow(s, dir, "stream_user_stats",
@@ -311,6 +317,16 @@ object StreamOps {
     "stream_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
          WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
+    // The stream accumulates each user's total sequentially while SQL sums
+    // in scan order — but events.value carries exactly 2 decimals, so every
+    // per-user sum sits ON the 0.01 grid: the 4-decimal round's nearest
+    // boundary is 5e-5 away versus ~1e-11 of worst-case float accumulation
+    // error. The rounded totals are therefore bit-stable across engines and
+    // orderings, and the entry is fully oracle-checkable.
+    "stream_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+              round(SUM(value), 4) AS total_value
+         FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
