@@ -65,7 +65,21 @@ object SqlDml {
         }
 
       case ins: InsertIntoStatement =>
-        target(ins.table, tables, catalog).map { case (_, t) =>
+        // `INSERT INTO t.branch_<name> ...` stages rows on a WAP branch
+        // (Iceberg's branch-write spelling) instead of committing to main —
+        // the relation's trailing part is the ref, the prefix resolves like
+        // any DML target.
+        val branchSink: Option[(GraftTable, String)] = ins.table match {
+          case r: UnresolvedRelation
+              if r.multipartIdentifier.size >= 2 &&
+                r.multipartIdentifier.last.toLowerCase.startsWith("branch_") =>
+            val branchName = r.multipartIdentifier.last.substring(7)
+            target(UnresolvedRelation(r.multipartIdentifier.init), tables, catalog)
+              .map { case (_, t) => (t, branchName) }
+          case _ => None
+        }
+        (branchSink.map(_._1).map(t => ("", t)) orElse
+            target(ins.table, tables, catalog)).map { case (_, t) =>
           // the reference's bulk-insert shape (bulk_insert_sales_events.sql:
           // 1-9): INSERT INTO t VALUES/SELECT, positional column matching.
           if (ins.partitionSpec.nonEmpty) unsupported("INSERT with PARTITION spec")
@@ -88,7 +102,13 @@ object SqlDml {
           val shaped = src.select(ordered.map { case (from, f) =>
             col(from).cast(f.dataType).as(f.name)
           }: _*)
-          if (ins.overwrite) t.overwrite(shaped) else t.append(shaped)
+          branchSink match {
+            case Some((bt, branchName)) =>
+              if (ins.overwrite) unsupported("INSERT OVERWRITE on a branch")
+              bt.appendToBranch(branchName, shaped)
+            case None =>
+              if (ins.overwrite) t.overwrite(shaped) else t.append(shaped)
+          }
           StatementResult(statement, Nil, None)
         }
 
@@ -303,6 +323,20 @@ object SqlDml {
   private val AlterRefreshRe =
     """(?is)\A\s*ALTER\s+TABLE\s+[\w.`"]+\s+REFRESH\s*;?\s*\z""".r
 
+  // Iceberg branch/tag DDL (SQL-extension grammar Spark's parser rejects,
+  // so matched textually like WRITE ORDERED BY — anchored, full-match):
+  //   ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] b
+  //   ALTER TABLE t CREATE TAG [IF NOT EXISTS] g [AS OF VERSION n]
+  //   ALTER TABLE t DROP BRANCH [IF EXISTS] b / DROP TAG [IF EXISTS] g
+  private val CreateBranchRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+BRANCH\s+(IF\s+NOT\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
+  private val CreateTagRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+(IF\s+NOT\s+EXISTS\s+)?([\w-]+)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*\z""".r
+  private val DropBranchRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+BRANCH\s+(IF\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
+  private val DropTagRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
+
   /** SQL DDL against a registered catalog — the remaining statement shapes
     * of the reference's spark scripts (`bootstrap_namespace.sql:1`,
     * `create_sales_events.sql:1-24`):
@@ -365,6 +399,42 @@ object SqlDml {
       case AlterRefreshRe() =>
         refreshViews()
         return Some(StatementResult(statement, Nil, None))
+      case _ =>
+    }
+    // Branch/tag DDL targets resolve like DML targets: one part → registered
+    // view, ns.t → the catalog; anything else falls through (never hijack).
+    def resolveDdlIdent(ident: String): Option[GraftTable] =
+      ident.replace("`", "").split("\\.").toSeq match {
+        case Seq(one) => tables.get(one.toLowerCase)
+        case Seq(ns, t) => catalog.filter(_.tableExists(ns, t)).map(_.loadTable(ns, t))
+        case _ => None
+      }
+    statement match {
+      case CreateBranchRe(ident, ifNot, name) =>
+        resolveDdlIdent(ident).foreach { t =>
+          if (ifNot == null || !t.branches.contains(name)) t.createBranch(name)
+          return Some(StatementResult(statement, Nil, None))
+        }
+      case CreateTagRe(ident, ifNot, name, _, version) =>
+        resolveDdlIdent(ident).foreach { t =>
+          val sid = Option(version).map(_.toLong).getOrElse(t.latest.snapshotId)
+          if (ifNot == null || !t.tags.contains(name)) t.createTag(name, sid)
+          return Some(StatementResult(statement, Nil, None))
+        }
+      case DropBranchRe(ident, ifExists, name) =>
+        resolveDdlIdent(ident).foreach { t =>
+          val dropped = t.dropBranch(name)
+          if (!dropped && ifExists == null)
+            throw new IllegalArgumentException(s"no branch $name on $ident")
+          return Some(StatementResult(statement, Nil, None))
+        }
+      case DropTagRe(ident, ifExists, name) =>
+        resolveDdlIdent(ident).foreach { t =>
+          val dropped = t.deleteTag(name)
+          if (!dropped && ifExists == null)
+            throw new IllegalArgumentException(s"no tag $name on $ident")
+          return Some(StatementResult(statement, Nil, None))
+        }
       case _ =>
     }
     catalog.foreach { cat =>
@@ -558,7 +628,8 @@ object SqlDml {
           return None
         val proc = procParts.last.toLowerCase
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-          "remove_orphan_files", "rollback_to_snapshot", "rewrite_position_delete_files")
+          "remove_orphan_files", "rollback_to_snapshot", "rewrite_position_delete_files",
+          "fast_forward")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -639,6 +710,24 @@ object SqlDml {
             val afterPaths = after.map(_.path).toSet
             oneRow("rewritten_delete_files_count" -> (beforePaths -- afterPaths).size.toLong,
               "added_delete_files_count" -> (afterPaths -- beforePaths).size.toLong)
+          case "fast_forward" =>
+            // Iceberg's system.fast_forward(table, branch, to): move `branch`
+            // to `to`'s head iff it is a pure fast-forward. This engine's
+            // branches exist for WAP staging on main, so only branch='main'
+            // (publish the audited staged state) is meaningful; the staleness
+            // check lives in publishBranch (raises if main advanced past the
+            // branch base — no longer a fast-forward).
+            val branch = argAt("branch", 1).map(litString).getOrElse(
+              unsupported("fast_forward without a branch argument"))
+            val to = argAt("to", 2).map(litString).getOrElse(
+              unsupported("fast_forward without a to argument"))
+            if (branch.toLowerCase != "main")
+              unsupported(s"fast_forward branch '$branch' (only main can fast-forward)")
+            val prevHead = t.latest.snapshotId
+            val published = t.publishBranch(to)
+            oneRow("branch_updated" -> branch,
+              "previous_ref" -> prevHead,
+              "updated_ref" -> published.snapshotId)
           case "rollback_to_snapshot" =>
             val sid = argAt("snapshot_id", 1).map(litLong).getOrElse(
               unsupported("rollback_to_snapshot without snapshot_id"))
@@ -782,6 +871,20 @@ object SqlDml {
     "all_files" -> (_.allFiles()),
     "properties" -> (_.propertiesTable()))
 
+  /** Resolve a metadata-relation suffix: the static inspection tables above,
+    * plus Iceberg's dynamic `branch_<name>` / `tag_<name>` ref reads
+    * (`SELECT ... FROM t.branch_audit` is the audit step of a SQL WAP
+    * cycle). Ref names keep the suffix's original case.
+    */
+  private def metaFrame(suffix: String): Option[GraftTable => DataFrame] = {
+    val s = suffix.toLowerCase
+    MetaTables.get(s)
+      .orElse(if (s.startsWith("branch_") && s.length > 7)
+        Some((t: GraftTable) => t.readBranch(suffix.substring(7))) else None)
+      .orElse(if (s.startsWith("tag_") && s.length > 4)
+        Some((t: GraftTable) => t.readTag(suffix.substring(4))) else None)
+  }
+
   /** Read-side plan rewrites over registered snapshot tables, in one pass:
     *
     *  - SQL time travel (the reference's `time_travel_validate.sql:4-10`,
@@ -888,17 +991,17 @@ object SqlDml {
         }
       case r: UnresolvedRelation
           if r.multipartIdentifier.size == 2 &&
-            MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
+            metaFrame(r.multipartIdentifier.last).nonEmpty &&
             tables.contains(r.multipartIdentifier.init.last.toLowerCase) =>
         val base = r.multipartIdentifier.init.last
         val t = tables(base.toLowerCase)
-        registered(MetaTables(r.multipartIdentifier.last.toLowerCase)(t), base, "meta")
+        registered(metaFrame(r.multipartIdentifier.last).get(t), base, "meta")
       case r: UnresolvedRelation
           if r.multipartIdentifier.size == 3 &&
-            MetaTables.contains(r.multipartIdentifier.last.toLowerCase) &&
+            metaFrame(r.multipartIdentifier.last).nonEmpty &&
             catTable(r.multipartIdentifier.init).nonEmpty =>
         val t = catTable(r.multipartIdentifier.init).get
-        registered(MetaTables(r.multipartIdentifier.last.toLowerCase)(t),
+        registered(metaFrame(r.multipartIdentifier.last).get(t),
           r.multipartIdentifier(1), "meta")
     }
     if (n == 0) None else Some(SqlInternals.ofRows(spark, rewritten))

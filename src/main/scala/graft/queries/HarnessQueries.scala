@@ -608,6 +608,41 @@ object HarnessQueries {
       Seq((cat.listNamespaces().mkString(","), cat.listTables("analytics").mkString(","),
         cat.listViews("analytics").mkString(","), viewRows, dupNs, cat.metricsCount))
         .toDF("namespaces", "tables", "views", "view_rows", "dup_ns", "n_metrics")
+    }),
+
+    // Write-audit-publish as VERBATIM SQL (Iceberg's branch/tag surface):
+    // CREATE TAG pins the pre-publish state, CREATE BRANCH opens staging,
+    // INSERT INTO t.branch_<name> stages rows main cannot see, the branch
+    // relation audits them, CALL system.fast_forward publishes in one
+    // metadata-only commit, and the tag still reads the old state after.
+    "h_sql_wap" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_wap"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE wap")
+      eng.execute("CREATE TABLE wap.tx (id BIGINT, amt DOUBLE) USING iceberg")
+      eng.execute("INSERT INTO tx VALUES (1, 10.0), (2, 20.0)")
+      eng.execute("ALTER TABLE tx CREATE TAG pre_publish")
+      eng.execute("ALTER TABLE tx CREATE BRANCH audit")
+      eng.execute("INSERT INTO tx.branch_audit VALUES (3, 30.0), (4, 40.0)")
+      def one(sql: String): Map[String, Any] = eng.execute(sql).rows.head
+      val staged = one("SELECT COUNT(*) AS n FROM tx.branch_audit")("n").asInstanceOf[Long]
+      val mainBefore = one("SELECT COUNT(*) AS n FROM tx")("n").asInstanceOf[Long]
+      val ff = one(
+        "CALL graft.system.fast_forward(table => 'tx', branch => 'main', to => 'audit')")
+      val after = one("""SELECT COUNT(*) AS n, CAST(SUM(amt) AS DOUBLE) AS s FROM tx""")
+      val tagged = one("SELECT COUNT(*) AS n FROM tx.tag_pre_publish")("n").asInstanceOf[Long]
+      val refs = eng.execute("SELECT name, type FROM tx.refs ORDER BY name").rows
+        .map(r => s"${r("name")}:${r("type")}").mkString(",")
+      eng.execute("ALTER TABLE tx DROP TAG pre_publish")
+      val refsAfterDrop = eng.execute("SELECT COUNT(*) AS n FROM tx.refs").rows
+        .head("n").asInstanceOf[Long]
+      Seq((staged, mainBefore, ff("branch_updated").toString,
+        after("n").asInstanceOf[Long], after("s").asInstanceOf[Double],
+        tagged, refs, refsAfterDrop))
+        .toDF("staged_rows", "main_before", "branch_updated", "main_after",
+          "amt_after", "tag_rows", "refs", "refs_after_drop")
     })
   )
 
@@ -662,6 +697,11 @@ object HarnessQueries {
            CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,
            TRUE AS manifests_consolidated, CAST(3 AS BIGINT) AS snapshots_deleted,
            CAST(1 AS BIGINT) AS files_after, CAST(2 AS BIGINT) AS snapshots_after""",
+    "h_sql_wap" ->
+      """SELECT CAST(4 AS BIGINT) AS staged_rows, CAST(2 AS BIGINT) AS main_before,
+           'main' AS branch_updated, CAST(4 AS BIGINT) AS main_after,
+           CAST(100.0 AS DOUBLE) AS amt_after, CAST(2 AS BIGINT) AS tag_rows,
+           'pre_publish:tag' AS refs, CAST(0 AS BIGINT) AS refs_after_drop""",
     "h_sql_evolution" ->
       """SELECT CAST(4 AS BIGINT) AS web_n, CAST(18 AS BIGINT) AS web_qty,
            CAST(42.49 AS DOUBLE) AS web_revenue,

@@ -670,4 +670,53 @@ class SqlDmlSpec extends SparkSpec {
     eng.execute("ALTER TABLE wob.t WRITE ORDERED BY c, a")
     assert(t.properties.get(graft.table.GraftTable.SortOrderProp).contains("c,a"))
   }
+
+  test("SQL WAP cycle: CREATE BRANCH, branch INSERT, audit read, fast_forward") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt")
+    val t = GraftTable.create(spark, scratchDir("sqldml-wap"), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("wt", t)
+    eng.execute("ALTER TABLE wt CREATE TAG baseline")
+    eng.execute("ALTER TABLE wt CREATE BRANCH audit")
+    eng.execute("INSERT INTO wt.branch_audit VALUES (3, 30.0), (4, 40.0)")
+    // staged rows audit-readable on the branch, invisible on main
+    assert(eng.execute("SELECT COUNT(*) AS n FROM wt.branch_audit").rows.head("n") == 4L)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM wt").rows.head("n") == 2L)
+    val ff = eng.execute(
+      "CALL graft.system.fast_forward(table => 'wt', branch => 'main', to => 'audit')")
+    assert(ff.rows.head("branch_updated") == "main")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM wt").rows.head("n") == 4L)
+    // branch ref dropped by publish; the tag still pins the pre-publish state
+    assert(t.branches.isEmpty)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM wt.tag_baseline").rows.head("n") == 2L)
+    eng.execute("ALTER TABLE wt DROP TAG baseline")
+    assert(t.tags.isEmpty)
+  }
+
+  test("branch/tag DDL is anchored; DROP without IF EXISTS is loud") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "amt")
+    val t = GraftTable.create(spark, scratchDir("sqldml-wap-neg"), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("wn", t)
+    // a string literal containing the phrase is a plain read, not DDL
+    val res = eng.execute("SELECT 'ALTER TABLE wn CREATE BRANCH b' AS s")
+    assert(res.rows.head("s") == "ALTER TABLE wn CREATE BRANCH b")
+    assert(t.branches.isEmpty, "a string literal created a branch")
+    intercept[Exception] { eng.execute("ALTER TABLE wn DROP BRANCH nope") }
+    intercept[Exception] { eng.execute("ALTER TABLE wn DROP TAG nope") }
+    // IF EXISTS / IF NOT EXISTS forms are idempotent
+    eng.execute("ALTER TABLE wn DROP BRANCH IF EXISTS nope")
+    eng.execute("ALTER TABLE wn CREATE BRANCH IF NOT EXISTS b")
+    eng.execute("ALTER TABLE wn CREATE BRANCH IF NOT EXISTS b")
+    assert(t.branches.keySet == Set("b"))
+    // stale publish refuses: main advanced past the branch base
+    eng.execute("INSERT INTO wn VALUES (2, 2.0)")
+    intercept[Exception] {
+      eng.execute("CALL graft.system.fast_forward(table => 'wn', branch => 'main', to => 'b')")
+    }
+  }
 }

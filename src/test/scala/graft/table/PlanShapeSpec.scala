@@ -1,0 +1,97 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-plan shape through the snapshot read path: the table's reads are
+  * assembled from per-epoch parquet scans under unions, evolution replays,
+  * and MOR anti-joins — none of which may break Catalyst's column pruning or
+  * filter pushdown. A scan that reads all columns for a 2-column aggregate
+  * is the difference between a 2-column and a full-width pass at 100 TB, so
+  * the contract is asserted on the executed plan, not assumed.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    // AQE wraps the physical plan; the pre-execution initialPlan carries the
+    // scans (requiredSchema/pushdown are fixed at planning, before any
+    // runtime re-optimization)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.initialPlan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  private def mkTable(name: String, commits: Int = 2): GraftTable = {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"c${i % 4}", i * 1.5, s"pad-$i", i % 7))
+      .toDF("id", "category", "amount", "payload", "bucket")
+    val t = GraftTable.create(spark, scratchDir(name), df.schema)
+    (1 to commits).foreach(_ => t.append(df))
+    t
+  }
+
+  test("a 2-column aggregate reads only those columns from parquet") {
+    val t = mkTable("shape-prune")
+    val agg = t.readLatest().groupBy("category").agg(sum("amount").as("s"))
+    val ss = scans(agg)
+    assert(ss.nonEmpty, "no parquet scan found under the aggregate")
+    ss.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read == Set("category", "amount"),
+        s"scan read $read for a (category, amount) aggregate — column pruning broke")
+    }
+  }
+
+  test("a filter on the read pushes into the parquet scan") {
+    val t = mkTable("shape-push")
+    val q = t.readLatest().filter(col("id") === 7L).select("id", "amount")
+    val ss = scans(q)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.dataFilters.nonEmpty,
+        "the id=7 predicate did not reach the parquet scan (no data filters)")
+      assert(s.requiredSchema.fieldNames.toSet == Set("id", "amount"))
+    }
+  }
+
+  test("column pruning survives evolution replay across epochs") {
+    import spark.implicits._
+    val t = mkTable("shape-evo", commits = 1)
+    t.addColumn("extra", "double", "0.5")
+    t.append((1L to 50L).map(i => (i, s"c${i % 4}", i * 2.0, s"p-$i", i % 7, 1.0))
+      .toDF("id", "category", "amount", "payload", "bucket", "extra"))
+    // two epochs (pre/post evolution) → a union of two scans; each must
+    // still prune to the aggregate's columns (+ the replayed default, which
+    // exists only in the plan, not the old files)
+    val agg = t.readLatest().groupBy("category").agg(sum("extra").as("s"))
+    val ss = scans(agg)
+    assert(ss.size >= 2, s"expected per-epoch scans, got ${ss.size}")
+    ss.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("category", "extra")),
+        s"scan read $read for a (category, extra) aggregate across evolution")
+    }
+  }
+
+  test("the SQL-bridge view keeps scan-level column pruning") {
+    val t = mkTable("shape-sql")
+    val eng = new graft.plan.SparkSqlEngine(spark)
+    eng.registerGraftTable("shaped", t)
+    // the engine's own read path (registered snapshot view + metadata prune
+    // pass) — the shape a user's SQL actually executes
+    val df = spark.sql("SELECT category, SUM(amount) AS s FROM shaped GROUP BY category")
+    val ss = scans(df)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("category", "amount"),
+        s"SQL view scan read ${s.requiredSchema.fieldNames.toSet}")
+    }
+  }
+}
