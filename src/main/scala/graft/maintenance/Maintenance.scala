@@ -61,16 +61,27 @@ object Maintenance {
     * partitions, never the whole table.
     */
   def rewriteDataFiles(t: GraftTable, targetFileSizeBytes: Long = 512L * 1024 * 1024,
-      minInputFiles: Int = 2): Option[graft.table.Snapshot] = {
+      minInputFiles: Int = 2,
+      partitionFilter: Map[String, String] = Map.empty): Option[graft.table.Snapshot] = {
     // `targetFileSizeBytes` is treated as EXPLICIT (it both selects the
     // compactable files and sizes the output): a front end offering
     // Iceberg's "absent option → table property → default" resolution does
     // it before calling (the SQL CALL route does).
 
     val planned = t.latest
+    // `partitionFilter` is Iceberg's `rewrite_data_files(where => ...)`
+    // scoped to partition-equality predicates — the 100 TB operating mode:
+    // a scheduled compactor works one partition (one day, one bucket) per
+    // run instead of re-planning the whole table. Files outside the scope
+    // are untouched by construction (they stay in `keep`).
+    require(partitionFilter.keySet.subsetOf(planned.partitionCols.toSet),
+      s"rewrite_data_files where-filter on non-partition column(s) " +
+        s"${partitionFilter.keySet -- planned.partitionCols}: only " +
+        "partition-equality predicates select a compaction scope")
     val byPartition = planned.files.groupBy(_.partitionValues)
-    val (compactable, untouched) = byPartition.partition { case (_, fs) =>
-      fs.count(_.sizeBytes < targetFileSizeBytes) >= minInputFiles
+    val (compactable, untouched) = byPartition.partition { case (pv, fs) =>
+      partitionFilter.forall { case (k, v) => pv.get(k).contains(v) } &&
+        fs.count(_.sizeBytes < targetFileSizeBytes) >= minInputFiles
     }
     if (compactable.isEmpty) return None
     val toRewrite = compactable.values.flatten.toSeq
@@ -251,14 +262,29 @@ object Maintenance {
     * blob-dfs_bench.py:152-155). Publishes the trimmed log FIRST, then deletes
     * data files referenced only by expired snapshots.
     */
-  def expireSnapshots(t: GraftTable, retainLast: Int = 2): Int = {
+  def expireSnapshots(t: GraftTable, retainLast: Int = 2): Int =
+    expireSnapshots(t, retainLast, None)
+
+  /** Ref-aware snapshot expiry. `olderThanMillis` adds Iceberg's primary
+    * expiry form (`expire_snapshots(older_than => ts)`): only snapshots
+    * committed strictly before the bound expire, AND the newest
+    * `retainLast` survive regardless of age (Iceberg applies both bounds
+    * together — retain_last is a floor, never overridden by older_than).
+    * The head snapshot therefore always survives. Tagged snapshots survive
+    * until their tag drops.
+    */
+  def expireSnapshots(t: GraftTable, retainLast: Int, olderThanMillis: Option[Long]): Int = {
     val conf = t.spark.sessionState.newHadoopConf()
     val snaps = SnapshotLog.load(conf, t.tableDir)
     if (snaps.size <= retainLast) return 0
     // tags pin snapshots past retain-last (the Iceberg ref-aware expiry):
     // a tagged snapshot and its files survive until the tag is dropped
     val pinned = t.tags.values.toSet
-    val keepIds = snaps.takeRight(retainLast).map(_.snapshotId).toSet ++ pinned
+    val youngEnough = olderThanMillis.map(bound =>
+      snaps.filter(_.committedAt >= bound).map(_.snapshotId).toSet)
+      .getOrElse(Set.empty)
+    val keepIds = snaps.takeRight(retainLast).map(_.snapshotId).toSet ++ pinned ++
+      youngEnough
     val (retained, expired) = snaps.partition(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return 0
     if (!SnapshotLog.replaceAll(conf, t.tableDir, retained)) return 0
@@ -322,7 +348,24 @@ object Maintenance {
     * delete files under data/ that no live snapshot references. Returns the
     * orphans removed.
     */
-  def removeOrphanFiles(t: GraftTable): Seq[String] = {
+  /** Default orphan grace window (Iceberg's remove_orphan_files default):
+    * an unreferenced file younger than this is treated as a possible
+    * IN-FLIGHT write, not an orphan — writeDataFiles publishes part-files
+    * into the shared data/ layout BEFORE the snapshot doc commits, so a
+    * graceless sweep racing a writer would delete files the imminent
+    * commit references (silent table corruption, not a spurious failure).
+    */
+  val DefaultOrphanGraceMillis: Long = 3L * 24 * 60 * 60 * 1000
+
+  def removeOrphanFiles(t: GraftTable): Seq[String] =
+    removeOrphanFiles(t, System.currentTimeMillis() - DefaultOrphanGraceMillis)
+
+  /** Remove unreferenced files whose modification time is strictly before
+    * `olderThanMillis`. Callers that KNOW no write is in flight (tests,
+    * post-drop cleanup of a single table) may pass `Long.MaxValue`; a
+    * scheduled janitor keeps the default grace.
+    */
+  def removeOrphanFiles(t: GraftTable, olderThanMillis: Long): Seq[String] = {
     val conf = t.spark.sessionState.newHadoopConf()
     val fs = SnapshotLog.fs(conf, t.tableDir)
     val dataRoot = SnapshotLog.dataPath(t.tableDir)
@@ -335,7 +378,7 @@ object Maintenance {
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile) {
+      if (s.isFile && s.getModificationTime < olderThanMillis) {
         val rel = fs.makeQualified(s.getPath).toString.stripPrefix(rootStr).stripPrefix("/")
         // _SUCCESS markers and other non-data artifacts count as orphans too,
         // but only parquet files threaten correctness; remove both.

@@ -628,8 +628,8 @@ object SqlDml {
           return None
         val proc = procParts.last.toLowerCase
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-          "remove_orphan_files", "rollback_to_snapshot", "rewrite_position_delete_files",
-          "fast_forward")
+          "remove_orphan_files", "rollback_to_snapshot", "rollback_to_timestamp",
+          "rewrite_position_delete_files", "fast_forward")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -666,8 +666,25 @@ object SqlDml {
           StatementResult(statement, Seq(m.toMap[String, Any]), None)
         val result = proc match {
           case "rewrite_data_files" =>
-            Seq("strategy", "sort_order", "where").foreach(k =>
+            Seq("strategy", "sort_order").foreach(k =>
               if (named.contains(k)) unsupported(s"rewrite_data_files $k (binpack only)"))
+            // `where => "<part> = '<v>' [AND ...]"` scopes the compaction to
+            // matching partitions (partition-equality conjunctions only —
+            // arbitrary predicates would need a row-level rewrite, which is
+            // not what a scoped binpack means)
+            val partFilter: Map[String, String] = named.get("where") match {
+              case None => Map.empty
+              case Some(w) =>
+                val text = litString(w)
+                val eqRe = """(?s)\A\s*([\w`]+)\s*=\s*(?:'([^']*)'|(\S+))\s*\z""".r
+                text.split("(?i)\\bAND\\b").map(_.trim).map {
+                  case eqRe(k, quoted, bare) =>
+                    k.replace("`", "") -> Option(quoted).getOrElse(bare)
+                  case other =>
+                    unsupported(s"rewrite_data_files where clause '$other' " +
+                      "(partition-equality conjunctions only)")
+                }.toMap
+            }
             val opts = argAt("options", 4).map(strMap).getOrElse(Map.empty)
             val badOpt = opts.keySet.diff(
               Set("min-input-files", "max-file-size-bytes", "target-file-size-bytes"))
@@ -684,7 +701,7 @@ object SqlDml {
             val minIn = opts.get("min-input-files").map(_.toInt).getOrElse(2)
             val before = t.latest.files.map(_.path).toSet
             val after = graft.maintenance.Maintenance
-              .rewriteDataFiles(t, target, minIn)
+              .rewriteDataFiles(t, target, minIn, partFilter)
               .map(_.files.map(_.path).toSet).getOrElse(before)
             oneRow("rewritten_data_files_count" -> (before -- after).size.toLong,
               "added_data_files_count" -> (after -- before).size.toLong)
@@ -692,12 +709,29 @@ object SqlDml {
             oneRow("rewritten_manifests_count" ->
               graft.maintenance.Maintenance.rewriteManifests(t).toLong)
           case "expire_snapshots" =>
-            if (named.contains("older_than")) unsupported("expire_snapshots older_than")
-            val retain = argAt("retain_last", 2).map(litLong(_).toInt).getOrElse(2)
+            // older_than: a TIMESTAMP literal (or a string Spark's own cast
+            // accepts) — snapshots committed before the bound expire, with
+            // retain_last as a floor (Iceberg applies both; its default
+            // retain_last is 1, ours stays 2 unless older_than is given)
+            val olderThan: Option[Long] = named.get("older_than").map {
+              case l @ Literal(_, _) if l.foldable => foldTimestampMillis(spark, l)
+              case c: org.apache.spark.sql.catalyst.expressions.Cast if c.foldable =>
+                foldTimestampMillis(spark, c)
+              case other => unsupported(s"older_than ${other.sql} (need a literal timestamp)")
+            }
+            val retain = argAt("retain_last", 2).map(litLong(_).toInt)
+              .getOrElse(if (olderThan.isDefined) 1 else 2)
             oneRow("deleted_snapshots_count" ->
-              graft.maintenance.Maintenance.expireSnapshots(t, retain).toLong)
+              graft.maintenance.Maintenance.expireSnapshots(t, retain, olderThan).toLong)
           case "remove_orphan_files" =>
-            val removed = graft.maintenance.Maintenance.removeOrphanFiles(t)
+            // default: Iceberg's 3-day in-flight grace window; an explicit
+            // older_than narrows or (in tests) disables it
+            val bound = named.get("older_than").map {
+              case e if e.foldable => foldTimestampMillis(spark, e)
+              case other => unsupported(s"older_than ${other.sql} (need a literal timestamp)")
+            }.getOrElse(System.currentTimeMillis() -
+              graft.maintenance.Maintenance.DefaultOrphanGraceMillis)
+            val removed = graft.maintenance.Maintenance.removeOrphanFiles(t, bound)
             StatementResult(statement,
               removed.sorted.map(p => Map[String, Any]("orphan_file_location" -> p)), None)
           case "rewrite_position_delete_files" =>
@@ -740,6 +774,22 @@ object SqlDml {
             oneRow("previous_snapshot_id" -> prev,
               "current_snapshot_id" -> rolled.snapshotId,
               "rolled_back_to" -> sid)
+          case "rollback_to_timestamp" =>
+            // Iceberg's rollback_to_timestamp(table, timestamp): restore the
+            // newest snapshot committed at or before the bound — the same
+            // resolution rule as timestamp travel, made durable as a commit
+            val bound = argAt("timestamp", 1).map {
+              case e if e.foldable => foldTimestampMillis(spark, e)
+              case other => unsupported(s"timestamp ${other.sql} (need a literal)")
+            }.getOrElse(unsupported("rollback_to_timestamp without a timestamp"))
+            val candidates = t.snapshotsList.filter(_.committedAt <= bound)
+            if (candidates.isEmpty) unsupported(
+              s"rollback_to_timestamp: no snapshot at or before $bound")
+            val prev = t.latest.snapshotId
+            val rolled = t.rollbackTo(candidates.last.snapshotId)
+            oneRow("previous_snapshot_id" -> prev,
+              "current_snapshot_id" -> rolled.snapshotId,
+              "rolled_back_to" -> candidates.last.snapshotId)
         }
         // maintenance may have changed the live file set (or, for rollback,
         // the data): re-register every view over this table
@@ -942,7 +992,16 @@ object SqlDml {
             tables(r.multipartIdentifier.last.toLowerCase)
           else catTable(r.multipartIdentifier).get
         val df = (version, ts) match {
-          case (Some(v), _) => t.readVersionAsOf(v.toLong)
+          // Iceberg's VERSION AS OF accepts a snapshot id OR a ref name:
+          // numeric → snapshot travel; otherwise a tag, then a branch
+          // (same precedence as Iceberg's ref resolution)
+          case (Some(v), _) if v.forall(_.isDigit) && v.nonEmpty =>
+            t.readVersionAsOf(v.toLong)
+          case (Some(v), _) if t.tags.contains(v) => t.readTag(v)
+          case (Some(v), _) if t.branches.contains(v) => t.readBranch(v)
+          case (Some(v), _) =>
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$v': no snapshot, tag, or branch by that name")
           case (None, Some(expr)) if expr.foldable =>
             t.readTimestampAsOf(foldTimestampMillis(spark, expr))
           case _ => unsupported("time travel without a literal version/timestamp")

@@ -854,7 +854,9 @@ object TableQueries {
       t.append(liSubset(s, dir, 500))
       val orphan = new java.io.File(s"${t.tableDir}/data/orphan.parquet")
       java.nio.file.Files.writeString(orphan.toPath, "junk")
-      val removed = Maintenance.removeOrphanFiles(t)
+      // explicit bound: the planted orphan is brand-new, and this entry
+      // tests LIVENESS-based selection, not the in-flight grace window
+      val removed = Maintenance.removeOrphanFiles(t, Long.MaxValue)
       checksum(t.readLatest())
         .withColumn("n_orphans_removed",
           lit(removed.count(_.contains("orphan.parquet")).toLong))

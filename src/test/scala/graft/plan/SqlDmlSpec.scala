@@ -464,11 +464,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(rb("current_snapshot_id") == 4L) // linear history: a fresh head
     assert(eng.execute("SELECT CAST(SUM(price) AS DOUBLE) AS s FROM sales")
       .rows.head("s") == 26.0)
-    // remove_orphan_files: a stray file under data/ comes back as a row
+    // remove_orphan_files: a stray file under data/ comes back as a row.
+    // Without older_than the 3-day in-flight grace window protects the
+    // brand-new stray; an explicit future bound collects it.
     val stray = new java.io.File(s"${t.tableDir}/data/stray-debris.parquet")
     java.nio.file.Files.writeString(stray.toPath, "junk")
-    val removed = eng.execute(
+    val graced = eng.execute(
       "CALL opencatalog.system.remove_orphan_files(table => 'sales')").rows
+    assert(graced.isEmpty, "a file younger than the grace window was collected")
+    assert(stray.exists())
+    val removed = eng.execute(
+      """CALL opencatalog.system.remove_orphan_files(table => 'sales',
+         older_than => TIMESTAMP '2100-01-01 00:00:00')""").rows
     assert(removed.map(_("orphan_file_location")) == Seq("stray-debris.parquet"))
     assert(!stray.exists())
     // an unknown procedure is never swallowed: falls through and raises
@@ -669,6 +676,98 @@ class SqlDmlSpec extends SparkSpec {
     // the real statement still routes
     eng.execute("ALTER TABLE wob.t WRITE ORDERED BY c, a")
     assert(t.properties.get(graft.table.GraftTable.SortOrderProp).contains("c,a"))
+  }
+
+  test("rewrite_data_files(where => ...) compacts only the named partition") {
+    import spark.implicits._
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")).toDF("k", "ds")
+    val t = GraftTable.create(spark, scratchDir("sqldml-scoped"), df.schema,
+      partitionCols = Seq("ds"))
+    (1 to 3).foreach(_ => t.append(df))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("sc", t)
+    val beforeB = t.latest.files.filter(_.partitionValues.get("ds").contains("B")).map(_.path).toSet
+    val res = eng.execute(
+      """CALL graft.system.rewrite_data_files(table => 'sc', where => "ds = 'A'",
+         options => map('min-input-files','2'))""").rows.head
+    assert(res("rewritten_data_files_count").asInstanceOf[Long] >= 2L)
+    val afterB = t.latest.files.filter(_.partitionValues.get("ds").contains("B")).map(_.path).toSet
+    assert(afterB == beforeB, "a scoped compaction touched files outside its partition")
+    assert(t.latest.files.count(_.partitionValues.get("ds").contains("A")) === 1,
+      "partition A did not compact to one file")
+    assert(t.readLatest().count() === 12L)
+    // non-partition column refuses loudly
+    intercept[Exception] { eng.execute(
+      """CALL graft.system.rewrite_data_files(table => 'sc', where => "k = 1")""") }
+  }
+
+  test("expire_snapshots(older_than => ts) bounds by commit time with retain floor") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, scratchDir("sqldml-older"), df.schema)
+    (1 to 4).foreach(_ => t.append(df))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("ot", t)
+    // bound in the past: nothing is old enough
+    val none = eng.execute(
+      """CALL graft.system.expire_snapshots(table => 'ot',
+         older_than => TIMESTAMP '2000-01-01 00:00:00')""").rows.head
+    assert(none("deleted_snapshots_count") == 0L)
+    // bound in the future: everything qualifies but retain_last floors at 1
+    val all = eng.execute(
+      """CALL graft.system.expire_snapshots(table => 'ot',
+         older_than => TIMESTAMP '2100-01-01 00:00:00')""").rows.head
+    assert(all("deleted_snapshots_count") == 4L)
+    assert(t.snapshotsList.size === 1, "retain_last floor must keep the head")
+    assert(t.readLatest().count() === 4L)
+    // explicit retain_last stays a floor alongside older_than
+    (1 to 2).foreach(_ => t.append(df))
+    val some = eng.execute(
+      """CALL graft.system.expire_snapshots(table => 'ot',
+         older_than => TIMESTAMP '2100-01-01 00:00:00', retain_last => 2)""").rows.head
+    assert(some("deleted_snapshots_count") == 1L)
+    assert(t.snapshotsList.size === 2)
+  }
+
+  test("rollback_to_timestamp restores the newest snapshot at or before the bound") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, scratchDir("sqldml-rbts"),
+      Seq((1L, 1.0)).toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0)).toDF("k", "v"))
+    Thread.sleep(20)
+    t.append(Seq((2L, 2.0)).toDF("k", "v"))
+    val target = t.latest
+    Thread.sleep(20)
+    t.append(Seq((3L, 3.0)).toDF("k", "v"))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("rb", t)
+    val boundIso = java.time.Instant.ofEpochMilli(target.committedAt).toString
+    val res = eng.execute(
+      s"CALL graft.system.rollback_to_timestamp(table => 'rb', timestamp => '$boundIso')")
+      .rows.head
+    assert(res("rolled_back_to") == target.snapshotId)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM rb").rows.head("n") == 2L)
+  }
+
+  test("VERSION AS OF resolves tags and branches by name") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, scratchDir("sqldml-vtag"), df.schema)
+    t.append(df)
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("vt", t)
+    eng.execute("ALTER TABLE vt CREATE TAG v1")
+    eng.execute("ALTER TABLE vt CREATE BRANCH wip")
+    eng.execute("INSERT INTO vt.branch_wip VALUES (3, 3.0)")
+    eng.execute("INSERT INTO vt VALUES (4, 4.0), (5, 5.0)")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 'v1'")
+      .rows.head("n") == 2L)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 'wip'")
+      .rows.head("n") == 3L)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM vt").rows.head("n") == 4L)
+    intercept[Exception] {
+      eng.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 'nope'")
+    }
   }
 
   test("SQL WAP cycle: CREATE BRANCH, branch INSERT, audit read, fast_forward") {

@@ -55,10 +55,10 @@ class BranchWapSpec extends SparkSpec {
     val t = newSalesTable()
     t.createBranch("b")
     t.appendToBranch("b", slice(4, 8))
-    assert(Maintenance.removeOrphanFiles(t).isEmpty) // staged files are live
+    assert(Maintenance.removeOrphanFiles(t, Long.MaxValue).isEmpty) // staged files are live
     assert(t.readBranch("b").count() === 8)
     t.dropBranch("b")
-    val orphans = Maintenance.removeOrphanFiles(t)
+    val orphans = Maintenance.removeOrphanFiles(t, Long.MaxValue)
     assert(orphans.nonEmpty) // the staged files, now unreferenced
     assert(t.readLatest().count() === 4)
   }
@@ -84,5 +84,36 @@ class BranchWapSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.appendToBranch("b", slice(4, 6).drop("qty"))
     }
+  }
+
+  test("racing branch appends lose no staged rows (CAS head, losers retry)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, scratchDir("wap-race"),
+      Seq((0L, 0L)).toDF("k", "v").schema)
+    t.append(Seq((-1L, 0L)).toDF("k", "v"))
+    t.createBranch("stage")
+    val threads = 6
+    val perThread = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { i =>
+      new Thread(() => {
+        try (0 until perThread).foreach { j =>
+          val base = (i * perThread + j) * 10L
+          t.appendToBranch("stage",
+            (base until base + 10L).map(k => (k, k * 2)).toDF("k", "v"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errs.isEmpty, s"branch append raced to failure: ${errs.peek()}")
+    // every thread's every batch staged exactly once
+    val staged = t.readBranch("stage").filter(col("k") >= 0)
+    assert(staged.count() === threads * perThread * 10L)
+    assert(staged.select("k").distinct().count() === threads * perThread * 10L,
+      "a racing branch append dropped or duplicated a batch")
+    // main untouched; publish lands everything in one commit
+    assert(t.readLatest().count() === 1)
+    t.publishBranch("stage")
+    assert(t.readLatest().count() === threads * perThread * 10L + 1)
   }
 }

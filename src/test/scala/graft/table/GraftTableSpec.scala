@@ -159,7 +159,7 @@ class GraftTableSpec extends SparkSpec {
     // drop an orphan into data/ and ensure only it is removed
     val orphan = new java.io.File(s"${t.tableDir}/data/orphan.parquet")
     java.nio.file.Files.writeString(orphan.toPath, "junk")
-    val removed = Maintenance.removeOrphanFiles(t)
+    val removed = Maintenance.removeOrphanFiles(t, Long.MaxValue)
     assert(removed.exists(_.contains("orphan.parquet")))
     assert(t.readLatest().count() === 7)
   }

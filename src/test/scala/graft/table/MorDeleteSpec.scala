@@ -168,7 +168,7 @@ class MorDeleteSpec extends SparkSpec {
   test("orphan-file removal spares live delete files") {
     val t = newSalesTable()
     Dml.deleteMorKeys(t, Seq(8L).toDF("event_id"))
-    val removed = Maintenance.removeOrphanFiles(t)
+    val removed = Maintenance.removeOrphanFiles(t, Long.MaxValue)
     assert(!removed.exists(_.startsWith("_deletes/")))
     assert(t.readLatest().count() === 7) // still applied
   }
