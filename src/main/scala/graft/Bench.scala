@@ -69,10 +69,11 @@ object Bench {
     // loaded machine shows up as a high calibration_sec and cross-round sweep
     // comparisons can be normalized instead of adjudicated from memory (the
     // round-6 drift cost two rounds of judging).
-    val calibrationSec = try {
+    def calibrate(): Double = try {
       median((1 to 3).map(_ =>
         timeOnce { spark.range(10000000L).selectExpr("sum(id * 3 + 1)").collect() }))
     } catch { case _: Throwable => -1.0 }
+    val calibrationSec = calibrate()
 
     // Every registered query: median of SWEEP_REPS runs (default 2 — the
     // round-4 single-shot sweep produced 5-9x bidirectional swings on
@@ -305,7 +306,11 @@ object Bench {
     // every small summary scalar — calibration_sec above all, the very field
     // built for cross-round normalization — lands at the END of the line
     // where truncation can't eat it.
-    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"unit":"sec","value":$total}""")
+    // end-of-run calibration: ambient load is not constant over a ~15-minute
+    // run — the start/end PAIR distinguishes "the machine got busy mid-run"
+    // from "a phase regressed" without any cross-round reasoning.
+    val calibrationEndSec = calibrate()
+    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"calibration_end_sec":$calibrationEndSec,"unit":"sec","value":$total}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

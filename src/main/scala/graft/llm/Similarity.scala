@@ -183,6 +183,38 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding-level benchmark decontamination: flag corpus vectors whose
+    * cosine against ANY benchmark vector exceeds `threshold` — the
+    * embedding-space analog of n-gram decontamination, which catches the
+    * paraphrased contamination token overlap cannot. Benchmark split
+    * mirrors Decontaminate's (`vec_id % 17 == 0`).
+    *
+    * Scale shape: both sides bucket independently under the same multi-table
+    * sign-LSH (map-only), candidates come from a bucket-local equi-join —
+    * never corpus × benchmark — and the cosine verify runs only on
+    * candidates. The benchmark side is MBs against a 100 TB corpus, so its
+    * bucketed form broadcasts.
+    */
+  def embeddingContamination(emb: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val corpus = emb.filter(pmod(col("vec_id"), lit(17L)) =!= 0L)
+    val bench = emb.filter(pmod(col("vec_id"), lit(17L)) === 0L)
+    val ct = lshTables(corpus.select(col("vec_id"), col("embedding")),
+      "embedding", tables, bits, dim)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("cid"))
+    val bt = lshTables(bench.select(col("vec_id"), col("embedding")),
+      "embedding", tables, bits, dim)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("bid"))
+    val candidates = ct.join(broadcast(bt), Seq("table_id", "bucket"))
+      .select("cid", "bid").dropDuplicates("cid", "bid")
+    val ce = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val be = bench.select(col("vec_id").as("bid"), col("embedding").as("be"))
+    candidates.join(ce, "cid").join(broadcast(be), "bid")
+      .withColumn("sim", cosine(col("ce"), col("be")))
+      .filter(!isnan(col("sim")) && col("sim") > threshold)
+      .select(col("cid"), col("bid"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine exceeds
     * `threshold`. Exact variant compares all pairs (the correctness oracle);
     * the LSH variant restricts comparisons to same-bucket pairs — the only
@@ -227,6 +259,18 @@ object Similarity {
       embeddingNearDups(emb, threshold = 0.5)
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
+    }),
+
+    // Embedding-space decontamination: corpus vs benchmark via bucket-local
+    // LSH candidates + cosine verify; fully oracle-checked from the
+    // rendered hyperplanes
+    "decontaminate_embedding" -> ((s, dir) => {
+      val pairs = embeddingContamination(Tables.embeddings(s, dir), threshold = 0.3)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("cid")).as("n_flagged"),
+        coalesce(sum_distinct(col("cid")), lit(0L)).as("flagged_id_sum"),
+        coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
     }),
 
     // Scale path: same detection restricted to LSH buckets — rows-only
@@ -315,6 +359,33 @@ object Similarity {
       s"""SELECT CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket,
             COUNT(*) AS n_vectors
           FROM embeddings GROUP BY bucket ORDER BY bucket""",
+    // Cross-set decontamination recomputed from the rendered hyperplanes:
+    // corpus (vec_id % 17 <> 0) joined to benchmark (= 0) where ANY of the
+    // 8 4-bit table buckets agree, then the same cosine verify
+    "decontaminate_embedding" -> {
+      val buckets = (0 until 8).map(t =>
+        s"CAST(${lshBucketSql("emb", bits = 4, seed = 7L + t)} AS BIGINT) AS b$t")
+        .mkString(",\n                 ")
+      val anyShared = (0 until 8).map(t => s"c.b$t = m.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb,
+                 $buckets
+               FROM e),
+         c AS (SELECT * FROM b WHERE vec_id % 17 <> 0),
+         m AS (SELECT * FROM b WHERE vec_id % 17 = 0),
+         cand AS (
+           SELECT c.vec_id AS cid, m.vec_id AS bid,
+                  list_cosine_similarity(c.emb, m.emb) AS sim
+           FROM c JOIN m ON ($anyShared)),
+         flagged AS (
+           SELECT cid, bid, round(sim, 6) AS sim FROM cand
+           WHERE NOT isnan(sim) AND sim > 0.3)
+         SELECT COUNT(*) AS n_pairs,
+                COUNT(DISTINCT cid) AS n_flagged,
+                COALESCE(CAST(SUM(DISTINCT cid) AS BIGINT), 0) AS flagged_id_sum,
+                COALESCE(round(SUM(sim), 4), 0.0) AS sim_sum
+         FROM flagged"""
+    },
     // Multi-table sign-LSH near-dups recomputed from the rendered
     // hyperplanes: candidates share ANY of the 8 4-bit table buckets
     // (seeds 7..14, matching lshTables), then the same cosine verify

@@ -80,6 +80,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("llm candidate joins stay broadcast-hash; no cartesian product anywhere") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.llm.Similarity.embeddingContamination(
+      graft.queries.Tables.embeddings(spark, sf), threshold = 0.3)
+    def nodes(df: DataFrame): Seq[String] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.nodeName +: (p.children.flatMap(walk) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.initialPlan)
+          case _ => Nil
+        }))
+      walk(df.queryExecution.executedPlan)
+    }
+    val ns = nodes(pairs)
+    assert(!ns.exists(_.contains("CartesianProduct")),
+      s"contamination plan contains a cartesian product: $ns")
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"benchmark side did not broadcast: $ns")
+    // n-gram decontamination: benchmark gram set broadcasts too
+    val report = graft.llm.Decontaminate.contaminationReport(
+      graft.queries.Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 0),
+      graft.queries.Tables.documents(spark, sf).filter(col("doc_id") % 17 === 0), n = 5)
+    val rns = nodes(report)
+    assert(!rns.exists(_.contains("CartesianProduct")))
+    assert(rns.exists(n => n.contains("BroadcastHashJoin") || n.contains("BroadcastNestedLoopJoin")),
+      s"decontamination benchmark set did not broadcast: $rns")
+  }
+
   test("the SQL-bridge view keeps scan-level column pruning") {
     val t = mkTable("shape-sql")
     val eng = new graft.plan.SparkSqlEngine(spark)
