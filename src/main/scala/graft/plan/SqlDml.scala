@@ -565,6 +565,19 @@ object SqlDml {
           StatementResult(statement, rows, None)
         }
 
+      case sp: ShowTableProperties =>
+        resolve(sp.table).map { t =>
+          val props = t.properties
+          val rows = sp.propertyKey match {
+            case Some(k) => Seq(Map[String, Any](
+              "key" -> k, "value" -> props.getOrElse(k, null)))
+            case None => props.toSeq.sortBy(_._1).map { case (k, v) =>
+              Map[String, Any]("key" -> k, "value" -> v)
+            }
+          }
+          StatementResult(statement, rows, None)
+        }
+
       case dt: DropTable =>
         nameParts(dt.child).flatMap {
           case Seq(ns, tname) => catalog.flatMap { cat =>

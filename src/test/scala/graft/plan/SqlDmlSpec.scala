@@ -676,6 +676,13 @@ class SqlDmlSpec extends SparkSpec {
     // the real statement still routes
     eng.execute("ALTER TABLE wob.t WRITE ORDERED BY c, a")
     assert(t.properties.get(graft.table.GraftTable.SortOrderProp).contains("c,a"))
+    // SHOW TBLPROPERTIES reads the versioned property store, full and keyed
+    val all = eng.execute("SHOW TBLPROPERTIES wob.t").rows
+    assert(all.exists(r => r("key") == graft.table.GraftTable.SortOrderProp &&
+      r("value") == "c,a"))
+    val one = eng.execute(
+      s"SHOW TBLPROPERTIES wob.t ('${graft.table.GraftTable.SortOrderProp}')").rows
+    assert(one == Seq(Map("key" -> graft.table.GraftTable.SortOrderProp, "value" -> "c,a")))
   }
 
   test("rewrite_data_files(where => ...) compacts only the named partition") {

@@ -31,6 +31,11 @@ class TableModelCheckSpec extends SparkSpec {
       var history = Map[Long, Vector[(Long, Int, String)]](t.latest.snapshotId -> model)
 
       var nDeltaDocs = 0
+      // WAP branch model: staged content = base-snapshot content + staged
+      // appends, independent of where main moves afterwards
+      var branchBase: Long = -1L
+      var branchModel = Vector.empty[(Long, Int, String)]
+      var branchOpen = false
       def sync(opName: String): Unit = {
         history += (t.latest.snapshotId -> model)
         val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
@@ -63,8 +68,8 @@ class TableModelCheckSpec extends SparkSpec {
         }
       }
 
-      (1 to 14).foreach { _ =>
-        rnd.nextInt(9) match {
+      (1 to 16).foreach { _ =>
+        rnd.nextInt(10) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
               nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
@@ -138,6 +143,46 @@ class TableModelCheckSpec extends SparkSpec {
             val present = model.map(_._1).toSet
             model ++= srcRows.filterNot(r => present.contains(r._1))
             sync(s"upsert-mor(${srcRows.size})")
+          case 9 =>
+            // WAP branch walk: open a staging branch, stage appends on it,
+            // then publish (iff main never moved — the fast-forward
+            // contract) or observe the stale refusal and drop. The branch
+            // read must track ITS model at every step regardless of main.
+            if (!branchOpen) {
+              t.createBranch("wapb")
+              branchBase = t.latest.snapshotId
+              branchModel = model
+              branchOpen = true
+              sync("create-branch") // main unchanged
+            } else if (rnd.nextBoolean()) {
+              val rows = (1 to 1 + rnd.nextInt(5)).map { _ =>
+                nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
+              }.toVector
+              t.appendToBranch("wapb", rows.toDF("id", "qty", "tag"))
+              branchModel ++= rows
+              sync(s"branch-append(${rows.size})") // main unchanged
+            } else if (t.latest.snapshotId == branchBase) {
+              t.publishBranch("wapb")
+              model = branchModel
+              branchOpen = false
+              sync("publish-branch")
+            } else {
+              // main advanced (or the base expired): publish must refuse and
+              // change nothing; the branch then drops cleanly
+              intercept[java.util.ConcurrentModificationException] {
+                t.publishBranch("wapb")
+              }
+              sync("stale-publish-refused")
+              t.dropBranch("wapb")
+              branchOpen = false
+              sync("drop-branch")
+            }
+            if (branchOpen) {
+              val staged = t.readBranch("wapb")
+                .as[(Long, Int, String)].collect().sorted.toVector
+              assert(staged === branchModel.sorted,
+                s"branch content diverged from branch model (round $round)")
+            }
         }
       }
       // every retained snapshot still reads back its recorded state
