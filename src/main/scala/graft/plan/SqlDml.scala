@@ -68,11 +68,14 @@ object SqlDml {
         // `INSERT INTO t.branch_<name> ...` stages rows on a WAP branch
         // (Iceberg's branch-write spelling) instead of committing to main —
         // the relation's trailing part is the ref, the prefix resolves like
-        // any DML target.
+        // any DML target. A real table whose exact name ends in a
+        // `branch_*` part wins over the sugar (exact match beats suffix
+        // interpretation, the same rule as the metadata-relation reads).
         val branchSink: Option[(GraftTable, String)] = ins.table match {
           case r: UnresolvedRelation
               if r.multipartIdentifier.size >= 2 &&
-                r.multipartIdentifier.last.toLowerCase.startsWith("branch_") =>
+                r.multipartIdentifier.last.toLowerCase.startsWith("branch_") &&
+                target(r, tables, catalog).isEmpty =>
             val branchName = r.multipartIdentifier.last.substring(7)
             target(UnresolvedRelation(r.multipartIdentifier.init), tables, catalog)
               .map { case (_, t) => (t, branchName) }
