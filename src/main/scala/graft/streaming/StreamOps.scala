@@ -306,7 +306,22 @@ object StreamOps {
         .agg(max("n_events").as("n_events"), round(max("total_value"), 4).as("total_value"))
         .filter(col("user_id") < 20)
         .orderBy("user_id")
-    })
+    }),
+
+    // Streaming session windows: Spark's session_window() gap-merging agg —
+    // the streaming twin of the batch Sessionize operator. Two events share
+    // a session iff the later one starts strictly inside the earlier's
+    // [ts, ts + gap) window (end-exclusive: a gap of exactly 12h opens a
+    // NEW session — the oracle's >= mirrors this boundary exactly).
+    "stream_session_windows" -> ((s, dir) =>
+      runAvailableNow(s, dir, "stream_session_windows",
+        df => df.filter(col("user_id") < 15)
+          .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+          round(sum("v"), 4).as("total_value"))
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -341,6 +356,23 @@ object StreamOps {
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1""",
+    // Gap-based sessionization replayed relationally: a new session opens
+    // when the µs gap to the previous event is >= the 12h window (Spark's
+    // session end is exclusive), then sessions count per user
+    "stream_session_windows" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE user_id < 15),
+         s AS (SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                           >= CAST(43200000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS new_s
+               FROM o),
+         g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+         SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+         FROM g GROUP BY user_id ORDER BY user_id""",
     "stream_interval_join" ->
       """WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
             p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
