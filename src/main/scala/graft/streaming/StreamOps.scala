@@ -120,6 +120,23 @@ object StreamOps {
         "upsert-mor", extraSummary = Map("stream-batch-id" -> batchId.toString))
     }
 
+  /** Exactly-once streaming ingest INTO a WAP branch: each micro-batch
+    * stages on `branch` (invisible to main readers) with its batch id
+    * durable in the branch head — the same at-least-once → exactly-once
+    * upgrade as `ingestBatch`, but the data waits for an audit. When the
+    * stream (or its owner) decides the staged window is good,
+    * `publishBranch` lands everything as ONE main commit; a failed audit
+    * drops the branch and no reader ever saw a row. The streaming shape of
+    * write-audit-publish.
+    */
+  def stageBatch(t: graft.table.GraftTable, branch: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val last = t.branchSummary(branch).get("stream-batch-id").map(_.toLong)
+    if (last.forall(batchId > _))
+      t.appendToBranch(branch, batch,
+        extraSummary = Map("stream-batch-id" -> batchId.toString))
+  }
+
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.
     * `maxFilesPerTrigger` forces multi-batch execution so incremental state
@@ -243,6 +260,47 @@ object StreamOps {
         .withColumn("n_stream_commits", lit(streamCommits.toLong))
     }),
 
+    // Streaming write-audit-publish: micro-batches stage on a WAP branch
+    // (exactly-once via the branch-durable batch id — a fresh-checkpoint
+    // replay skips every batch), main sees NOTHING until the audited state
+    // publishes as ONE commit.
+    "stream_wap_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/root/repo/target/graft-scratch/stream_wap_sink"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      val events = graft.queries.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      events.repartition(4).write.parquet(s"$root/src")
+      val t = graft.table.GraftTable.create(s, s"$root/table", events.schema)
+      t.createBranch("ingest")
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream
+          .foreachBatch(stageBatch(t, "ingest") _)
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> every batch skipped
+      val nStaged = t.branchSummary("ingest").getOrElse("staged-appends", "0").toLong
+      val mainBefore = t.readLatest().count()
+      val commitsBefore = t.snapshotsList.size
+      t.publishBranch("ingest")
+      val mainCommitsAdded = (t.snapshotsList.size - commitsBefore).toLong
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("event_id")).as("id_sum"))
+        .withColumn("n_staged", lit(nStaged))
+        .withColumn("rows_before_publish", lit(mainBefore))
+        .withColumn("n_publish_commits", lit(mainCommitsAdded))
+    }),
+
     // Streaming upsert sink: events keyed by user_id, last version per user
     // wins. The source is range-partitioned on (ts, event_id) so micro-batch
     // order follows event time and the cross-batch winner equals the global
@@ -348,6 +406,12 @@ object StreamOps {
     "stream_table_sink" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
               CAST(4 AS BIGINT) AS n_stream_commits
+         FROM events""",
+    "stream_wap_sink" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(4 AS BIGINT) AS n_staged,
+              CAST(0 AS BIGINT) AS rows_before_publish,
+              CAST(1 AS BIGINT) AS n_publish_commits
          FROM events""",
     "stream_upsert_sink" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -1035,6 +1035,14 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     names.flatMap(n => branchHead(n).map(h => n -> h.base)).toMap
   }
 
+  /** A branch head's summary map (staged-appends counter plus whatever the
+    * stager recorded — e.g. a streaming sink's durable batch id).
+    */
+  def branchSummary(name: String): Map[String, String] =
+    branchHead(name).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name in $tableDir"))
+      .snapshot.summary
+
   /** Audit read of a branch's staged state. */
   def readBranch(name: String): DataFrame =
     readSnapshot(branchHead(name).getOrElse(
@@ -1053,7 +1061,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * on a branch is not supported — staged files carry the base snapshot's
     * schema, which is what makes publish a metadata-only fast-forward.
     */
-  def appendToBranch(name: String, df: DataFrame): Unit = {
+  def appendToBranch(name: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -1070,8 +1079,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         files = head.snapshot.files ++ written.map(_.copy(writtenAt = head.base)),
         schemas = head.snapshot.schemas +
           (head.base.toString -> head.snapshot.schemaJson),
-        summary = Map("staged-appends" ->
-          (head.snapshot.summary.getOrElse("staged-appends", "0").toInt + 1).toString))
+        summary = head.snapshot.summary ++ extraSummary +
+          ("staged-appends" ->
+            (head.snapshot.summary.getOrElse("staged-appends", "0").toInt + 1).toString))
       if (writeBranchHead(name, head.base, head.seq + 1, snap)) return
       // a concurrent branch append won this seq: clean our staged files and
       // retry against the fresh head
