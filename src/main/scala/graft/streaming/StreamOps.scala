@@ -122,20 +122,45 @@ object StreamOps {
 
   /** Exactly-once streaming ingest INTO a WAP branch: each micro-batch
     * stages on `branch` (invisible to main readers) with its batch id
-    * durable in the branch head — the same at-least-once → exactly-once
-    * upgrade as `ingestBatch`, but the data waits for an audit. When the
-    * stream (or its owner) decides the staged window is good,
-    * `publishBranch` lands everything as ONE main commit; a failed audit
-    * drops the branch and no reader ever saw a row. The streaming shape of
-    * write-audit-publish.
+    * durable under the BRANCH-SCOPED key `staged-stream-batch-id:<branch>`
+    * — the same at-least-once → exactly-once upgrade as `ingestBatch`, but
+    * the data waits for an audit. When the stream (or its owner) decides
+    * the staged window is good, `publishBranch` lands everything as ONE
+    * main commit; a failed audit drops the branch and no reader ever saw a
+    * row. The streaming shape of write-audit-publish.
+    *
+    * Exactly-once holds ACROSS branch lifetimes, not just within one:
+    *  - the key is branch-scoped, so a fresh branch head (which is the base
+    *    main snapshot verbatim) cannot inherit the main table sink's
+    *    `stream-batch-id` and silently discard early batches;
+    *  - `publishBranch` copies the key into the main commit summary, so a
+    *    fresh-checkpoint replay after a publish finds the published id on
+    *    main (`publishedStagedId`) and skips re-staging those batches on
+    *    the re-created branch;
+    *  - the head-side id check runs as an `appendToBranch` precondition
+    *    INSIDE its CAS retry loop, so two writers racing the same branch
+    *    cannot both stage one batch id (the loser re-reads the head, sees
+    *    the winner's stamp, and skips).
+    * The contract identifies a logical stream with its branch name: re-use
+    * a published branch's name only when resuming the SAME stream.
     */
   def stageBatch(t: graft.table.GraftTable, branch: String)
       (batch: DataFrame, batchId: Long): Unit = {
-    val last = t.branchSummary(branch).get("stream-batch-id").map(_.toLong)
-    if (last.forall(batchId > _))
+    val key = graft.table.GraftTable.StagedStreamKeyPrefix + branch
+    if (publishedStagedId(t, branch).forall(batchId > _))
       t.appendToBranch(branch, batch,
-        extraSummary = Map("stream-batch-id" -> batchId.toString))
+        extraSummary = Map(key -> batchId.toString),
+        precondition = head => head.summary.get(key).map(_.toLong).forall(batchId > _))
   }
+
+  /** Highest batch id this branch's stream ever PUBLISHED into main
+    * (O(snapshots) metadata scan of the summaries, like
+    * `lastCommittedBatchId`).
+    */
+  def publishedStagedId(t: graft.table.GraftTable, branch: String): Option[Long] =
+    t.snapshotsList
+      .flatMap(_.summary.get(graft.table.GraftTable.StagedStreamKeyPrefix + branch))
+      .map(_.toLong).maxOption
 
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.

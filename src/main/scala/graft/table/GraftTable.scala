@@ -1060,14 +1060,23 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * head, so main readers cannot see them until publish. Schema evolution
     * on a branch is not supported — staged files carry the base snapshot's
     * schema, which is what makes publish a metadata-only fast-forward.
+    *
+    * `precondition` is re-evaluated against the CURRENT branch head inside
+    * the CAS retry loop, so a caller's head-dependent guard (e.g. a
+    * streaming sink's "skip if this batch id is already staged") is atomic
+    * with the head write: two writers racing the same guard cannot both
+    * stage — the loser's retry re-reads the head, sees the winner's stamp,
+    * and returns false. Returns true iff the append was staged.
     */
   def appendToBranch(name: String, df: DataFrame,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      precondition: Snapshot => Boolean = _ => true): Boolean = {
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
       val head = branchHead(name).getOrElse(
         throw new IllegalArgumentException(s"no branch $name in $tableDir"))
+      if (!precondition(head.snapshot)) return false
       val cur = DataType.fromJson(head.snapshot.schemaJson).asInstanceOf[StructType]
       require(shapeOf(df.schema) == shapeOf(cur),
         s"branch append schema does not match $tableDir@$name")
@@ -1082,7 +1091,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         summary = head.snapshot.summary ++ extraSummary +
           ("staged-appends" ->
             (head.snapshot.summary.getOrElse("staged-appends", "0").toInt + 1).toString))
-      if (writeBranchHead(name, head.base, head.seq + 1, snap)) return
+      if (writeBranchHead(name, head.base, head.seq + 1, snap)) return true
       // a concurrent branch append won this seq: clean our staged files and
       // retry against the fresh head
       written.foreach(e => hfs.delete(
@@ -1110,6 +1119,11 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       val files = head.snapshot.files
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "publish-branch",
         p.schemaJson, p.partitionCols, files,
+        // branch-scoped streaming batch ids stay durable ACROSS the publish:
+        // the staged head's ids land in the main commit summary, so an
+        // at-least-once replay (fresh/lost checkpoint) after a publish sees
+        // them via the main log and cannot re-stage published batches
+        head.snapshot.summary.filter(_._1.startsWith(GraftTable.StagedStreamKeyPrefix)) ++
         Map("published-branch" -> name,
           "added-files" -> (files.size - p.files.size).toString), Nil,
         schemasFor(files, head.snapshot.schemas + ((p.snapshotId + 1).toString -> p.schemaJson)),
@@ -1792,6 +1806,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 }
 
 object GraftTable {
+
+  /** Summary-key prefix for a streaming WAP sink's durable batch id, scoped
+    * by branch name (`staged-stream-batch-id:<branch>`). Branch scoping is
+    * load-bearing twice over: a fresh branch head IS the base main snapshot
+    * verbatim, so an UNSCOPED key would inherit the main table sink's
+    * `stream-batch-id` and silently discard staged batches; and two branches
+    * fed by independent streams (ids both restarting at 0) must not dedupe
+    * against each other. `publishBranch` copies keys with this prefix into
+    * the main commit summary so the id chain survives the branch drop.
+    */
+  val StagedStreamKeyPrefix = "staged-stream-batch-id:"
 
   /** Accessors for the versioned per-column stats list in `FileEntry.stats`,
     * disambiguated STRUCTURALLY by length (no in-band sentinel — any string

@@ -61,6 +61,63 @@ class StreamOpsSpec extends SparkSpec {
       .forall(_.summary.get("added-files").exists(_.toInt <= 1)))
   }
 
+  test("stageBatch stages from id 0 even when main's head carries a table-sink stream-batch-id") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("stage-after-ingest"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 5).map(i => (i, s"v$i")).toDF("id", "s")
+    // main table sink advances stream-batch-id to 3 on the MAIN log
+    (0L to 3L).foreach(i => StreamOps.ingestBatch(t)(batch(i * 5), i))
+    assert(StreamOps.lastCommittedBatchId(t) === Some(3L))
+    // a NEW staging stream (fresh checkpoint, ids restart at 0) on a fresh
+    // branch: the branch head is the base main snapshot verbatim, but the
+    // branch-scoped key means none of its batches are discarded
+    t.createBranch("audit")
+    (0L to 2L).foreach(i => StreamOps.stageBatch(t, "audit")(batch(100 + i * 5), i))
+    assert(t.branchSummary("audit")("staged-appends").toLong === 3L)
+    assert(t.readBranch("audit").count() === t.readLatest().count() + 15L)
+  }
+
+  test("stageBatch replay is skipped across a publish (ids durable in the main summary)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("stage-publish-replay"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 5).map(i => (i, s"v$i")).toDF("id", "s")
+    t.createBranch("audit")
+    (0L to 2L).foreach(i => StreamOps.stageBatch(t, "audit")(batch(i * 5), i))
+    t.publishBranch("audit")
+    assert(t.readLatest().count() === 15L)
+    assert(StreamOps.publishedStagedId(t, "audit") === Some(2L))
+    // at-least-once replay with a LOST checkpoint: the stream re-creates the
+    // branch and re-offers every batch; all are skipped via the published id
+    t.createBranch("audit")
+    (0L to 2L).foreach(i => StreamOps.stageBatch(t, "audit")(batch(i * 5), i))
+    assert(t.branchSummary("audit").get("staged-appends").forall(_.toLong == 0L))
+    // genuinely new work still stages and publishes once
+    StreamOps.stageBatch(t, "audit")(batch(15), 3L)
+    t.publishBranch("audit")
+    assert(t.readLatest().count() === 20L)
+    assert(t.readLatest().select("id").distinct().count() === 20L)
+  }
+
+  test("appendToBranch precondition is re-checked inside the CAS loop (no double-stage)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("stage-race"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    t.createBranch("b")
+    val key = graft.table.GraftTable.StagedStreamKeyPrefix + "b"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    def stageOnce(): Boolean = t.appendToBranch("b", df,
+      extraSummary = Map(key -> "0"),
+      precondition = head => head.summary.get(key).map(_.toLong).forall(0L > _))
+    // two "writers" race batch id 0: exactly one append lands
+    val results = (1 to 2).map(_ => stageOnce())
+    assert(results.count(identity) === 1)
+    assert(t.branchSummary("b")("staged-appends").toLong === 1L)
+  }
+
   test("flatMapGroupsWithState produces final per-user totals equal to batch agg") {
     import spark.implicits._
     val result = StreamOps.runAvailableNow(spark, sf, "spec_user_stats",
