@@ -571,9 +571,14 @@ object SqlDml {
       case sp: ShowTableProperties =>
         resolve(sp.table).map { t =>
           val props = t.properties
+          val tblName = nameParts(sp.table).map(_.mkString("."))
+            .getOrElse(t.tableDir)
           val rows = sp.propertyKey match {
+            // a missing key mirrors Spark/Iceberg: a message row, never a
+            // null value (a null Any renders inconsistently downstream)
             case Some(k) => Seq(Map[String, Any](
-              "key" -> k, "value" -> props.getOrElse(k, null)))
+              "key" -> k, "value" -> props.getOrElse(k,
+                s"Table $tblName does not have property: $k")))
             case None => props.toSeq.sortBy(_._1).map { case (k, v) =>
               Map[String, Any]("key" -> k, "value" -> v)
             }
@@ -617,6 +622,31 @@ object SqlDml {
               names.map(n => Map[String, Any](
                 "namespace" -> ns, "tableName" -> n, "isTemporary" -> false)),
               None))
+          }
+        }
+
+      // `SHOW NAMESPACES` / `SHOW SCHEMAS` list the registered catalog's
+      // namespaces (ref snowflake.sql:106 `show schemas`, openspark.ipynb
+      // "show namespaces") — without this route the statement falls through
+      // to spark.sql, which lists SPARK's catalog, not CatalogService's.
+      // Only the flat form (optionally `IN <catalog>`) routes; a multi-part
+      // qualifier means nested namespaces this engine doesn't have, so it
+      // falls through loudly to Spark's own resolution.
+      case sn: org.apache.spark.sql.execution.command.ShowNamespacesCommand =>
+        catalog.flatMap { cat =>
+          val qualifier = sn.child match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+              u.multipartIdentifier
+            case _ => return None
+          }
+          if (qualifier.size > 1) None
+          else {
+            val names = cat.listNamespaces().sorted
+              .filter(n => sn.pattern.forall(p =>
+                java.util.regex.Pattern.matches(
+                  p.replace("*", ".*").replace("?", "."), n)))
+            Some(StatementResult(statement,
+              names.map(n => Map[String, Any]("namespace" -> n)), None))
           }
         }
 
@@ -693,7 +723,7 @@ object SqlDml {
               case Some(w) =>
                 val text = litString(w)
                 val eqRe = """(?s)\A\s*([\w`]+)\s*=\s*(?:'([^']*)'|(\S+))\s*\z""".r
-                text.split("(?i)\\bAND\\b").map(_.trim).map {
+                splitTopLevelAnd(text).map(_.trim).map {
                   case eqRe(k, quoted, bare) =>
                     k.replace("`", "") -> Option(quoted).getOrElse(bare)
                   case other =>
@@ -861,6 +891,20 @@ object SqlDml {
         }
         cat.createNamespace(ns, ifNotExists = cn.ifNotExists)
         Some(StatementResult(statement, Nil, None))
+
+      case dn: DropNamespace =>
+        val cat = catalog.getOrElse(return None)
+        val ns = dn.namespace match {
+          case u: UnresolvedNamespace => u.multipartIdentifier.mkString(".")
+          case other => unsupported(s"DROP NAMESPACE target $other")
+        }
+        if (!cat.namespaceExists(ns)) {
+          if (dn.ifExists) Some(StatementResult(statement, Nil, None))
+          else None // fall through: spark.sql raises its own not-found
+        } else {
+          if (dn.cascade) cat.dropNamespaceCascade(ns) else cat.dropNamespace(ns)
+          Some(StatementResult(statement, Nil, None))
+        }
 
       case ct: CreateTable =>
         val cat = catalog.getOrElse(return None)
@@ -1214,6 +1258,30 @@ object SqlDml {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"SQL DML shape not supported by the table layer: $what")
+
+  /** Split a predicate string on word-boundary `AND` OUTSIDE single-quoted
+    * literals, so a partition value containing the word (e.g.
+    * `city = 'a and b'`) survives intact. Quotes toggle; `''` inside a
+    * literal is the SQL escape for one quote and stays in-literal.
+    */
+  private[plan] def splitTopLevelAnd(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQ = !inQ; cur += c; i += 1 }
+      else if (!inQ && s.regionMatches(true, i, "AND", 0, 3) &&
+          (i == 0 || !wordChar(s.charAt(i - 1))) &&
+          (i + 3 >= s.length || !wordChar(s.charAt(i + 3)))) {
+        parts += cur.toString; cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    parts += cur.toString
+    parts.result()
+  }
 
   // ---------------------------------------------------------------------
   // Snowflake-dialect pre-parse rewrites (the reference's snowflake.sql

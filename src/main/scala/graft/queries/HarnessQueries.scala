@@ -643,6 +643,29 @@ object HarnessQueries {
         tagged, refs, refsAfterDrop))
         .toDF("staged_rows", "main_before", "branch_updated", "main_after",
           "amt_after", "tag_rows", "refs", "refs_after_drop")
+    }),
+
+    // SHOW NAMESPACES / SHOW SCHEMAS over the registered catalog (ref
+    // snowflake.sql:106 `show schemas`; openspark.ipynb "show namespaces"):
+    // the engine lists CatalogService's namespaces — not Spark's own
+    // catalog — with LIKE-pattern filtering, and a dropped namespace
+    // disappears from the listing. Deterministic names → literal oracle.
+    "h_sql_show_namespaces" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_showns"))
+      eng.registerCatalog(cat)
+      Seq("analytics", "raw", "staging").foreach(n =>
+        eng.execute(s"CREATE NAMESPACE $n"))
+      def names(sql: String): String =
+        eng.execute(sql).rows.map(_("namespace").toString).mkString(",")
+      val all = names("SHOW NAMESPACES")
+      val schemas = names("SHOW SCHEMAS") // snowflake.sql:106 spelling
+      val filtered = names("SHOW NAMESPACES LIKE 'st*'")
+      eng.execute("DROP NAMESPACE raw")
+      val afterDrop = names("SHOW NAMESPACES")
+      Seq((all, schemas, filtered, afterDrop))
+        .toDF("namespaces", "via_show_schemas", "filtered", "after_drop")
     })
   )
 
@@ -692,6 +715,11 @@ object HarnessQueries {
            'create,append,append' AS history_ops,
            CAST(4 AS BIGINT) AS final_rows, CAST(1400 AS BIGINT) AS amount_sum,
            CAST(1 AS BIGINT) AS n_mail""",
+    "h_sql_show_namespaces" ->
+      """SELECT 'analytics,raw,staging' AS namespaces,
+           'analytics,raw,staging' AS via_show_schemas,
+           'staging' AS filtered,
+           'analytics,staging' AS after_drop""",
     "h_sql_maintenance" ->
       """SELECT CAST(6 AS BIGINT) AS row_count, CAST(25 AS BIGINT) AS total_qty,
            CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,

@@ -708,6 +708,63 @@ class SqlDmlSpec extends SparkSpec {
       """CALL graft.system.rewrite_data_files(table => 'sc', where => "k = 1")""") }
   }
 
+  test("SHOW NAMESPACES / SHOW SCHEMAS list the registered catalog's namespaces") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-showns"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE analytics")
+    eng.execute("CREATE NAMESPACE staging")
+    assert(eng.execute("SHOW NAMESPACES").rows.map(_("namespace")) ==
+      Seq("analytics", "staging"))
+    // snowflake.sql:106's `show schemas` spelling parses to the same plan
+    assert(eng.execute("SHOW SCHEMAS").rows.map(_("namespace")) ==
+      Seq("analytics", "staging"))
+    assert(eng.execute("SHOW NAMESPACES LIKE 'stag*'").rows.map(_("namespace")) ==
+      Seq("staging"))
+    // no registered catalog -> falls through to Spark's own catalog (which
+    // answers with its default namespace, not CatalogService's)
+    val bare = new SparkSqlEngine(spark)
+    assert(!bare.execute("SHOW NAMESPACES").rows.map(_("namespace")).contains("analytics"))
+  }
+
+  test("SHOW TBLPROPERTIES on a missing key answers with a message row, not null") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, scratchDir("sqldml-showprops"), df.schema)
+    t.append(df)
+    t.setProperties(Map("commit.retry.num-retries" -> Some("7")))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("pt", t)
+    val hit = eng.execute("SHOW TBLPROPERTIES pt ('commit.retry.num-retries')").rows.head
+    assert(hit("value") == "7")
+    val miss = eng.execute("SHOW TBLPROPERTIES pt ('missing.key')").rows.head
+    assert(miss("key") == "missing.key")
+    assert(miss("value") == "Table pt does not have property: missing.key")
+  }
+
+  test("rewrite_data_files where-values containing the word AND stay intact") {
+    import spark.implicits._
+    val df = Seq((1L, "a and b"), (2L, "a and b"), (3L, "plain")).toDF("k", "ds")
+    val t = GraftTable.create(spark, scratchDir("sqldml-andval"), df.schema,
+      partitionCols = Seq("ds"))
+    (1 to 2).foreach(_ => t.append(df))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("av", t)
+    val res = eng.execute(
+      """CALL graft.system.rewrite_data_files(table => 'av', where => "ds = 'a and b'",
+         options => map('min-input-files','2'))""").rows.head
+    assert(res("rewritten_data_files_count").asInstanceOf[Long] >= 2L)
+    assert(t.latest.files.count(_.partitionValues.get("ds").contains("a and b")) === 1)
+    assert(t.latest.files.count(_.partitionValues.get("ds").contains("plain")) === 2,
+      "the other partition must be untouched")
+    assert(t.readLatest().count() === 6L)
+    // and the splitter still honors a real conjunction around quoted values
+    assert(SqlDml.splitTopLevelAnd("a = 'x and y' AND b = 'z'").map(_.trim) ==
+      Seq("a = 'x and y'", "b = 'z'"))
+    assert(SqlDml.splitTopLevelAnd("android = 'AND'").map(_.trim) ==
+      Seq("android = 'AND'"))
+  }
+
   test("expire_snapshots(older_than => ts) bounds by commit time with retain floor") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("k", "v")
