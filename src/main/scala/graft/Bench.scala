@@ -88,6 +88,116 @@ object Bench {
     // write-phase drift in isolation on an otherwise idle machine. The
     // driver never sets it, so round artifacts always carry the full sweep.
     val runSweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
+
+    val writeRows = sys.env.getOrElse("SPARK_GRAFT_WRITE_ROWS", "10000000").toLong
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete()
+    }
+    def txData(rows: Long, parts: Int) =
+      graft.gen.Synthesize.txEvents(spark, rows, partitions = parts)
+        .withColumn("ds", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).cast("string"))
+
+    // 100M-row scale proof (VERDICT r10 ask #1): the reference's own default
+    // SCALE_ROWS (blob-dfs_bench.py:30, 100_000_000) run ONCE — a single
+    // measured round, not median-of-3 (the 10M protocol below stays the
+    // cross-round comparable; this section exists to prove the driver-side
+    // O(files) planning, the task-stats threshold, and the write path hold
+    // at 10x file counts without OOM). write_commit_sec isolates the
+    // driver-side metadata commit from the executor write.
+    //
+    // The section runs FIRST — before the 155-entry sweep — so its numbers
+    // are not polluted by ~15 minutes of heap/GC residue (VERDICT r12 #1:
+    // the r12 artifact's scale numbers read 3-14x an isolated re-run purely
+    // from JVM ordering). Its own calibration pair brackets the section so
+    // the artifact alone shows what the machine was doing while it ran.
+    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "100000000").toLong
+    // rows below 10 would truncate the 1/10 anchor to zero rows — treat the
+    // section as disabled rather than emit a divide-by-zero Infinity token
+    // that would corrupt the JSON line
+    val scaleDir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
+    val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
+      val calBefore = calibrationSec // measured just above, nothing ran between
+      val dir = scaleDir // single name for the section body; finally uses scaleDir
+      if (dir.exists()) rmDir(dir)
+      val data = txData(scaleRows, 256)
+      // the reference's own layout at this scale: days + bucket(16, user_id)
+      // (blob-dfs_bench.py:31-32 PARTITION_BY_DAYS + BUCKETS=16) — the
+      // bucket column derives from the transform at write, and IN-list
+      // lookups pin to the listed keys' buckets at plan time
+      def mkTable(d: java.io.File) = graft.table.GraftTable.create(spark,
+        d.toString, data.schema, partitionCols = Seq("ds", "ub"),
+        properties = Map(
+          graft.table.GraftTable.PartitionTransformsProp -> "bucket(16,user_id)=ub",
+          // the reference's write config (blob-dfs_bench.py:84-87)
+          graft.table.GraftTable.TargetFileSizeProp -> "134217728"))
+      // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
+      // 10M ref_phases table is ds-only, so its µs/row is not comparable to
+      // this section's 16-bucket layout) — also serves as the warm-up
+      val dirSmall = new java.io.File(dir.getPath + "_small")
+      if (dirSmall.exists()) rmDir(dirSmall)
+      val tSmall = mkTable(dirSmall)
+      val wSmall = timeOnce {
+        tSmall.append(txData(scaleRows / 10, 64), sortWithinPartitionsCols = Seq("ts")) }
+      rmDir(dirSmall)
+      val t = mkTable(dir)
+      val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
+      val wCommit = t.lastCommitNanos / 1e9
+      val filesAfterWrite = t.latest.files.size
+      val eng = new graft.plan.SparkSqlEngine(spark)
+      eng.registerGraftTable("tx_events_scale", t)
+      // the reference's three read phases ON the written table
+      // (blob-dfs_bench.py:117-136): 1 untimed warm-up + median-of-reps,
+      // through the SQL route so metadata pruning engages like a user read
+      def timedRead(sql: String): Double = {
+        eng.execute(sql)
+        median((1 to reps).map(_ => timeOnce { eng.execute(sql) }))
+      }
+      val rPruned = timedRead(
+        """SELECT city, COUNT(*) AS n FROM tx_events_scale
+           WHERE ts >= TIMESTAMP '2025-01-05 00:00:00' AND ts < TIMESTAMP '2025-01-07 00:00:00'
+           GROUP BY city""")
+      val prunedScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
+      val rAgg = timedRead(
+        """SELECT category, percentile_approx(amount, 0.95) AS p95, COUNT(*) AS n
+           FROM tx_events_scale GROUP BY category""")
+      val rLookup = timedRead(
+        "SELECT * FROM tx_events_scale WHERE user_id IN (123, 456789, 987654321)")
+      val lookupScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
+      (1 to 3).foreach(_ => t.append(txData(scaleRows / 10, 32)))
+      val filesBeforeMaint = t.latest.files.size
+      val c = timeOnce { eng.execute(
+        """CALL graft.system.rewrite_data_files(table => 'tx_events_scale',
+           options => map('min-input-files','2','target-file-size-bytes','134217728'))""") }
+      val m = timeOnce { eng.execute(
+        "CALL graft.system.rewrite_manifests('tx_events_scale')") }
+      val e = timeOnce { eng.execute(
+        "CALL graft.system.expire_snapshots(table => 'tx_events_scale', retain_last => 2)") }
+      val calAfter = calibrate()
+      s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
+        s""""us_per_row":${w * 1e6 / scaleRows},""" +
+        s""""rows_small":${scaleRows / 10},"write_append_small":$wSmall,""" +
+        s""""us_per_row_small":${wSmall * 1e6 / (scaleRows / 10)},""" +
+        s""""n_files_after_append":$filesAfterWrite,""" +
+        s""""read_pruned":$rPruned,"read_pruned_files":[${prunedScan._1},${prunedScan._2}],""" +
+        s""""read_agg":$rAgg,"read_lookup":$rLookup,""" +
+        s""""read_lookup_files":[${lookupScan._1},${lookupScan._2}],""" +
+        s""""n_files_before_maintenance":$filesBeforeMaint,"rewrite_data_files":$c,""" +
+        s""""rewrite_manifests":$m,"expire_snapshots":$e,""" +
+        s""""ran_before_sweep":true,""" +
+        s""""calibration_before":$calBefore,"calibration_after":$calAfter,""" +
+        s""""write_reps":1,"read_reps":$reps}"""
+    } catch {
+      case ex: Throwable =>
+        errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
+        "null"
+    } finally {
+      // ~10 GB of scratch parquet — freed on success AND failure, else
+      // failed rounds accumulate until the disk fills
+      try { rmDir(scaleDir); rmDir(new java.io.File(scaleDir.getPath + "_small")) }
+      catch { case _: Throwable => }
+    }
+
     val results = (if (runSweep) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>
@@ -124,14 +234,6 @@ object Bench {
     // blob-dfs_bench.py:30 defaults to 100M) — at 1M the write/compaction
     // phases were setup-dominated; BASELINE.md carries a matching 10M-row
     // re-measure so the 2x gate compares like against like.
-    val writeRows = sys.env.getOrElse("SPARK_GRAFT_WRITE_ROWS", "10000000").toLong
-    def rmDir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete()
-    }
-    def txData(rows: Long, parts: Int) =
-      graft.gen.Synthesize.txEvents(spark, rows, partitions = parts)
-        .withColumn("ds", org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("ts")).cast("string"))
     def refPhaseRound(rows: Long): Seq[(String, Double)] = {
       val dir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents")
       if (dir.exists()) rmDir(dir)
@@ -195,97 +297,6 @@ object Bench {
       case ex: Throwable =>
         errors += "maintenance_overhead" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
         "null"
-    }
-
-    // 100M-row scale proof (VERDICT r10 ask #1): the reference's own default
-    // SCALE_ROWS (blob-dfs_bench.py:30, 100_000_000) run ONCE — a single
-    // measured round, not median-of-3 (the 10M protocol above stays the
-    // cross-round comparable; this section exists to prove the driver-side
-    // O(files) planning, the task-stats threshold, and the write path hold
-    // at 10x file counts without OOM). write_commit_sec isolates the
-    // driver-side metadata commit from the executor write.
-    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "100000000").toLong
-    // rows below 10 would truncate the 1/10 anchor to zero rows — treat the
-    // section as disabled rather than emit a divide-by-zero Infinity token
-    // that would corrupt the JSON line
-    val scaleDir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
-    val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
-      val dir = scaleDir // single name for the section body; finally uses scaleDir
-      if (dir.exists()) rmDir(dir)
-      val data = txData(scaleRows, 256)
-      // the reference's own layout at this scale: days + bucket(16, user_id)
-      // (blob-dfs_bench.py:31-32 PARTITION_BY_DAYS + BUCKETS=16) — the
-      // bucket column derives from the transform at write, and IN-list
-      // lookups pin to the listed keys' buckets at plan time
-      def mkTable(d: java.io.File) = graft.table.GraftTable.create(spark,
-        d.toString, data.schema, partitionCols = Seq("ds", "ub"),
-        properties = Map(
-          graft.table.GraftTable.PartitionTransformsProp -> "bucket(16,user_id)=ub",
-          // the reference's write config (blob-dfs_bench.py:84-87)
-          graft.table.GraftTable.TargetFileSizeProp -> "134217728"))
-      // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
-      // 10M ref_phases table is ds-only, so its µs/row is not comparable to
-      // this section's 16-bucket layout) — also serves as the warm-up
-      val dirSmall = new java.io.File(dir.getPath + "_small")
-      if (dirSmall.exists()) rmDir(dirSmall)
-      val tSmall = mkTable(dirSmall)
-      val wSmall = timeOnce {
-        tSmall.append(txData(scaleRows / 10, 64), sortWithinPartitionsCols = Seq("ts")) }
-      rmDir(dirSmall)
-      val t = mkTable(dir)
-      val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
-      val wCommit = t.lastCommitNanos / 1e9
-      val filesAfterWrite = t.latest.files.size
-      val eng = new graft.plan.SparkSqlEngine(spark)
-      eng.registerGraftTable("tx_events_scale", t)
-      // the reference's three read phases ON the written table
-      // (blob-dfs_bench.py:117-136): 1 untimed warm-up + median-of-reps,
-      // through the SQL route so metadata pruning engages like a user read
-      def timedRead(sql: String): Double = {
-        eng.execute(sql)
-        median((1 to reps).map(_ => timeOnce { eng.execute(sql) }))
-      }
-      val rPruned = timedRead(
-        """SELECT city, COUNT(*) AS n FROM tx_events_scale
-           WHERE ts >= TIMESTAMP '2025-01-05 00:00:00' AND ts < TIMESTAMP '2025-01-07 00:00:00'
-           GROUP BY city""")
-      val prunedScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
-      val rAgg = timedRead(
-        """SELECT category, percentile_approx(amount, 0.95) AS p95, COUNT(*) AS n
-           FROM tx_events_scale GROUP BY category""")
-      val rLookup = timedRead(
-        "SELECT * FROM tx_events_scale WHERE user_id IN (123, 456789, 987654321)")
-      val lookupScan = eng.lastPrune.getOrElse("tx_events_scale", (-1, -1))
-      (1 to 3).foreach(_ => t.append(txData(scaleRows / 10, 32)))
-      val filesBeforeMaint = t.latest.files.size
-      val c = timeOnce { eng.execute(
-        """CALL graft.system.rewrite_data_files(table => 'tx_events_scale',
-           options => map('min-input-files','2','target-file-size-bytes','134217728'))""") }
-      val m = timeOnce { eng.execute(
-        "CALL graft.system.rewrite_manifests('tx_events_scale')") }
-      val e = timeOnce { eng.execute(
-        "CALL graft.system.expire_snapshots(table => 'tx_events_scale', retain_last => 2)") }
-      val out = s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
-        s""""us_per_row":${w * 1e6 / scaleRows},""" +
-        s""""rows_small":${scaleRows / 10},"write_append_small":$wSmall,""" +
-        s""""us_per_row_small":${wSmall * 1e6 / (scaleRows / 10)},""" +
-        s""""n_files_after_append":$filesAfterWrite,""" +
-        s""""read_pruned":$rPruned,"read_pruned_files":[${prunedScan._1},${prunedScan._2}],""" +
-        s""""read_agg":$rAgg,"read_lookup":$rLookup,""" +
-        s""""read_lookup_files":[${lookupScan._1},${lookupScan._2}],""" +
-        s""""n_files_before_maintenance":$filesBeforeMaint,"rewrite_data_files":$c,""" +
-        s""""rewrite_manifests":$m,"expire_snapshots":$e,""" +
-        s""""write_reps":1,"read_reps":$reps}"""
-      out
-    } catch {
-      case ex: Throwable =>
-        errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
-        "null"
-    } finally {
-      // ~10 GB of scratch parquet — freed on success AND failure, else
-      // failed rounds accumulate until the disk fills
-      try { rmDir(scaleDir); rmDir(new java.io.File(scaleDir.getPath + "_small")) }
-      catch { case _: Throwable => }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
