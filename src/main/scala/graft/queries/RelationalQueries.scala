@@ -185,6 +185,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers_no_orders"))
     }),
 
+    // J6 — TPC-DS-subset star join (spec ICEBERG-Interoperability-Test-
+    // Spec.md:43: store_sales x item x date_dim @100 GB): fact lineitem
+    // date-filtered, joined to TWO dims in one stage. Both dims broadcast
+    // (they are orders-of-magnitude smaller than the fact and the filter
+    // cannot grow them), so the only shuffle in the plan is the final
+    // group-by rollup — the shape a 100 TB star query must keep.
+    // PlanShapeSpec pins both broadcasts and the single shuffle.
+    "j6_star_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand", "s_nationkey")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand", "s_nationkey")),
+
     // W1 — window ranking (beyond-reference: the reference has no OVER()
     // clauses, but a complete analytical surface needs them): top-3 orders
     // per customer market segment by price
@@ -295,6 +315,16 @@ object RelationalQueries {
     "j4_anti_join" ->
       """SELECT COUNT(*) AS n_customers_no_orders FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "j6_star_join" ->
+      """SELECT p_brand, s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""",
     "w1_window_rank" ->
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,

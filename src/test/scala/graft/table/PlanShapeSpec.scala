@@ -108,6 +108,37 @@ class PlanShapeSpec extends SparkSpec {
       s"decontamination benchmark set did not broadcast: $rns")
   }
 
+  test("j6 star join: both dims broadcast, exactly one shuffle (the rollup)") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("j6_star_join")(spark, sf)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.initialPlan)
+        case _ => Nil
+      }))
+    val plan = walk(df.queryExecution.executedPlan)
+    val broadcasts = plan.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(broadcasts === 2,
+      s"star join must broadcast BOTH dims, found $broadcasts broadcast joins")
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "a dim join fell back to sort-merge — that's a fact-sized shuffle")
+    assert(!plan.exists(_.nodeName.contains("CartesianProduct")))
+    // the only exchanges are the group-by rollup (and the final orderBy's
+    // range exchange) — the fact table itself is never hash-repartitioned
+    // for a join
+    val exchanges = plan.filter(p => p.nodeName.contains("Exchange") &&
+      !p.nodeName.contains("Broadcast"))
+    assert(exchanges.size <= 2,
+      s"expected only the rollup + sort exchanges, got: ${exchanges.map(_.nodeName)}")
+    // and the fact scan prunes to the join keys + filter + agg inputs
+    val factScan = scans(df).find(_.requiredSchema.fieldNames.contains("l_extendedprice"))
+    assert(factScan.isDefined, "no lineitem scan found")
+    assert(factScan.get.requiredSchema.fieldNames.toSet ==
+      Set("l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"fact scan read ${factScan.get.requiredSchema.fieldNames.toSet}")
+  }
+
   test("the SQL-bridge view keeps scan-level column pruning") {
     val t = mkTable("shape-sql")
     val eng = new graft.plan.SparkSqlEngine(spark)
