@@ -139,15 +139,20 @@ object Similarity {
     * tiny and broadcast; at 100 TB the cell id becomes a partition key so a
     * probe prunes at the file level.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // Build centroids: mean vector per label cell (seed-free, deterministic).
-    val centroids = corpus
+  /** Mean vector per label cell (seed-free, deterministic — a k-means
+    * assignment step would slot in identically). Tiny: one row per cell.
+    */
+  private def meanCentroids(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = meanCentroids(corpus)
     // Assign each query to its nProbe nearest cells (centroids broadcast).
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))
@@ -165,6 +170,44 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every vector to its nearest centroid by cosine, then WITHIN
+    * each cell flag a vector as a semantic duplicate when any LOWER-id
+    * vector in the same cell reaches `threshold` cosine. The keep-first
+    * greedy needs no transitive closure, so the whole operator — centroid
+    * build, assignment, verdicts — is SQL-expressible and oracle-checked
+    * PER ROW (unlike the xxhash-keyed text dedup family).
+    *
+    * Scale shape: the centroid table is k rows and broadcasts; assignment
+    * is map-only over the corpus; the pairwise verify is CELL-LOCAL (the
+    * clustering granularity bounds cell size — SemDeDup's own operating
+    * point — never corpus × corpus), and at 100 TB the cell id becomes the
+    * partition key so the verify is a co-partitioned self-join.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
+    val centroids = meanCentroids(corpus)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val prior = assigned.select(col("cell"), col("vec_id").as("prior_id"),
+      col("embedding").as("pe"))
+    val dups = assigned.join(prior, Seq("cell"))
+      .filter(col("prior_id") < col("vec_id"))
+      .withColumn("sim", cosine(col("embedding"), col("pe")))
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
+      .groupBy("cell", "vec_id").agg(max(col("sim")).as("max_prior_sim"))
+    assigned.join(dups, Seq("cell", "vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("max_prior_sim").isNotNull.as("is_dup"),
+        // kept rows carry -1.0, not NULL: a NULL double renders as NaN in
+        // some comparison frames and NaN != NaN would poison hash checks
+        coalesce(round(col("max_prior_sim"), 6), lit(-1.0)).as("max_prior_sim"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
@@ -317,6 +360,14 @@ object Similarity {
         .orderBy("qid", "vec_id")
     }),
 
+    // SemDeDup semantic dedup — per-row verdicts, fully DuckDB-checked
+    // (mean centroids + cosine assignment + cell-local keep-first greedy
+    // are all SQL; the 0.4 threshold sits at the in-cell cosine p99.9 of
+    // this corpus so the flag set is small but non-trivial)
+    "dedup_semantic" -> ((s, dir) =>
+      semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("vec_id")),
+
     // Bucket-occupancy profile of the LSH index (skew check) — rows-only
     "emb_lsh_buckets" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -452,6 +503,34 @@ object Similarity {
            FROM cand WHERE NOT isnan(sim))
          SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
          WHERE rn <= 5 ORDER BY qid, vec_id""",
+    // Mirrors semanticDedup stage by stage: the same centroid build and
+    // probe ranking as emb_ann_ivf's oracle (assignment margin ≥ 1.1e-4 on
+    // this corpus — far above float fold-order noise), then the cell-local
+    // keep-first greedy as a lower-id join + max
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         expl AS (
+           SELECT label AS cell, p AS pos, emb[p] AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS p) t),
+         cm AS (SELECT cell, pos, avg(v) AS m FROM expl GROUP BY cell, pos),
+         cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+         assign AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT e.vec_id, e.emb, cent.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, cent.centroid) DESC, cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         dups AS (
+           SELECT a.cell, a.vec_id,
+                  max(list_cosine_similarity(a.emb, p.emb)) AS mps
+           FROM assign a JOIN assign p ON p.cell = a.cell AND p.vec_id < a.vec_id
+           WHERE NOT isnan(list_cosine_similarity(a.emb, p.emb))
+             AND list_cosine_similarity(a.emb, p.emb) >= 0.4
+           GROUP BY a.cell, a.vec_id)
+         SELECT a.vec_id, a.cell, (d.mps IS NOT NULL) AS is_dup,
+                COALESCE(round(d.mps, 6), -1.0) AS max_prior_sim
+         FROM assign a LEFT JOIN dups d ON d.cell = a.cell AND d.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
     "emb_norms" ->
       """SELECT vec_id, label,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
