@@ -36,6 +36,12 @@ class TableModelCheckSpec extends SparkSpec {
       var branchBase: Long = -1L
       var branchModel = Vector.empty[(Long, Int, String)]
       var branchOpen = false
+      // streaming WAP staging model (r13): the durable batch-id fence is
+      // max(published id on main, branch-head id); a simulated checkpoint
+      // loss restarts the stream's counter and every replayed id must no-op
+      var wapStreamNext = 0L
+      var wapPublished = -1L
+      var wapBranchKey = -1L
       def sync(opName: String): Unit = {
         history += (t.latest.snapshotId -> model)
         val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
@@ -69,7 +75,7 @@ class TableModelCheckSpec extends SparkSpec {
       }
 
       (1 to 16).foreach { _ =>
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
               nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
@@ -153,6 +159,7 @@ class TableModelCheckSpec extends SparkSpec {
               branchBase = t.latest.snapshotId
               branchModel = model
               branchOpen = true
+              wapBranchKey = -1L
               sync("create-branch") // main unchanged
             } else if (rnd.nextBoolean()) {
               val rows = (1 to 1 + rnd.nextInt(5)).map { _ =>
@@ -165,6 +172,8 @@ class TableModelCheckSpec extends SparkSpec {
               t.publishBranch("wapb")
               model = branchModel
               branchOpen = false
+              wapPublished = math.max(wapPublished, wapBranchKey)
+              wapBranchKey = -1L
               sync("publish-branch")
             } else {
               // main advanced (or the base expired): publish must refuse and
@@ -175,6 +184,7 @@ class TableModelCheckSpec extends SparkSpec {
               sync("stale-publish-refused")
               t.dropBranch("wapb")
               branchOpen = false
+              wapBranchKey = -1L // staged ids die with the branch: re-stageable
               sync("drop-branch")
             }
             if (branchOpen) {
@@ -182,6 +192,29 @@ class TableModelCheckSpec extends SparkSpec {
                 .as[(Long, Int, String)].collect().sorted.toVector
               assert(staged === branchModel.sorted,
                 s"branch content diverged from branch model (round $round)")
+            }
+          case 10 =>
+            // streaming WAP staging with at-least-once replay (r13): batch
+            // ids restart from 0 after a simulated checkpoint loss, and
+            // stageBatch must append exactly the ids above the durable
+            // fence (branch-scoped key on the head, carried through
+            // publishes on main) and silently skip every other
+            if (branchOpen) {
+              if (rnd.nextInt(4) == 0) wapStreamNext = 0L // checkpoint lost
+              val batchId = wapStreamNext
+              wapStreamNext += 1
+              val rows = (1 to 1 + rnd.nextInt(3)).map { _ =>
+                nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
+              }.toVector
+              graft.streaming.StreamOps.stageBatch(t, "wapb")(
+                rows.toDF("id", "qty", "tag"), batchId)
+              val fresh = batchId > math.max(wapPublished, wapBranchKey)
+              if (fresh) { branchModel ++= rows; wapBranchKey = batchId }
+              sync(s"stage-batch($batchId,fresh=$fresh)") // main unchanged
+              val staged = t.readBranch("wapb")
+                .as[(Long, Int, String)].collect().sorted.toVector
+              assert(staged === branchModel.sorted,
+                s"staged content diverged after stage-batch (round $round)")
             }
         }
       }
