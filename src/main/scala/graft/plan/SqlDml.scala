@@ -902,7 +902,17 @@ object SqlDml {
           if (dn.ifExists) Some(StatementResult(statement, Nil, None))
           else None // fall through: spark.sql raises its own not-found
         } else {
-          if (dn.cascade) cat.dropNamespaceCascade(ns) else cat.dropNamespace(ns)
+          // same stale-view rule as DROP TABLE: a cascade drops tables, so
+          // every registered view over one of their dirs must go too, or it
+          // would keep serving a dropped table's last snapshot
+          if (dn.cascade) {
+            val droppedDirs = cat.listTables(ns)
+              .map(tn => cat.loadTable(ns, tn).tableDir).toSet
+            cat.dropNamespaceCascade(ns)
+            tables.foreach { case (vn, vt) =>
+              if (droppedDirs.contains(vt.tableDir)) unregister(vn)
+            }
+          } else cat.dropNamespace(ns)
           Some(StatementResult(statement, Nil, None))
         }
 

@@ -727,6 +727,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(!bare.execute("SHOW NAMESPACES").rows.map(_("namespace")).contains("analytics"))
   }
 
+  test("DROP NAMESPACE CASCADE unregisters the dropped tables' views") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-dropns"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE doomed")
+    eng.execute("CREATE TABLE doomed.probe (k BIGINT) USING iceberg")
+    eng.execute("INSERT INTO probe VALUES (1), (2)")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM probe").rows.head("n") == 2L)
+    eng.execute("DROP NAMESPACE doomed CASCADE")
+    assert(!cat.namespaceExists("doomed"))
+    assert(eng.execute("SHOW NAMESPACES").rows.isEmpty)
+    // the view over the dropped table must not serve its last snapshot
+    intercept[Exception] { eng.execute("SELECT COUNT(*) AS n FROM probe") }
+    // plain DROP NAMESPACE refuses on a non-empty namespace, loudly
+    eng.execute("CREATE NAMESPACE busy")
+    eng.execute("CREATE TABLE busy.t1 (k BIGINT) USING iceberg")
+    intercept[Exception] { eng.execute("DROP NAMESPACE busy") }
+    assert(cat.tableExists("busy", "t1"))
+  }
+
   test("SHOW TBLPROPERTIES on a missing key answers with a message row, not null") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("k", "v")
