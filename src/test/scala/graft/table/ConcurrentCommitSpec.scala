@@ -72,6 +72,52 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(rowCounts === rowCounts.sorted)
   }
 
+  test("threads racing the same staged batch id stage it exactly once") {
+    import spark.implicits._
+    val dir = scratchDir("concurrent-stage")
+    val t = GraftTable.create(spark, dir, Seq((1L, 1L)).toDF("k", "v").schema)
+    t.createBranch("s")
+    val nThreads = 6
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // every batch id is offered by EVERY thread simultaneously: the
+    // appendToBranch precondition runs inside the CAS loop, so per id
+    // exactly one stage may land regardless of interleaving
+    (0 until 4).foreach { batchId =>
+      val start = new CountDownLatch(1)
+      val staged = new AtomicLong(0)
+      (0 until nThreads).foreach { th =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try {
+              val df = (0 until 5).map(j => ((batchId * 5 + j).toLong, th.toLong))
+                .toDF("k", "v")
+              graft.streaming.StreamOps.stageBatch(
+                new GraftTable(spark, dir), "s")(df, batchId.toLong)
+            } catch { case e: Throwable => failures.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      // batches run one id at a time (a stream's ids are ordered); threads
+      // within an id race freely
+      while (staged.get() == 0 && pool.asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
+          .getActiveCount > 0) Thread.sleep(5)
+      while (pool.asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
+          .getActiveCount > 0) Thread.sleep(5)
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"stager failed: ${Option(failures.peek()).map(_.toString)}")
+    val t2 = GraftTable.load(spark, dir)
+    assert(t2.branchSummary("s")("staged-appends").toLong === 4L,
+      "each batch id must stage exactly once across 6 racing threads")
+    assert(t2.readBranch("s").count() === 20L)
+    assert(t2.readBranch("s").select("k").distinct().count() === 20L,
+      "a duplicate stage slipped past the precondition")
+  }
+
   test("racing property setters lose no update (optimistic versioned publish)") {
     import spark.implicits._
     val dir = scratchDir("concurrent-props")
