@@ -184,7 +184,11 @@ object Similarity {
     * is map-only over the corpus; the pairwise verify is CELL-LOCAL (the
     * clustering granularity bounds cell size — SemDeDup's own operating
     * point — never corpus × corpus), and at 100 TB the cell id becomes the
-    * partition key so the verify is a co-partitioned self-join.
+    * partition key so the verify is a co-partitioned self-join. At
+    * SemDeDup's paper-scale k (~10⁵ clusters) the centroid table outgrows a
+    * broadcast and exact argmax outgrows per-row cost — assignment itself
+    * then goes through the ANN path (`lshTopK`/`ivfTopK` over the centroid
+    * set); the downstream cell-local greedy is unchanged.
     */
   def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
     val centroids = meanCentroids(corpus)

@@ -139,6 +139,29 @@ class PlanShapeSpec extends SparkSpec {
       s"fact scan read ${factScan.get.requiredSchema.fieldNames.toSet}")
   }
 
+  test("semantic dedup: centroids broadcast for assignment, verify join stays equi") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.llm.Similarity.semanticDedup(
+      graft.queries.Tables.embeddings(spark, sf), threshold = 0.4)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.nodeName +: (p.children.flatMap(nodes) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.initialPlan)
+        case _ => Nil
+      }))
+    val ns = nodes(df.queryExecution.executedPlan)
+    // assignment is corpus x k-row broadcast centroid table (nested-loop by
+    // construction — there is no join key); the CELL-LOCAL verify and the
+    // final flag attach must be hash equi-joins, and nothing may cartesian
+    assert(ns.exists(n => n.contains("BroadcastNestedLoopJoin")),
+      s"centroid table did not broadcast: $ns")
+    assert(!ns.exists(_.contains("CartesianProduct")),
+      s"semantic dedup plan contains a cartesian product: $ns")
+    assert(ns.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin") ||
+      n.contains("BroadcastHashJoin")),
+      s"cell-local verify is not an equi-join: $ns")
+  }
+
   test("the SQL-bridge view keeps scan-level column pruning") {
     val t = mkTable("shape-sql")
     val eng = new graft.plan.SparkSqlEngine(spark)
