@@ -40,6 +40,13 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     */
   private val graftViews = scala.collection.mutable.Map[String, graft.table.GraftTable]()
 
+  /** Namespace remembered from the last `USE`-family statement naming one
+    * the registered catalog has; unqualified CREATE TABLE / CTAS resolve
+    * against it (the notebook replay flow — openspark.ipynb issues
+    * `use namespace x` then bare `create table t (...)`).
+    */
+  private var currentNamespace: Option[String] = None
+
   /** Last (files scanned, files total) per view touched by a pruned read —
     * the observable skipping proof for specs and driver entries.
     */
@@ -97,7 +104,9 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
         graftViews.toMap, vn => {
           graftViews.remove(vn)
           spark.catalog.dropTempView(vn)
-        }, () => refreshGraftViews())
+        }, () => refreshGraftViews(),
+        defaultNamespace = currentNamespace,
+        setNamespace = ns => currentNamespace = Some(ns))
       .orElse(SqlDml.tryMetaAgg(statement, spark, graftViews.toMap, catalogOpt))
       .orElse {
         refreshGraftViews()

@@ -313,7 +313,7 @@ object SqlDml {
     * or parenthesis (a literal's closing syntax) breaks the match.
     */
   private val UseContextRe =
-    """(?is)\A\s*USE\s+(?:CATALOG|WAREHOUSE|DATABASE|SCHEMA|ROLE)\s+(?:IDENTIFIER\('[\w.]+'\)|[\w.`"]+)\s*;?\s*\z""".r
+    """(?is)\A\s*USE\s+(CATALOG|WAREHOUSE|DATABASE|SCHEMA|ROLE)\s+(?:IDENTIFIER\('([\w.]+)'\)|([\w.`"]+))\s*;?\s*\z""".r
 
   private val WriteOrderedByRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+([\w.`,\s]+?)\s*;?\s*\z""".r
@@ -389,16 +389,26 @@ object SqlDml {
       register: (String, GraftTable) => Unit,
       tables: Map[String, GraftTable] = Map.empty,
       unregister: String => Unit = _ => (),
-      refreshViews: () => Unit = () => ()): Option[StatementResult] = {
+      refreshViews: () => Unit = () => (),
+      defaultNamespace: Option[String] = None,
+      setNamespace: String => Unit = _ => ()): Option[StatementResult] = {
     // Context-switch headers the reference scripts open with, in dialects
     // Spark's parser rejects (`USE CATALOG x` is Databricks grammar,
     // `USE DATABASE`/`USE SCHEMA [IDENTIFIER('x')]` Snowflake): the engine
     // has one implicit catalog, so they are accepted no-ops — matched
     // anchored and in full, like WRITE ORDERED BY, so a statement merely
     // containing the phrase can never route here. Spark-parseable `USE ns`
-    // arrives as SetCatalogAndNamespace below instead.
+    // arrives as SetCatalogAndNamespace below instead. A DATABASE/SCHEMA
+    // switch naming a namespace the registered catalog HAS also becomes the
+    // default namespace for later unqualified DDL (the notebook flow).
     statement match {
-      case UseContextRe() => return Some(StatementResult(statement, Nil, None))
+      case UseContextRe(kw, identQ, identB) =>
+        if (Set("database", "schema")(kw.toLowerCase)) for {
+          cat <- catalog
+          ns = Option(identQ).getOrElse(identB).replaceAll("[`\"]", "")
+          if cat.namespaceExists(ns)
+        } setNamespace(ns)
+        return Some(StatementResult(statement, Nil, None))
       case AlterRefreshRe() =>
         refreshViews()
         return Some(StatementResult(statement, Nil, None))
@@ -650,10 +660,33 @@ object SqlDml {
           }
         }
 
-      // `USE ns` / `USE CATALOG c`: single implicit catalog — accept and
-      // move on so the reference scripts' context-switch headers run.
-      case _: SetCatalogAndNamespace =>
+      // `USE ns` / `USE NAMESPACE ns` / `USE CATALOG c`: single implicit
+      // catalog — accept so the reference scripts' context-switch headers
+      // run, and REMEMBER a namespace the registered catalog actually has
+      // (the notebooks then issue UNQUALIFIED create-table statements that
+      // resolve against it; an unknown namespace stays a pure no-op so the
+      // Snowflake/Databricks headers keep running unchanged).
+      case sc: SetCatalogAndNamespace =>
+        for {
+          cat <- catalog
+          u <- sc.child match {
+            case u: UnresolvedNamespace => Some(u)
+            case _ => None
+          }
+          ns = u.multipartIdentifier.mkString(".")
+          if cat.namespaceExists(ns)
+        } setNamespace(ns)
         Some(StatementResult(statement, Nil, None))
+      // `USE NAMESPACE ns` parses straight to the session-catalog command,
+      // which would fail against Spark's catalog for OUR namespaces — with
+      // a registered catalog it is accepted (and remembered when the
+      // namespace exists); without one it falls through to Spark's own
+      case sn: org.apache.spark.sql.execution.command.SetNamespaceCommand =>
+        catalog.map { cat =>
+          val ns = sn.namespace.mkString(".")
+          if (cat.namespaceExists(ns)) setNamespace(ns)
+          StatementResult(statement, Nil, None)
+        }
       case cmd if cmd.getClass.getSimpleName == "SetCatalogCommand" =>
         Some(StatementResult(statement, Nil, None))
 
@@ -859,8 +892,12 @@ object SqlDml {
         val (ns, tname) = ctas.name match {
           case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
             (id.nameParts.head, id.nameParts.last)
+          case id: UnresolvedIdentifier
+              if id.nameParts.size == 1 && defaultNamespace.isDefined =>
+            (defaultNamespace.get, id.nameParts.head)
           case id: UnresolvedIdentifier =>
-            unsupported(s"CTAS name ${id.nameParts.mkString(".")} (need ns.table)")
+            unsupported(s"CTAS name ${id.nameParts.mkString(".")} " +
+              "(need ns.table, or USE a namespace first)")
           case other => unsupported(s"CTAS target $other")
         }
         if (cat.tableExists(ns, tname)) {
@@ -921,8 +958,14 @@ object SqlDml {
         val (ns, tname) = ct.name match {
           case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
             (id.nameParts.head, id.nameParts.last)
+          // unqualified CREATE after USE <ns> (the notebook flow): resolve
+          // against the remembered namespace
+          case id: UnresolvedIdentifier
+              if id.nameParts.size == 1 && defaultNamespace.isDefined =>
+            (defaultNamespace.get, id.nameParts.head)
           case id: UnresolvedIdentifier =>
-            unsupported(s"CREATE TABLE name ${id.nameParts.mkString(".")} (need ns.table)")
+            unsupported(s"CREATE TABLE name ${id.nameParts.mkString(".")} " +
+              "(need ns.table, or USE a namespace first)")
           case other => unsupported(s"CREATE TABLE target $other")
         }
         if (cat.tableExists(ns, tname)) {

@@ -645,6 +645,34 @@ object HarnessQueries {
           "amt_after", "tag_rows", "refs", "refs_after_drop")
     }),
 
+    // The openspark.ipynb notebook flow VERBATIM (jupyternotebook/
+    // openspark.ipynb cells): show namespaces → create namespace → use
+    // namespace → show tables (empty) → UNQUALIFIED partitioned create →
+    // insert → select. The unqualified CREATE resolves against the USEd
+    // namespace — the statement a notebook replayer hits first.
+    "h_sql_notebook" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_notebook"))
+      eng.registerCatalog(cat)
+      val nsBefore = eng.execute("show namespaces").rows.size.toLong
+      eng.execute("create namespace open_spark_blob")
+      eng.execute("use namespace open_spark_blob")
+      val tablesBefore = eng.execute("show tables in open_spark_blob").rows.size.toLong
+      eng.execute("create table spark_table ( first_name STRING,last_name STRING," +
+        "amount INT,create_date DATE) using iceberg partitioned by (first_name)")
+      eng.execute("insert into spark_table values ('kun', 'xue', 100, cast('2025-05-06'as date))")
+      val row = eng.execute("select * from spark_table").rows.head
+      val t = cat.loadTable("open_spark_blob", "spark_table")
+      Seq((nsBefore, tablesBefore,
+        eng.execute("show tables in open_spark_blob").rows.map(_("tableName").toString).mkString(","),
+        row("first_name").toString, row("last_name").toString,
+        row("amount").toString.toLong, row("create_date").toString,
+        t.latest.partitionCols.mkString(",")))
+        .toDF("ns_before", "tables_before", "tables_after",
+          "first_name", "last_name", "amount", "create_date", "partition_cols")
+    }),
+
     // SHOW NAMESPACES / SHOW SCHEMAS over the registered catalog (ref
     // snowflake.sql:106 `show schemas`; openspark.ipynb "show namespaces"):
     // the engine lists CatalogService's namespaces — not Spark's own
@@ -715,6 +743,11 @@ object HarnessQueries {
            'create,append,append' AS history_ops,
            CAST(4 AS BIGINT) AS final_rows, CAST(1400 AS BIGINT) AS amount_sum,
            CAST(1 AS BIGINT) AS n_mail""",
+    "h_sql_notebook" ->
+      """SELECT CAST(0 AS BIGINT) AS ns_before, CAST(0 AS BIGINT) AS tables_before,
+           'spark_table' AS tables_after,
+           'kun' AS first_name, 'xue' AS last_name, CAST(100 AS BIGINT) AS amount,
+           '2025-05-06' AS create_date, 'first_name' AS partition_cols""",
     "h_sql_show_namespaces" ->
       """SELECT 'analytics,raw,staging' AS namespaces,
            'analytics,raw,staging' AS via_show_schemas,

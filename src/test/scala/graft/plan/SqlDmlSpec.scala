@@ -727,6 +727,32 @@ class SqlDmlSpec extends SparkSpec {
     assert(!bare.execute("SHOW NAMESPACES").rows.map(_("namespace")).contains("analytics"))
   }
 
+  test("USE namespace makes unqualified CREATE resolve against it (notebook flow)") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-usens"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE nb")
+    // unqualified create BEFORE any USE refuses loudly
+    intercept[Exception] { eng.execute("CREATE TABLE orphan (k BIGINT) USING iceberg") }
+    // USE of a namespace the catalog does NOT have is a no-op context-wise
+    eng.execute("USE NAMESPACE default")
+    intercept[Exception] { eng.execute("CREATE TABLE orphan (k BIGINT) USING iceberg") }
+    // the notebook flow: USE then bare CREATE lands in the used namespace
+    eng.execute("USE NAMESPACE nb")
+    eng.execute("CREATE TABLE noted (k BIGINT) USING iceberg")
+    assert(cat.tableExists("nb", "noted"))
+    eng.execute("INSERT INTO noted VALUES (7)")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM noted").rows.head("n") == 1L)
+    // Snowflake's `USE SCHEMA x` spelling sets the same context
+    eng.execute("CREATE NAMESPACE nb2")
+    eng.execute("USE SCHEMA nb2")
+    eng.execute("CREATE TABLE noted2 (k BIGINT) USING iceberg")
+    assert(cat.tableExists("nb2", "noted2"))
+    // qualified names still win over the context
+    eng.execute("CREATE TABLE nb.explicit (k BIGINT) USING iceberg")
+    assert(cat.tableExists("nb", "explicit") && !cat.tableExists("nb2", "explicit"))
+  }
+
   test("DROP NAMESPACE CASCADE unregisters the dropped tables' views") {
     val eng = new SparkSqlEngine(spark)
     val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-dropns"))
