@@ -46,6 +46,46 @@ class RetrievalSpec extends SparkSpec {
     assert(r(11L) > r(10L))
   }
 
+  test("hybrid RRF fuses keyword and vector ranks; absent ranks report 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "nothing relevant here"),
+      (1L, "table table table scan"), // bm25 rank 1
+      (2L, "table scan filter sort"), // bm25 rank 2
+      (3L, "scan filter group sort"), // keyword miss, vector rank 3
+      (4L, "group sort window scan") // keyword miss, zero vector -> excluded
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), // the query vector
+      (1L, Seq(1.0f, 0.0f)), // cos rank 1 (sim 1)
+      (2L, Seq(0.9f, 0.1f)), // cos rank 2
+      (3L, Seq(0.0f, 1.0f)), // cos rank 3 (sim 0 ranks, not excluded)
+      (4L, Seq(0.0f, 0.0f)) // NaN cosine -> excluded from the vector pool
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRrf(corpus, emb, Seq("table"), poolK = 3, k = 10)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def rrf(id: Long) = r(id).getDouble(r(id).fieldIndex("rrf"))
+    def rank(id: Long, c: String) = r(id).getLong(r(id).fieldIndex(c))
+    assert(r.keySet === Set(1L, 2L, 3L), "union of the two pools, minus NaN")
+    assert(rrf(1L) === BigDecimal(2.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rrf(2L) === BigDecimal(2.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rrf(3L) === BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rrf(1L) > rrf(2L) && rrf(2L) > rrf(3L), "both-pool docs outrank single-pool")
+    assert(rank(3L, "bm25_rank") === 0L && rank(3L, "cos_rank") === 3L,
+      "a keyword miss reports bm25_rank 0 but keeps its vector rank")
+  }
+
+  test("hybrid branches plan as TakeOrdered partial top-k, no cartesian join") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Retrieval.hybridRrf(docs, emb, Retrieval.QueryTerms)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"both pool reductions must be partial top-k, not global sorts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row query vector must broadcast, never cartesian:\n$plan")
+  }
+
   test("scoring is map-only after the one-row stats broadcast") {
     val plan = Retrieval.bm25(docs, Retrieval.QueryTerms)
       .queryExecution.executedPlan.toString
