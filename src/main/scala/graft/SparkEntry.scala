@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.ScaleQueries.queries ++
       graft.operators.Sessionize.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.LangModel.queries ++
       graft.llm.Decontaminate.queries ++
       graft.llm.Retrieval.queries ++
       graft.llm.Scrub.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.ScaleQueries.oracle ++
       graft.operators.Sessionize.oracle ++
       graft.llm.TextAnalysis.oracle ++
+      graft.llm.LangModel.oracle ++
       graft.llm.Decontaminate.oracle ++
       graft.llm.Retrieval.oracle ++
       graft.llm.Scrub.oracle ++
