@@ -205,6 +205,41 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand", "s_nationkey")),
 
+    // J7 — TPC-H Q5-shaped local-supplier join (spec
+    // ICEBERG-Interoperability-Test-Spec.md:43 names the TPC-DS star
+    // family; this is its 6-table snowflake sibling): region→nation filter
+    // broadcast onto customer, date-pruned orders shuffle-joined to
+    // customers on custkey, lineitem joined to the broadcast supplier dim,
+    // then ONE fact-fact shuffle on orderkey carrying the local-supplier
+    // condition (s_nationkey = c_nationkey). Revenue in exact DECIMAL,
+    // cast to double last — bit-identical to the DuckDB oracle.
+    "j7_local_supplier" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val co = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(co, col("l_orderkey") === col("o_orderkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // W1 — window ranking (beyond-reference: the reference has no OVER()
     // clauses, but a complete analytical surface needs them): top-3 orders
     // per customer market segment by price
@@ -325,6 +360,21 @@ object RelationalQueries {
            JOIN supplier ON l_suppkey = s_suppkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
          GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""",
+    "j7_local_supplier" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "w1_window_rank" ->
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -139,6 +139,34 @@ class PlanShapeSpec extends SparkSpec {
       s"fact scan read ${factScan.get.requiredSchema.fieldNames.toSet}")
   }
 
+  test("j7 snowflake join: dims broadcast, facts pruned, date filter pushed") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("j7_local_supplier")(spark, sf)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.initialPlan)
+        case _ => Nil
+      }))
+    val plan = walk(df.queryExecution.executedPlan)
+    assert(!plan.exists(_.nodeName.contains("CartesianProduct")))
+    // region->nation, nations->customer, supplier->lineitem all broadcast
+    assert(plan.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      s"expected the three dim joins to broadcast: ${plan.map(_.nodeName).distinct}")
+    // scale-invariant contracts: both fact scans prune to exactly the
+    // needed columns, and the date range reaches the orders scan
+    val li = scans(df).find(_.requiredSchema.fieldNames.contains("l_extendedprice"))
+    assert(li.isDefined && li.get.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+      s"lineitem scan read ${li.map(_.requiredSchema.fieldNames.toSet)}")
+    val ord = scans(df).find(_.requiredSchema.fieldNames.contains("o_orderdate"))
+    assert(ord.isDefined && ord.get.requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_custkey", "o_orderdate"),
+      s"orders scan read ${ord.map(_.requiredSchema.fieldNames.toSet)}")
+    assert(ord.get.metadata("PushedFilters").contains("o_orderdate"),
+      s"date range not pushed: ${ord.get.metadata.get("PushedFilters")}")
+  }
+
   test("semantic dedup: centroids broadcast for assignment, verify join stays equi") {
     val sf = "/root/testdata/sf0.001"
     val df = graft.llm.Similarity.semanticDedup(
