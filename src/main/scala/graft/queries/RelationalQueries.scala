@@ -274,6 +274,28 @@ object RelationalQueries {
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
         .orderBy("o_orderpriority")),
 
+    // W4 — ROLLUP subtotals (multi-level aggregate: Spark's Expand node
+    // replicates each input row once per grouping set BEFORE the shuffle,
+    // so partial aggregation still combines map-side and the plan stays
+    // one exchange — the 100 TB-safe shape for subtotal reports).
+    // grouping_id() disambiguates a genuine NULL key from a subtotal row.
+    "w4_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          dbl(sum(dec(col("l_quantity")))).as("total_qty"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // W5 — CUBE over two independent dimensions
+    "w5_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice")))).as("total_price"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")),
+
     // S2 — deterministic synthetic range source
     // (ref blob_dfs/blob-dfs_bench.py:48-65); every column including the
     // hash-derived `amount` is a pure function of user_id, so the FULL
@@ -382,6 +404,18 @@ object RelationalQueries {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "w4_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "w5_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
     "w2_having" ->
       """SELECT l_partkey, COUNT(*) AS n_items,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
