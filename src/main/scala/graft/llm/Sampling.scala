@@ -134,7 +134,45 @@ object Sampling {
       .repartitionByRange(col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
 
+  /** Token-budget mixture plan — the training-run data-recipe step: given
+    * a total token budget, allocate per-source shares by temperature-
+    * weighted size (`n_tokens^alpha`, the standard multilingual/multi-
+    * source upsampling rule: alpha < 1 flattens toward small sources), and
+    * report each source's sampling rate and epoch count (rate > 1 means
+    * the source repeats — epoch upsampling).
+    *
+    * Shape at 100 TB: one map-side-combined token-count aggregation over
+    * the corpus, then all planning arithmetic on the O(sources) table with
+    * the weight total as a one-row broadcast — no second corpus pass; the
+    * plan's rates feed `stratifiedSample`-style content-hash Bernoulli
+    * keeps. Float parity: per-source weights round to the 1e-6 grid, the
+    * weight total rounds before any ratio (same scheme as LangModel), so
+    * both engines divide bit-identical doubles.
+    */
+  def tokenBudgetMixture(docs: DataFrame, sourceCol: String = "source",
+      alpha: Double = 0.7, budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+    val weighted = perSource.withColumn("w",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val tot = weighted.agg(round(sum(col("w")), 6).as("tw"))
+    val planned = lit(budgetTokens.toDouble) * col("w") / col("tw")
+    weighted.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("w") / col("tw"), 6).as("share"),
+        round(planned).cast("bigint").as("planned_tokens"),
+        round(planned / col("n_tokens"), 6).as("rate"),
+        ceil(planned / col("n_tokens")).cast("bigint").as("n_epochs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Token-budget mixture plan: alpha=0.7 temperature over sources, 1M
+    // token budget; per-source share/rate/epochs (DuckDB-checked)
+    "sample_token_budget" -> ((s, dir) =>
+      tokenBudgetMixture(graft.queries.Tables.documents(s, dir))
+        .orderBy("source")),
+
     // Stratified deterministic sample: halve English, keep 10% Chinese,
     // 25% everything else; per-stratum counts + id checksum
     "sample_stratified" -> ((s, dir) =>
@@ -173,6 +211,22 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_token_budget" ->
+      raw"""WITH tk AS (SELECT source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+                FROM documents),
+           ps AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(nt) AS BIGINT) AS n_tokens
+                  FROM tk GROUP BY source),
+           w AS (SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS w
+                 FROM ps),
+           t AS (SELECT round(SUM(w), 6) AS tw FROM w)
+         SELECT source, n_docs, n_tokens,
+                round(w / tw, 6) AS share,
+                CAST(round(CAST(1000000 AS DOUBLE) * w / tw) AS BIGINT) AS planned_tokens,
+                round(CAST(1000000 AS DOUBLE) * w / tw / n_tokens, 6) AS rate,
+                CAST(ceil(CAST(1000000 AS DOUBLE) * w / tw / n_tokens) AS BIGINT) AS n_epochs
+         FROM w CROSS JOIN t ORDER BY source""",
     "sample_shuffle_split" ->
       """SELECT doc_id,
            CASE WHEN b < 10 THEN 'test' WHEN b < 15 THEN 'val' ELSE 'train' END AS split,

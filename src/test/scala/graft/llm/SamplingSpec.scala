@@ -71,4 +71,25 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mix filter must ride the scan:\n$plan")
   }
+
+  test("tokenBudgetMixture flattens toward small sources and fills the budget") {
+    import spark.implicits._
+    // big source: 90 docs x 10 tokens; small: 10 docs x 10 tokens
+    val docs = ((1 to 90).map(i => (i.toLong, "w w w w w w w w w w", "web")) ++
+      (1 to 10).map(i => (100L + i, "w w w w w w w w w w", "books")))
+      .toDF("doc_id", "text", "source")
+    val r = Sampling.tokenBudgetMixture(docs, budgetTokens = 1000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    def d(s: String, c: String) = r(s).getDouble(r(s).fieldIndex(c))
+    def l(s: String, c: String) = r(s).getLong(r(s).fieldIndex(c))
+    assert(l("web", "n_tokens") === 900L && l("books", "n_tokens") === 100L)
+    // alpha=0.7: share ratio (900/100)^0.7 = 9^0.7 ~ 4.66 < the 9x raw ratio
+    val ratio = d("web", "share") / d("books", "share")
+    assert(ratio > 4.0 && ratio < 5.5, s"alpha must flatten the 9x ratio, got $ratio")
+    assert(math.abs(d("web", "share") + d("books", "share") - 1.0) < 1e-5)
+    assert(math.abs(l("web", "planned_tokens") + l("books", "planned_tokens") - 1000L) <= 1L)
+    // books is over-demanded (planned > available) -> epoch upsampling
+    assert(l("books", "planned_tokens") > 100L && l("books", "n_epochs") >= 2L)
+    assert(l("web", "n_epochs") === 1L, "under-demanded source stays within one epoch")
+  }
 }
