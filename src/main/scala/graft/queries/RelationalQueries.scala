@@ -274,6 +274,58 @@ object RelationalQueries {
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
         .orderBy("o_orderpriority")),
 
+    // A7 — statistical aggregates (stddev/variance/corr/covar): one-pass
+    // co-moment aggregation, map-side partial like any algebraic agg. The
+    // 5-decimal rounds absorb the engines' partition-fold-order ulps
+    // (relative error ~1e-12 against a 5e-6 boundary distance).
+    "a7_stats_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 5).as("sd_qty"),
+          round(var_samp(col("l_discount")), 5).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 5).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 5).as("cov_qty_disc"))
+        .orderBy("l_returnflag")),
+
+    // W6 — NTILE decile report per order priority: the window partitions
+    // on o_orderpriority, so every partition sorts independently in
+    // parallel (an UNpartitioned ntile would move the whole table to one
+    // task — Spark's single-partition global window — which is why a
+    // GLOBAL decile report at 100 TB is instead computed from percentile
+    // boundaries broadcast over a map-only bucketing pass, never ntile).
+    // Ranks tie-break on o_orderkey so bucket membership is deterministic.
+    "w6_ntile_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("o_orderpriority", "decile")
+    }),
+
+    // W7 — GLOBAL decile report the scale-correct way: exact decile
+    // boundaries from one percentile aggregation (a single row), broadcast
+    // back over a map-only bucketing pass, then a 10-row rollup — no
+    // global sort, no single-task window. Ties sit on the boundary's low
+    // side (strict >) identically in both engines.
+    "w7_global_deciles" -> ((s, dir) => {
+      val bs = Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bs))
+        .withColumn("decile",
+          (lit(1) + size(filter(col("bs"), b => col("o_totalprice") > b))).cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("decile")
+    }),
+
     // W4 — ROLLUP subtotals (multi-level aggregate: Spark's Expand node
     // replicates each input row once per grouping set BEFORE the shuffle,
     // so partial aggregation still combines map-side and the plan stays
@@ -404,6 +456,31 @@ object RelationalQueries {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "a7_stats_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           round(stddev_samp(l_quantity), 5) AS sd_qty,
+           round(var_samp(l_discount), 5) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 5) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w6_ntile_deciles" ->
+      """SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+         FROM (SELECT o_orderpriority, o_totalprice,
+                 ntile(10) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS decile
+               FROM orders)
+         GROUP BY o_orderpriority, decile ORDER BY o_orderpriority, decile""",
+    "w7_global_deciles" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM orders)
+         SELECT CAST(1 + len(list_filter(bs, x -> o_totalprice > x)) AS INT) AS decile,
+                COUNT(*) AS n_orders,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+         FROM orders CROSS JOIN b
+         GROUP BY decile ORDER BY decile""",
     "w4_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
