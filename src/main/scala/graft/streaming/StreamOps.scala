@@ -98,6 +98,25 @@ object StreamOps {
     if (lastCommittedBatchId(t).forall(batchId > _))
       t.append(batch, extraSummary = Map("stream-batch-id" -> batchId.toString))
 
+  /** `ingestBatch` + bounded small-file growth — the ops problem every
+    * streaming table sink hits at 100 TB: each micro-batch commit adds
+    * files, and a week of 1-minute batches is 10k tiny files unless
+    * something compacts. This sink compacts INLINE whenever the live file
+    * count passes `maxFiles` (partition-local binpack via
+    * `Maintenance.rewriteDataFiles` — only partitions with ≥2 sub-target
+    * files rewrite, so steady-state work is proportional to fresh data,
+    * not table size). Correctness is unchanged: the compaction commit is
+    * content-preserving and carries no `stream-batch-id`, so the
+    * exactly-once replay check still sees exactly the append history.
+    */
+  def ingestBatchCompacting(t: graft.table.GraftTable, maxFiles: Int,
+      targetFileSizeBytes: Long = 512L * 1024 * 1024)
+      (batch: DataFrame, batchId: Long): Unit = {
+    ingestBatch(t)(batch, batchId)
+    if (t.latest.files.size > maxFiles)
+      graft.maintenance.Maintenance.rewriteDataFiles(t, targetFileSizeBytes)
+  }
+
   /** Exactly-once streaming UPSERT sink (the Flink-CDC-into-Iceberg shape,
     * built on merge-on-read): each micro-batch is reduced to its LAST
     * version per key (`orderCols` descending — (key, orderCols) must be
@@ -285,6 +304,44 @@ object StreamOps {
         .withColumn("n_stream_commits", lit(streamCommits.toLong))
     }),
 
+    // Streaming ingest with inline auto-compaction: 4 micro-batches into
+    // the table sink with maxFiles=2 — file count stays bounded while the
+    // row content equals one copy of events, compaction commits appear,
+    // and a fresh-checkpoint replay still skips every batch (the
+    // compaction commits carry no batch id).
+    "stream_ingest_autocompact" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/root/repo/target/graft-scratch/stream_ingest_autocompact"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      val events = graft.queries.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      events.repartition(4).write.parquet(s"$root/src")
+      val t = graft.table.GraftTable.create(s, s"$root/table", events.schema)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream
+          .foreachBatch(ingestBatchCompacting(t, maxFiles = 2) _)
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> all batches skipped
+      val streamCommits = t.snapshotsList.count(_.summary.contains("stream-batch-id"))
+      val compactions = t.snapshotsList.count(_.operation == "rewrite-data-files")
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("event_id")).as("id_sum"))
+        .withColumn("n_stream_commits", lit(streamCommits.toLong))
+        .withColumn("files_bounded", lit(t.latest.files.size <= 2))
+        .withColumn("compacted", lit(compactions >= 1L))
+    }),
+
     // Streaming write-audit-publish: micro-batches stage on a WAP branch
     // (exactly-once via the branch-durable batch id — a fresh-checkpoint
     // replay skips every batch), main sees NOTHING until the audited state
@@ -431,6 +488,11 @@ object StreamOps {
     "stream_table_sink" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
               CAST(4 AS BIGINT) AS n_stream_commits
+         FROM events""",
+    "stream_ingest_autocompact" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(4 AS BIGINT) AS n_stream_commits,
+              true AS files_bounded, true AS compacted
          FROM events""",
     "stream_wap_sink" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -37,6 +37,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.lastCommittedBatchId(t) === Some(2L))
   }
 
+  test("ingestBatchCompacting bounds file growth without disturbing batch ids") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("ingest-compact"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 5).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1)
+    val sink = StreamOps.ingestBatchCompacting(t, maxFiles = 2) _
+    (0L until 5L).foreach(i => sink(batch(i * 5), i))
+    assert(t.latest.files.size <= 2, s"file count ran away: ${t.latest.files.size}")
+    assert(t.snapshotsList.count(_.operation == "rewrite-data-files") >= 1)
+    // compaction commits carry no stream-batch-id, so the replay check
+    // still sees the append history: replays skip, the next id applies
+    assert(StreamOps.lastCommittedBatchId(t) === Some(4L))
+    (0L until 5L).foreach(i => sink(batch(i * 5), i))
+    assert(t.readLatest().count() === 25L)
+    sink(batch(25), 5L)
+    assert(t.readLatest().count() === 30L)
+    assert(t.readLatest().select("id").distinct().count() === 30L)
+  }
+
   test("upsertBatch: last version per key wins within and across batches, replays skipped") {
     import spark.implicits._
     val t = graft.table.GraftTable.create(spark, scratchDir("upsert-batch"),
