@@ -201,6 +201,45 @@ object TableQueries {
         .withColumn("n_dst_commits", lit(dst.snapshotsList.size.toLong))
     }),
 
+    // Incremental view maintenance: a per-priority COUNT/SUM view kept
+    // current from the source changelog's net deltas (O(delta) per cycle,
+    // exact DECIMAL sums) through the same append + MOR-upsert + MOR-delete
+    // history as t_follow_cdc; ivm_diff proves the incremental state equals
+    // a from-scratch re-aggregation bit-for-bit.
+    "t_follow_agg_ivm" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val src = GraftTable.create(s, scratch("followagg_src"), base.schema)
+      val dst = GraftTable.create(s, scratch("followagg_dst"), StructType(Seq(
+        StructField("o_orderpriority", StringType),
+        StructField("n_rows", LongType),
+        StructField("sum_val", DecimalType(18, 2)))))
+      def cycle(): Unit = {
+        graft.streaming.TableFollow.followAgg(src, dst,
+          Seq("o_orderpriority"), "o_totalprice")
+        ()
+      }
+      src.append(base.filter(col("o_orderkey") < 150))
+      cycle()
+      Dml.upsertMor(src,
+        base.filter(col("o_orderkey") >= 100)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        Seq("o_orderkey"))
+      Dml.deleteMorKeys(src,
+        base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      cycle()
+      val recomputed = src.readLatest().groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_val"))
+      val view = dst.readLatest()
+      val ivmDiff = view.exceptAll(recomputed).count() +
+        recomputed.exceptAll(view).count()
+      view.select(col("o_orderpriority"), col("n_rows"),
+          dbl(col("sum_val")).as("sum_price"))
+        .withColumn("ivm_diff", lit(ivmDiff))
+        .orderBy("o_orderpriority")
+    }),
+
     // Rollback procedure: a bad COW delete is undone by a NEW commit that
     // restores the earlier state; history stays linear (4 snapshots:
     // create, append, delete, rollback) and the bad commit stays
@@ -926,6 +965,17 @@ object TableQueries {
            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
            CAST(0 AS BIGINT) AS mirror_diff, CAST(3 AS BIGINT) AS n_dst_commits
          FROM final""",
+    "t_follow_agg_ivm" ->
+      """WITH final AS (
+           SELECT o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey < 100 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice + 1000.0 FROM orders
+           WHERE o_orderkey >= 100 AND o_orderkey < 200 AND o_orderkey % 7 <> 0)
+         SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(0 AS BIGINT) AS ivm_diff
+         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "t_rollback" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,

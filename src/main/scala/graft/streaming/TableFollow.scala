@@ -54,6 +54,50 @@ object TableFollow {
     mirror(src, dst, keyCols, from, to)
   }
 
+  /** Incremental view maintenance of a grouped COUNT/SUM aggregate — the
+    * materialized-view half of CDC consumption: `dst` holds one row per
+    * group (`groupCols..., n_rows BIGINT, sum_val DECIMAL(18,2)`) and each
+    * cycle applies the source changelog's NET deltas (insert: +1/+value,
+    * delete pre-image: -1/-value) instead of re-aggregating the source.
+    * Work per cycle is O(delta) plus a semi-join lookup of the AFFECTED
+    * groups in the agg table (which is #groups-sized, never source-sized)
+    * — at 100 TB the source scan that a view refresh would cost never
+    * happens. Sums are maintained in exact DECIMAL, so the incremental
+    * state equals a from-scratch re-aggregation bit-for-bit, groups whose
+    * count reaches 0 leave the view, and the same durable-offset commit
+    * scheme as [[follow]] makes crash replays exactly-once.
+    */
+  def followAgg(src: GraftTable, dst: GraftTable, groupCols: Seq[String],
+      valueCol: String): Option[Long] = {
+    val from = lastFollowedOffset(dst).getOrElse(0L)
+    val to = src.latest.snapshotId
+    if (to <= from) return None
+    val chg = src.readChangelog(from, to).persist()
+    try {
+      if (chg.isEmpty) return None
+      val keyC = groupCols.map(col)
+      val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val delta = chg.groupBy(keyC: _*).agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("d_n"),
+        sum(when(col("_change_type") === "insert", dec).otherwise(-dec)).as("d_sum"))
+      val current = dst.readLatest()
+        .join(delta.select(keyC: _*), groupCols, "left_semi")
+      val merged = current.join(delta, groupCols, "full_outer")
+        .select(keyC :+
+          (coalesce(col("n_rows"), lit(0L)) + col("d_n")).as("n_new") :+
+          (coalesce(col("sum_val"),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))) +
+            col("d_sum")).as("s_new"): _*)
+      val survivors = merged.filter(col("n_new") > 0)
+        .select(keyC :+ col("n_new").as("n_rows") :+
+          col("s_new").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("sum_val"): _*)
+      dst.commitMorDelta(merged.select(keyC: _*).distinct(), Some(survivors),
+        "follow-agg", extraSummary = Map(OffsetKey -> to.toString))
+      Some(to)
+    } finally chg.unpersist()
+  }
+
   /** Apply the net effect of the source changelog over (fromId, toId] to the
     * target as one atomic delete+insert commit carrying the offset marker.
     */

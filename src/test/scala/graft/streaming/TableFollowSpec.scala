@@ -103,6 +103,30 @@ class TableFollowSpec extends SparkSpec {
     assert(content(dst) == content(src))
   }
 
+  test("followAgg maintains exact group counts/sums; empty groups leave the view") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = Seq((0L, "x", 0.0)).toDF("k", "g", "v").schema
+    val src = GraftTable.create(spark, scratchDir("ivm-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir("ivm-dst"), StructType(Seq(
+      StructField("g", StringType), StructField("n_rows", LongType),
+      StructField("sum_val", DecimalType(18, 2)))))
+    def view = dst.readLatest().orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSeq
+    src.append(Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 10.0)).toDF("k", "g", "v"))
+    assert(TableFollow.followAgg(src, dst, Seq("g"), "v").isDefined)
+    assert(view == Seq(("a", 2L, 4.0), ("b", 1L, 10.0)))
+    // idle cycle is a no-op commit-wise (offset unchanged, no double-apply)
+    val commits = dst.snapshotsList.size
+    assert(TableFollow.followAgg(src, dst, Seq("g"), "v").isEmpty)
+    assert(dst.snapshotsList.size == commits)
+    // upsert moves a sum without changing counts; delete empties group b
+    Dml.upsertMor(src, Seq((2L, "a", 5.0)).toDF("k", "g", "v"), Seq("k"))
+    Dml.deleteMorKeys(src, Seq(Tuple1(3L)).toDF("k"))
+    assert(TableFollow.followAgg(src, dst, Seq("g"), "v").isDefined)
+    assert(view == Seq(("a", 2L, 6.5)), "b reached zero rows and must leave the view")
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
