@@ -340,6 +340,29 @@ object SqlDml {
   private val DropTagRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
 
+  // Materialized-view DDL (no Spark grammar for it — matched textually like
+  // branch DDL): grouped COUNT/SUM views maintained INCREMENTALLY from the
+  // source table's row-level changelog (`TableFollow.followAgg` — O(delta)
+  // per refresh, exact DECIMAL sums, never a source rescan). The supported
+  // defining-query shape is
+  //   SELECT g1[, g2...], COUNT(*) AS c, SUM(col) AS s FROM t GROUP BY g1[, g2...]
+  // — anything else refuses loudly. The view's backing table lives beside
+  // the source (`<srcDir>-mv-<name>`) and carries the definition in its
+  // table properties, so REFRESH after an engine restart needs no state
+  // beyond the registered names.
+  private val CreateMatViewRe =
+    """(?is)\A\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*\z""".r
+  private val RefreshMatViewRe =
+    """(?is)\A\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w`]+)\s*;?\s*\z""".r
+  private val DropMatViewRe =
+    """(?is)\A\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w`]+)\s*;?\s*\z""".r
+
+  private[plan] val MvSourceProp = "mv.source"
+  private val MvGroupColsProp = "mv.group-cols"
+  private val MvValueColProp = "mv.value-col"
+  private val MvCountAsProp = "mv.count-as"
+  private val MvSumAsProp = "mv.sum-as"
+
   /** SQL DDL against a registered catalog — the remaining statement shapes
     * of the reference's spark scripts (`bootstrap_namespace.sql:1`,
     * `create_sales_events.sql:1-24`):
@@ -447,6 +470,90 @@ object SqlDml {
           if (!dropped && ifExists == null)
             throw new IllegalArgumentException(s"no tag $name on $ident")
           return Some(StatementResult(statement, Nil, None))
+        }
+      case CreateMatViewRe(ifNot, nameQ, selectList, srcIdent, groupByStr) =>
+        resolveDdlIdent(srcIdent).foreach { src =>
+          val name = nameQ.replace("`", "")
+          val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
+          val CountAgg = """(?i)\ACOUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\z""".r
+          val SumAgg = """(?i)\ASUM\s*\(\s*([\w`]+)\s*\)\s+AS\s+(\w+)\z""".r
+          if (items.length < 3)
+            unsupported("materialized view query (need group cols, COUNT(*) AS c, SUM(col) AS s)")
+          val (gItems, aggItems) = items.splitAt(items.length - 2)
+          val (countAs, valueCol, sumAs) = aggItems match {
+            case Array(CountAgg(c), SumAgg(v, s)) => (c, v.replace("`", ""), s)
+            case _ =>
+              unsupported("materialized view aggregates (need exactly COUNT(*) AS c, SUM(col) AS s)")
+          }
+          if (!gItems.forall(_.matches("[\\w`]+")))
+            unsupported("materialized view group columns (bare identifiers only)")
+          val groupCols = gItems.map(_.replace("`", "")).toSeq
+          val gby = groupByStr.split(",").map(_.trim.replace("`", ""))
+            .filter(_.nonEmpty).toSeq
+          if (groupCols.sorted != gby.sorted)
+            throw new IllegalArgumentException(
+              s"GROUP BY (${gby.mkString(", ")}) must list the selected group " +
+                s"columns (${groupCols.mkString(", ")})")
+          val mvDir = s"${src.tableDir}-mv-$name"
+          if (GraftTable.exists(spark, mvDir)) {
+            if (ifNot == null)
+              throw new IllegalArgumentException(s"materialized view $name already exists")
+            register(name, GraftTable.load(spark, mvDir))
+            return Some(StatementResult(statement, Nil, None))
+          }
+          val srcSchema = src.readLatest().schema
+          import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+          val fields = groupCols.map { g =>
+            val f = srcSchema.find(_.name.equalsIgnoreCase(g)).getOrElse(
+              throw new IllegalArgumentException(s"group column $g not in $srcIdent"))
+            StructField(f.name, f.dataType)
+          } ++ Seq(StructField(countAs, LongType),
+            StructField(sumAs, DecimalType(18, 2)))
+          if (!srcSchema.fieldNames.exists(_.equalsIgnoreCase(valueCol)))
+            throw new IllegalArgumentException(s"SUM column $valueCol not in $srcIdent")
+          val mv = GraftTable.create(spark, mvDir, StructType(fields),
+            properties = Map(
+              MvSourceProp -> srcIdent.replace("`", ""),
+              MvGroupColsProp -> groupCols.mkString(","),
+              MvValueColProp -> valueCol,
+              MvCountAsProp -> countAs,
+              MvSumAsProp -> sumAs))
+          graft.streaming.TableFollow.initAgg(src, mv, groupCols, valueCol,
+            countAs, sumAs)
+          register(name, mv)
+          return Some(StatementResult(statement, Nil, None))
+        }
+      case RefreshMatViewRe(nameQ) =>
+        tables.get(nameQ.replace("`", "").toLowerCase).foreach { mv =>
+          val props = mv.properties
+          val srcName = props.getOrElse(MvSourceProp,
+            throw new IllegalArgumentException(
+              s"$nameQ is a table, not a materialized view"))
+          val src = resolveDdlIdent(srcName).getOrElse(
+            throw new IllegalArgumentException(
+              s"materialized view source $srcName is not registered"))
+          val refreshed = graft.streaming.TableFollow.followAgg(src, mv,
+            props(MvGroupColsProp).split(",").toSeq, props(MvValueColProp),
+            props(MvCountAsProp), props(MvSumAsProp))
+          refreshViews()
+          return Some(StatementResult(statement,
+            Seq(Map("view" -> nameQ.replace("`", ""),
+              "refreshed" -> refreshed.isDefined)), None))
+        }
+      case DropMatViewRe(ifExists, nameQ) =>
+        val name = nameQ.replace("`", "").toLowerCase
+        tables.get(name) match {
+          case Some(mv) if mv.properties.contains(MvSourceProp) =>
+            unregister(name)
+            val p = new org.apache.hadoop.fs.Path(mv.tableDir)
+            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+            return Some(StatementResult(statement, Nil, None))
+          case Some(_) =>
+            throw new IllegalArgumentException(s"$name is a table, not a materialized view")
+          case None if ifExists != null =>
+            return Some(StatementResult(statement, Nil, None))
+          case None =>
+            throw new IllegalArgumentException(s"no materialized view $name")
         }
       case _ =>
     }

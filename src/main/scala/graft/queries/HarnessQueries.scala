@@ -678,6 +678,37 @@ object HarnessQueries {
     // the engine lists CatalogService's namespaces — not Spark's own
     // catalog — with LIKE-pattern filtering, and a dropped namespace
     // disappears from the listing. Deterministic names → literal oracle.
+    // Materialized-view SQL lifecycle end to end: CREATE over a registered
+    // table, read the view, append through SQL INSERT, REFRESH (O(delta)
+    // changelog apply), read the refreshed state — the final per-priority
+    // rows are recomputed relationally by the oracle.
+    "h_sql_matview" -> ((s, dir) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = graft.table.GraftTable.create(s, scratch("sql_mv"), base.schema)
+      t.append(base)
+      eng.registerGraftTable("ord", t)
+      eng.execute("CREATE MATERIALIZED VIEW prio_mv AS SELECT o_orderpriority, " +
+        "COUNT(*) AS n_orders, SUM(o_totalprice) AS total FROM ord " +
+        "GROUP BY o_orderpriority")
+      val nBefore = eng.execute("SELECT COUNT(*) AS c FROM prio_mv")
+        .rows.head("c").asInstanceOf[Long]
+      eng.execute("INSERT INTO ord VALUES (1001, '1-URGENT', 111.11), " +
+        "(1002, '1-URGENT', 222.22)")
+      val refreshed = eng.execute("REFRESH MATERIALIZED VIEW prio_mv")
+        .rows.head("refreshed").asInstanceOf[Boolean]
+      eng.execute("SELECT o_orderpriority, n_orders, total FROM prio_mv")
+        .rows.map(r => (r("o_orderpriority").asInstanceOf[String],
+          r("n_orders").asInstanceOf[Long],
+          r("total").asInstanceOf[java.math.BigDecimal].doubleValue()))
+        .toDF("o_orderpriority", "n_orders", "total")
+        .withColumn("groups_before", lit(nBefore))
+        .withColumn("refreshed", lit(refreshed))
+        .orderBy("o_orderpriority")
+    }),
+
     "h_sql_show_namespaces" -> ((s, _) => {
       import s.implicits._
       val eng = new SparkSqlEngine(s)
@@ -748,6 +779,19 @@ object HarnessQueries {
            'spark_table' AS tables_after,
            'kun' AS first_name, 'xue' AS last_name, CAST(100 AS BIGINT) AS amount,
            '2025-05-06' AS create_date, 'first_name' AS partition_cols""",
+    "h_sql_matview" ->
+      """WITH final AS (
+           SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey < 100
+           UNION ALL SELECT '1-URGENT', 111.11
+           UNION ALL SELECT '1-URGENT', 222.22),
+         n_before AS (
+           SELECT COUNT(DISTINCT o_orderpriority) AS g FROM orders
+           WHERE o_orderkey < 100)
+         SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           (SELECT g FROM n_before) AS groups_before,
+           true AS refreshed
+         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "h_sql_show_namespaces" ->
       """SELECT 'analytics,raw,staging' AS namespaces,
            'analytics,raw,staging' AS via_show_schemas,

@@ -68,7 +68,8 @@ object TableFollow {
     * scheme as [[follow]] makes crash replays exactly-once.
     */
   def followAgg(src: GraftTable, dst: GraftTable, groupCols: Seq[String],
-      valueCol: String): Option[Long] = {
+      valueCol: String, countCol: String = "n_rows",
+      sumCol: String = "sum_val"): Option[Long] = {
     val from = lastFollowedOffset(dst).getOrElse(0L)
     val to = src.latest.snapshotId
     if (to <= from) return None
@@ -84,18 +85,40 @@ object TableFollow {
         .join(delta.select(keyC: _*), groupCols, "left_semi")
       val merged = current.join(delta, groupCols, "full_outer")
         .select(keyC :+
-          (coalesce(col("n_rows"), lit(0L)) + col("d_n")).as("n_new") :+
-          (coalesce(col("sum_val"),
+          (coalesce(col(countCol), lit(0L)) + col("d_n")).as("n_new") :+
+          (coalesce(col(sumCol),
             lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))) +
             col("d_sum")).as("s_new"): _*)
       val survivors = merged.filter(col("n_new") > 0)
-        .select(keyC :+ col("n_new").as("n_rows") :+
+        .select(keyC :+ col("n_new").as(countCol) :+
           col("s_new").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-            .as("sum_val"): _*)
+            .as(sumCol): _*)
       dst.commitMorDelta(merged.select(keyC: _*).distinct(), Some(survivors),
         "follow-agg", extraSummary = Map(OffsetKey -> to.toString))
       Some(to)
     } finally chg.unpersist()
+  }
+
+  /** Full build of the COUNT/SUM view from the source's CURRENT state,
+    * stamping the offset so later [[followAgg]] cycles are incremental.
+    * Used at view creation: the source's PAST history may contain
+    * copy-on-write commits the changelog cannot replay, but an MV created
+    * now only needs the future as deltas. Requires an empty target.
+    */
+  def initAgg(src: GraftTable, dst: GraftTable, groupCols: Seq[String],
+      valueCol: String, countCol: String = "n_rows",
+      sumCol: String = "sum_val"): Long = {
+    require(dst.readLatest().isEmpty,
+      s"initAgg requires an empty view table: ${dst.tableDir}")
+    val to = src.latest.snapshotId
+    val keyC = groupCols.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val agg = src.readLatest().groupBy(keyC: _*).agg(
+      count(lit(1)).as(countCol),
+      sum(col(valueCol).cast(dec)).cast(dec).as(sumCol))
+    dst.append(agg.select(keyC :+ col(countCol) :+ col(sumCol): _*),
+      extraSummary = Map(OffsetKey -> to.toString))
+    to
   }
 
   /** Apply the net effect of the source changelog over (fromId, toId] to the

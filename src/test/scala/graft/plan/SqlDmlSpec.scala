@@ -928,4 +928,52 @@ class SqlDmlSpec extends SparkSpec {
       eng.execute("CALL graft.system.fast_forward(table => 'wn', branch => 'main', to => 'b')")
     }
   }
+
+  test("materialized view lifecycle: create, incremental refresh, drop") {
+    val (eng, t) = mkTable("sqldml-mv")
+    eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT channel, " +
+      "COUNT(*) AS n, SUM(price) AS total FROM sales GROUP BY channel")
+    def mvRows() = eng.execute("SELECT channel, n, total FROM mv ORDER BY channel")
+      .rows.map(r => (r("channel"), r("n"),
+        r("total").asInstanceOf[java.math.BigDecimal].doubleValue()))
+    assert(mvRows() == Seq(("app", 2L, 12.0), ("store", 1L, 8.0), ("web", 1L, 6.0)))
+    // source DML, then an O(delta) refresh — counts and sums move exactly
+    eng.execute("INSERT INTO sales VALUES (16, 14, 3.5, 'web')")
+    eng.execute("DELETE FROM sales WHERE event_id = 8") // COW delete...
+    intercept[Exception] { // ...which the changelog refuses loudly
+      eng.execute("REFRESH MATERIALIZED VIEW mv")
+    }
+    val (eng2, t2) = mkTable("sqldml-mv2")
+    eng2.execute("CREATE MATERIALIZED VIEW mv AS SELECT channel, " +
+      "COUNT(*) AS n, SUM(price) AS total FROM sales GROUP BY channel")
+    eng2.execute("INSERT INTO sales VALUES (16, 14, 3.5, 'web')")
+    graft.dml.Dml.deleteMorKeys(t2, {
+      import spark.implicits._
+      Seq(Tuple1(8L)).toDF("event_id")
+    })
+    val r = eng2.execute("REFRESH MATERIALIZED VIEW mv")
+    assert(r.rows.head("refreshed") == true)
+    val rows2 = eng2.execute("SELECT channel, n, total FROM mv ORDER BY channel")
+      .rows.map(x => (x("channel"), x("n"),
+        x("total").asInstanceOf[java.math.BigDecimal].doubleValue()))
+    assert(rows2 == Seq(("app", 2L, 12.0), ("web", 2L, 9.5)),
+      "store reached zero rows and must leave the view")
+    // idle refresh is a no-op, not a double-apply
+    assert(eng2.execute("REFRESH MATERIALIZED VIEW mv").rows.head("refreshed") == false)
+    eng2.execute("DROP MATERIALIZED VIEW mv")
+    intercept[Exception] { eng2.execute("REFRESH MATERIALIZED VIEW mv") }
+    eng2.execute("DROP MATERIALIZED VIEW IF EXISTS mv") // idempotent form
+  }
+
+  test("materialized view refuses unsupported shapes and non-MV targets") {
+    val (eng, _) = mkTable("sqldml-mv-neg")
+    intercept[Exception] { // AVG is not maintainable by count/sum deltas alone
+      eng.execute("CREATE MATERIALIZED VIEW bad AS SELECT channel, " +
+        "AVG(price) AS a FROM sales GROUP BY channel")
+    }
+    intercept[Exception] { // plain table is not an MV
+      eng.execute("REFRESH MATERIALIZED VIEW sales")
+    }
+    intercept[Exception] { eng.execute("DROP MATERIALIZED VIEW sales") }
+  }
 }
