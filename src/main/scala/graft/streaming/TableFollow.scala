@@ -81,10 +81,17 @@ object TableFollow {
       val delta = chg.groupBy(keyC: _*).agg(
         sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("d_n"),
         sum(when(col("_change_type") === "insert", dec).otherwise(-dec)).as("d_sum"))
-      val current = dst.readLatest()
-        .join(delta.select(keyC: _*), groupCols, "left_semi")
-      val merged = current.join(delta, groupCols, "full_outer")
-        .select(keyC :+
+      // joins are NULL-SAFE on the group keys (<=>): a NULL group is a
+      // legitimate group and must merge with its existing view row — a
+      // plain equi-join would leave both sides unmatched and double-count
+      val dAlias = delta.select(keyC.zipWithIndex.map { case (c, i) =>
+        c.as(s"_gf_k$i") } :+ col("d_n") :+ col("d_sum"): _*)
+      val joinCond = groupCols.zipWithIndex
+        .map { case (g, i) => col(g) <=> col(s"_gf_k$i") }.reduce(_ && _)
+      val current = dst.readLatest().join(dAlias, joinCond, "left_semi")
+      val merged = current.join(dAlias, joinCond, "full_outer")
+        .select(groupCols.zipWithIndex.map { case (g, i) =>
+          coalesce(col(g), col(s"_gf_k$i")).as(g) } :+
           (coalesce(col(countCol), lit(0L)) + col("d_n")).as("n_new") :+
           (coalesce(col(sumCol),
             lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))) +

@@ -127,6 +127,26 @@ class TableFollowSpec extends SparkSpec {
     assert(view == Seq(("a", 2L, 6.5)), "b reached zero rows and must leave the view")
   }
 
+  test("followAgg merges a NULL group key with its existing view row") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = Seq((0L, Option("x"), 0.0)).toDF("k", "g", "v").schema
+    val src = GraftTable.create(spark, scratchDir("ivm-null-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir("ivm-null-dst"), StructType(Seq(
+      StructField("g", StringType), StructField("n_rows", LongType),
+      StructField("sum_val", DecimalType(18, 2)))))
+    src.append(Seq((1L, Option("a"), 1.0), (2L, Option.empty[String], 2.0))
+      .toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    src.append(Seq((3L, Option.empty[String], 3.0)).toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    val rows = dst.readLatest().orderBy(asc_nulls_first("g")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSeq
+    assert(rows == Seq((None, 2L, 5.0), (Some("a"), 1L, 1.0)),
+      s"NULL group must stay ONE group, got $rows")
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
