@@ -86,7 +86,49 @@ object Decontaminate {
   private def corpusBenchSplit(docs: DataFrame): (DataFrame, DataFrame) =
     (docs.filter(col("doc_id") % 17 =!= 0), docs.filter(col("doc_id") % 17 === 0))
 
+  /** Corpus novelty scoring (the duplication-analysis lens of Lee et al.
+    * 2022, arXiv:2107.06499: how much of each document is text the corpus
+    * has already seen): per doc, the fraction of its distinct word n-grams
+    * whose FIRST owner (minimum doc_id corpus-wide) is this doc. Low
+    * novelty marks boilerplate and near-copies without committing to a
+    * dedup decision — the analysis that motivates one.
+    *
+    * Scale shape: one (gram → min doc_id) aggregation over the exploded
+    * distinct-gram stream (narrow rows, map-side combined), joined back to
+    * the same stream on the gram key, then a per-doc partial agg. At
+    * 100 TB the join key is the 8-byte `ngram_hash` (the decontamination
+    * precedent); string grams keep this entry oracle-checkable.
+    */
+  def noveltyReport(corpus: DataFrame, n: Int = 5): DataFrame = {
+    val g = corpus.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val owners = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val counts = g.join(owners, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    corpus.select("doc_id").join(counts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_novel") / col("n_grams"), 6)))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Per-doc novelty fractions (DuckDB replays the full first-owner model)
+    "text_novelty" -> ((s, dir) =>
+      noveltyReport(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus roll-up: how much of the corpus is first-seen text
+    "text_novelty_rate" -> ((s, dir) =>
+      noveltyReport(Tables.documents(s, dir))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_novel")).as("novel_grams"),
+          round(sum(col("n_novel")) / sum(col("n_grams")), 6).as("novel_rate"))),
+
     // Per-doc contamination report, string n-grams (DuckDB-checkable)
     "decontaminate_report" -> ((s, dir) => {
       val (corpus, bench) = corpusBenchSplit(Tables.documents(s, dir))
@@ -148,7 +190,46 @@ object Decontaminate {
            FROM grams LEFT JOIN counts USING (doc_id)
            WHERE grams.doc_id % 17 <> 0)"""
 
+  // Novelty replayed relationally: the same 5-gram windows, first owner =
+  // min doc_id per gram, fraction per doc (docs with no full window report
+  // zero grams and novelty 0.0)
+  private val noveltySql =
+    raw"""WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, list_distinct($gramsSql) AS grams
+           FROM toks),
+         exploded AS (
+           SELECT grams.doc_id, g.gram
+           FROM grams, UNNEST(grams.grams) AS g(gram)),
+         owners AS (
+           SELECT gram, MIN(doc_id) AS first_doc FROM exploded GROUP BY gram),
+         counts AS (
+           SELECT e.doc_id, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM exploded e JOIN owners o USING (gram)
+           GROUP BY e.doc_id),
+         report AS (
+           SELECT d.doc_id,
+                  CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+                  CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel,
+                  CASE WHEN COALESCE(c.n_grams, 0) = 0 THEN 0.0
+                       ELSE round(COALESCE(c.n_novel, 0) / CAST(c.n_grams AS DOUBLE), 6)
+                  END AS novelty
+           FROM documents d LEFT JOIN counts c USING (doc_id))"""
+
   val oracle: Map[String, String] = Map(
+    "text_novelty" -> (noveltySql +
+      " SELECT doc_id, n_grams, n_novel, novelty FROM report ORDER BY doc_id"),
+    "text_novelty_rate" -> (noveltySql + """
+         SELECT COUNT(*) AS n_docs,
+                CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+                CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+                round(SUM(n_novel) / CAST(SUM(n_grams) AS DOUBLE), 6) AS novel_rate
+         FROM report"""),
     "decontaminate_report" -> (reportSql +
       """
          SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated

@@ -70,4 +70,21 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
   }
+
+  test("novelty: first owner keeps full credit, copies score zero, short docs are safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // 2 distinct 5-grams, both first-seen here
+      (2L, "a b c d e f"), // exact copy -> 0 novel
+      (3L, "a b c d e zz"), // shares gram "a b c d e" with doc 1, adds 1 new
+      (4L, "too short") // no full 5-gram window
+    ).toDF("doc_id", "text")
+    val r = Decontaminate.noveltyReport(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(x.fieldIndex("novelty"))))).toMap
+    assert(r(1L) === ((2L, 2L, 1.0)))
+    assert(r(2L) === ((2L, 0L, 0.0)), "an exact copy has zero novelty")
+    assert(r(3L) === ((2L, 1L, 0.5)), "the shared gram belongs to doc 1")
+    assert(r(4L) === ((0L, 0L, 0.0)), "short docs report zero grams, not NaN")
+  }
 }
