@@ -93,23 +93,25 @@ object Decontaminate {
     * novelty marks boilerplate and near-copies without committing to a
     * dedup decision — the analysis that motivates one.
     *
-    * Scale shape: one (gram → min doc_id) aggregation over the exploded
-    * distinct-gram stream (narrow rows, map-side combined), joined back to
-    * the same stream on the gram key, then a per-doc partial agg. At
-    * 100 TB the join key is the 8-byte `ngram_hash` (the decontamination
-    * precedent); string grams keep this entry oracle-checkable.
+    * Scale shape: ONE shuffle — the (gram → min doc_id) aggregation over
+    * the exploded distinct-gram stream (narrow rows, map-side combined).
+    * `n_novel` then falls out of the owners table alone (count per
+    * first_doc — the gram stream is never joined back), and `n_grams` is
+    * a map-only `size(array_distinct(...))` per doc; the two meet in a
+    * doc_id-keyed join of doc-sized sides. At 100 TB the gram key is the
+    * 8-byte `ngram_hash` (the decontamination precedent); string grams
+    * keep this entry oracle-checkable.
     */
   def noveltyReport(corpus: DataFrame, n: Int = 5): DataFrame = {
     val g = corpus.select(col("doc_id"),
       explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
-    val owners = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    val counts = g.join(owners, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-    corpus.select("doc_id").join(counts, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    val novel = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    val perDoc = corpus.select(col("doc_id"),
+      size(array_distinct(wordNgrams(col("text"), n))).cast("bigint").as("n_grams"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         when(col("n_grams") === 0, lit(0.0))
