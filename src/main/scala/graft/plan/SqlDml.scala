@@ -474,6 +474,12 @@ object SqlDml {
       case CreateMatViewRe(ifNot, nameQ, selectList, srcIdent, groupByStr) =>
         resolveDdlIdent(srcIdent).foreach { src =>
           val name = nameQ.replace("`", "")
+          // a registered TABLE name must never be silently rebound to a view
+          tables.get(name.toLowerCase).foreach { existing =>
+            if (!existing.properties.contains(MvSourceProp))
+              throw new IllegalArgumentException(
+                s"$name is already a registered table; pick another view name")
+          }
           val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
           val CountAgg = """(?i)\ACOUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\z""".r
           val SumAgg = """(?i)\ASUM\s*\(\s*([\w`]+)\s*\)\s+AS\s+(\w+)\z""".r

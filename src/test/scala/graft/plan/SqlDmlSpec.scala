@@ -975,5 +975,9 @@ class SqlDmlSpec extends SparkSpec {
       eng.execute("REFRESH MATERIALIZED VIEW sales")
     }
     intercept[Exception] { eng.execute("DROP MATERIALIZED VIEW sales") }
+    intercept[Exception] { // an MV must not silently shadow a table name
+      eng.execute("CREATE MATERIALIZED VIEW sales AS SELECT channel, " +
+        "COUNT(*) AS n, SUM(price) AS s FROM sales GROUP BY channel")
+    }
   }
 }
