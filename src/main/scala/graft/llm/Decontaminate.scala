@@ -93,11 +93,12 @@ object Decontaminate {
     * novelty marks boilerplate and near-copies without committing to a
     * dedup decision — the analysis that motivates one.
     *
-    * Scale shape: ONE shuffle — the (gram → min doc_id) aggregation over
-    * the exploded distinct-gram stream (narrow rows, map-side combined).
-    * `n_novel` then falls out of the owners table alone (count per
-    * first_doc — the gram stream is never joined back), and `n_grams` is
-    * a map-only `size(array_distinct(...))` per doc; the two meet in a
+    * Scale shape: the exploded distinct-gram stream is shuffled exactly
+    * once (the gram → min doc_id aggregation, narrow rows, map-side
+    * combined) and never joined back. Everything after runs on the owners
+    * table — distinct-gram-sized, strictly smaller — whose per-first_doc
+    * count is the n_novel column; `n_grams` is a map-only
+    * `size(array_distinct(...))` per doc, and the two meet in a
     * doc_id-keyed join of doc-sized sides. At 100 TB the gram key is the
     * 8-byte `ngram_hash` (the decontamination precedent); string grams
     * keep this entry oracle-checkable.
