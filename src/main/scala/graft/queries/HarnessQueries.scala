@@ -687,7 +687,14 @@ object HarnessQueries {
       val eng = new SparkSqlEngine(s)
       val base = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      val t = graft.table.GraftTable.create(s, scratch("sql_mv"), base.schema)
+      val tblDir = scratch("sql_mv")
+      // the MV's backing table lives BESIDE the source dir, outside what
+      // scratch() wipes — clear it so the entry reruns in one JVM
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"$tblDir-mv-prio_mv"))
+      val t = graft.table.GraftTable.create(s, tblDir, base.schema)
       t.append(base)
       eng.registerGraftTable("ord", t)
       eng.execute("CREATE MATERIALIZED VIEW prio_mv AS SELECT o_orderpriority, " +
