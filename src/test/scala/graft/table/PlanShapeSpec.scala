@@ -167,6 +167,38 @@ class PlanShapeSpec extends SparkSpec {
       s"date range not pushed: ${ord.get.metadata.get("PushedFilters")}")
   }
 
+  test("novelty: the gram stream aggregates once and is never joined back") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exec = graft.llm.Decontaminate.noveltyReport(docs)
+      .queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.initialPlan)
+        case _ => Nil
+      }))
+    val plan = walk(exec)
+    assert(!plan.exists(_.nodeName.contains("CartesianProduct")))
+    // every join keys on doc_id; none may carry the gram column (a
+    // gram-keyed join would mean the exploded stream was joined back)
+    val joins = plan.filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty)
+    assert(joins.forall(j => !j.simpleString(200).contains("gram#")),
+      s"a join carries the gram stream:\n${joins.map(_.simpleString(200)).mkString("\n")}")
+  }
+
+  test("token-budget mixture: one corpus agg, planning arithmetic broadcast") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.llm.Sampling.tokenBudgetMixture(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the one-row weight total must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"weight total should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the O(sources) planning should sort-merge:\n$plan")
+  }
+
   test("semantic dedup: centroids broadcast for assignment, verify join stays equi") {
     val sf = "/root/testdata/sf0.001"
     val df = graft.llm.Similarity.semanticDedup(
