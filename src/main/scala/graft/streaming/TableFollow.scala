@@ -89,13 +89,17 @@ object TableFollow {
       val joinCond = groupCols.zipWithIndex
         .map { case (g, i) => col(g) <=> col(s"_gf_k$i") }.reduce(_ && _)
       val current = dst.readLatest().join(dAlias, joinCond, "left_semi")
+      // d_sum is NULL when every changed row's value is NULL (SQL SUM skips
+      // them) — coalesce to 0 so it cannot poison the running sum. The
+      // view's sum convention is therefore SUM(COALESCE(value, 0)): NULL
+      // values count rows but add nothing, and an all-NULL group reads 0.
+      val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
       val merged = current.join(dAlias, joinCond, "full_outer")
         .select(groupCols.zipWithIndex.map { case (g, i) =>
           coalesce(col(g), col(s"_gf_k$i")).as(g) } :+
           (coalesce(col(countCol), lit(0L)) + col("d_n")).as("n_new") :+
-          (coalesce(col(sumCol),
-            lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))) +
-            col("d_sum")).as("s_new"): _*)
+          (coalesce(col(sumCol), zero) +
+            coalesce(col("d_sum"), zero)).as("s_new"): _*)
       val survivors = merged.filter(col("n_new") > 0)
         .select(keyC :+ col("n_new").as(countCol) :+
           col("s_new").cast(org.apache.spark.sql.types.DecimalType(18, 2))
@@ -120,9 +124,10 @@ object TableFollow {
     val to = src.latest.snapshotId
     val keyC = groupCols.map(col)
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // same SUM(COALESCE(value, 0)) convention as the incremental path
     val agg = src.readLatest().groupBy(keyC: _*).agg(
       count(lit(1)).as(countCol),
-      sum(col(valueCol).cast(dec)).cast(dec).as(sumCol))
+      coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).cast(dec).as(sumCol))
     dst.append(agg.select(keyC :+ col(countCol) :+ col(sumCol): _*),
       extraSummary = Map(OffsetKey -> to.toString))
     to

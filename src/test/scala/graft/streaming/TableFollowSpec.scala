@@ -147,6 +147,26 @@ class TableFollowSpec extends SparkSpec {
       s"NULL group must stay ONE group, got $rows")
   }
 
+  test("followAgg counts NULL-valued rows but adds nothing to the sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = Seq((0L, "x", Option(0.0))).toDF("k", "g", "v").schema
+    val src = GraftTable.create(spark, scratchDir("ivm-nullv-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir("ivm-nullv-dst"), StructType(Seq(
+      StructField("g", StringType), StructField("n_rows", LongType),
+      StructField("sum_val", DecimalType(18, 2)))))
+    src.append(Seq((1L, "a", Option(2.0)), (2L, "a", Option.empty[Double]))
+      .toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    // a batch whose values are ALL NULL must not poison the running sum
+    src.append(Seq((3L, "a", Option.empty[Double])).toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    val r = dst.readLatest().collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getDecimal(2).doubleValue())).toSeq
+    assert(r == Seq(("a", 3L, 2.0)),
+      s"NULL values count rows, add nothing: got $r")
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
