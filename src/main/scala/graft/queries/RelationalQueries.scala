@@ -158,6 +158,33 @@ object RelationalQueries {
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // F11 — edit-distance fuzzy matching over the nation dimension (a
+    // 25x25 self-comparison: exact-pairwise is the declared correctness
+    // scope — fuzzy joins over large tables need a blocking key first,
+    // exactly like the q-gram/LSH dedup paths)
+    "f11_fuzzy_match" -> ((s, dir) => {
+      val a = Tables.nation(s, dir).select(col("n_nationkey").as("id_a"),
+        col("n_name").as("name_a"))
+      val b = Tables.nation(s, dir).select(col("n_nationkey").as("id_b"),
+        col("n_name").as("name_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // F12 — UNPIVOT (wide metrics to long): per-returnflag quantity and
+    // price sums melted into (flag, metric, value) rows via stack()
+    "f12_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(dbl(sum(dec(col("l_quantity")))).as("qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("price"))
+        .select(col("l_returnflag"),
+          expr("stack(2, 'qty', qty, 'price', price) AS (metric, value)"))
+        .orderBy("l_returnflag", "metric")),
+
     // F8 — typed NULL column (ref sql/snowflake/open_catalog/bulk_insert_sales_events.sql:17)
     "f8_typed_null" -> ((s, dir) =>
       Tables.nation(s, dir)
@@ -411,6 +438,23 @@ object RelationalQueries {
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "f11_fuzzy_match" ->
+      """SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+         FROM nation a CROSS JOIN nation b
+         WHERE a.n_nationkey < b.n_nationkey
+           AND levenshtein(a.n_name, b.n_name) <= 4
+         ORDER BY id_a, id_b""",
+    "f12_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'price' AS metric, price AS value FROM wide
+         ORDER BY l_returnflag, metric""",
     "f8_typed_null" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS channel
          FROM nation ORDER BY n_nationkey LIMIT 5""",
