@@ -56,4 +56,25 @@ class DedupExactJaccardSpec extends SparkSpec {
       .select("jaccard").collect().map(_.getDouble(0))
     assert(j6.nonEmpty && j6.forall(_ === 0.0))
   }
+
+  test("dedupKeepBest keeps the best-quality member, not the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // near-dup of 2 and 3 (transitively)
+      (2L, "alpha beta gamma delta epsilon zeta"), // longest -> the keeper
+      (3L, "alpha beta gamma delta epsilon"),
+      (9L, "totally different content here") // isolated -> kept
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactNgramJaccardPairs(docs, threshold = 0.4)
+    val r = Dedup.dedupKeepBest(docs,
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("bigint"), pairs)
+      .select("doc_id", "component", "kept").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._1 == 1L && r(2L)._1 == 1L && r(3L)._1 == 1L,
+      s"1,2,3 must share the component labeled by the min id: $r")
+    assert(!r(1L)._2 && r(2L)._2 && !r(3L)._2,
+      s"the LONGEST member (doc 2) is the representative, not min-id doc 1: $r")
+    assert(r(9L) == ((9L, true)), "isolated docs keep themselves")
+  }
 }
