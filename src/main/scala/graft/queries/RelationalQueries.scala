@@ -291,6 +291,34 @@ object RelationalQueries {
         .filter(col("n_items") >= 8)
         .orderBy("l_partkey")),
 
+    // W8 — cumulative running totals per user (the classic analytic
+    // window): partitioned by user so every partition sorts in parallel;
+    // sums run in exact DECIMAL so the cumulative column is replayable
+    // bit-for-bit regardless of accumulation order
+    "w8_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("running_value", dbl(sum(dec(col("value"))).over(w)))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // F13 — regex extraction (log/field parsing surface): pull the numeric
+    // id out of the JSON-ish props string without a JSON parser; both
+    // engines run the same RE2-safe pattern
+    "f13_regex_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k_str", regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1))
+        .filter(col("k_str") =!= "")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("k_str").cast("bigint")).as("sum_k"))
+        .orderBy("event_type")),
+
     // W3 — conditional (pivot-style) aggregation
     "w3_conditional_agg" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -438,6 +466,22 @@ object RelationalQueries {
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "w8_running_total" ->
+      """SELECT user_id, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS DOUBLE) AS running_value
+         FROM events WHERE user_id < 10
+         ORDER BY user_id, event_id""",
+    "f13_regex_extract" ->
+      """SELECT event_type, COUNT(*) AS n_matched,
+           CAST(SUM(CAST(k_str AS BIGINT)) AS BIGINT) AS sum_k
+         FROM (SELECT event_type,
+                 regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS k_str
+               FROM events)
+         WHERE k_str <> ''
+         GROUP BY event_type ORDER BY event_type""",
     "f11_fuzzy_match" ->
       """SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
            CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
