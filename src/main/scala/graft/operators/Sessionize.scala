@@ -50,7 +50,39 @@ object Sessionize {
         round(sum(col("value")), 4).as("value_sum"),
         countDistinct(col("event_type")).as("n_event_types"))
 
+  /** Time-series gap filling (the generate_series / resample family): each
+    * user's daily event rollup densified onto that user's own
+    * [min_day, max_day] calendar — missing days appear with zero counts so
+    * downstream trend/window math sees a regular grid.
+    *
+    * Shape: the daily rollup is one shuffle on (user_id, day) with
+    * map-side partials; the calendar comes from a per-user `sequence`
+    * explode over the span row (never a driver-side calendar), and the
+    * fill join keys on (user_id, day). At 100 TB grid rows are
+    * users × span-days — dwarfed by the events they summarize.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    import graft.queries.Fmt
+    val daily = events
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        Fmt.dec(sum(Fmt.dec(col("value")))).as("vs"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        Fmt.dbl(coalesce(col("vs"), lit(0))).as("value_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Daily gap-fill for a bounded user slice (DuckDB replays the calendar)
+    "ts_gap_fill" -> ((s, dir) =>
+      gapFillDaily(Tables.events(s, dir).filter(col("user_id") < 8))
+        .orderBy("user_id", "day")),
+
     // Session rollup for a bounded user slice — bounds, sizes, checksums
     "sessionize_stats" -> ((s, dir) =>
       sessionStats(Tables.events(s, dir).filter(col("user_id") < 40), gapMinutes = 30)
@@ -86,6 +118,24 @@ object Sessionize {
            FROM flagged)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vs
+           FROM events WHERE user_id < 8 GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY 1),
+         grid AS (SELECT user_id,
+                    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM span)
+         SELECT g.user_id, g.day,
+                COALESCE(d.n_events, 0) AS n_events,
+                CAST(COALESCE(d.vs, 0) AS DOUBLE) AS value_sum
+         FROM grid g LEFT JOIN daily d
+           ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY g.user_id, g.day""",
     "sessionize_stats" -> (tagged +
       """
          SELECT user_id, session_seq,

@@ -58,4 +58,24 @@ class SessionizeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected exactly one hash exchange:\n$plan")
   }
+
+  test("gapFillDaily densifies each user's own span with zero rows") {
+    import spark.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, 100L, day(1), "click", 1.5),
+      (1L, 101L, day(1), "view", 2.5), // two events day 1
+      (1L, 102L, day(4), "click", 4.0), // gap: days 2 and 3 missing
+      (2L, 200L, day(7), "view", 9.0) // single-day user -> one row
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = Sessionize.gapFillDaily(ev).orderBy("user_id", "day").collect()
+      .map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, "2024-03-01", 2L, 4.0),
+      (1L, "2024-03-02", 0L, 0.0),
+      (1L, "2024-03-03", 0L, 0.0),
+      (1L, "2024-03-04", 1L, 4.0),
+      (2L, "2024-03-07", 1L, 9.0)),
+      s"grid must cover each user's span exactly: ${r.toSeq}")
+  }
 }
