@@ -65,6 +65,44 @@ object Similarity {
         size(filter(col("q"), x => abs(x) === 127)).cast("bigint").as("n_sat"),
         size(col("q")).cast("bigint").as("dim"))
 
+  /** Per-vector int8 codes for the quantized search path: (vec_id,
+    * scale_r, q) with q_i = round(x_i / scale) and the 6-decimal rounded
+    * scale — the stored form of a quantized index. Map-only.
+    */
+  def quantizedVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        transform(col("v"), x => round(x / col("scale")).cast("bigint")).as("q"))
+
+  /** Top-k search over the QUANTIZED index — scoring runs entirely on the
+    * int8 codes (the 4×-compressed form a production index stores), with
+    * the descale product applied only for the final score. The integer dot
+    * product is a sum of |dim| terms bounded by 127² — exact in double
+    * REGARDLESS of fold order — and both scales are 6-decimal grid points,
+    * so the score is bit-identical across engines with no rounding-window
+    * argument needed. Same broadcast-queries/corpus-scan shape as
+    * [[bruteForceTopK]]; the LSH/IVF bucketing composes in front of it at
+    * 100 TB exactly as for the float path.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qc = quantizedVectors(corpus)
+    val qq = quantizedVectors(queries)
+      .select(col("vec_id").as("qid"), col("scale_r").as("qs"), col("q").as("qv"))
+    val pairs = qq.crossJoin(qc).filter(col("vec_id") =!= col("qid"))
+      .withColumn("idot",
+        fold(zip_with(col("qv"), col("q"), (a, b) => (a * b).cast("double"))))
+      .select(col("qid"), col("vec_id"),
+        round(col("idot") * col("qs") * col("scale_r"), 6).as("qdot"))
+    pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qdot").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact top-k cosine neighbors for each query vector (query set must be
     * small — it is broadcast). Output: (qid, vec_id, sim) with rank <= k.
     */
@@ -327,6 +365,14 @@ object Similarity {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(sum(col("sim")), 4), lit(0.0)).as("sim_sum"))
     }),
+    // Quantized-index top-k: scoring on the int8 codes, exact integer dot
+    // products, DuckDB replays the whole quantize+search pipeline
+    "emb_ann_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      quantizedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy("qid", "vec_id")
+    }),
+
     // Exact ANN baseline, DuckDB-checked (bitwise-identical fold order)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -395,6 +441,30 @@ object Similarity {
          SELECT COUNT(*) AS n_pairs,
                 COALESCE(round(SUM(round(sim, 6)), 4), 0.0) AS sim_sum
          FROM pairs WHERE sim > 0.5""",
+    // The quantized search replayed end to end: same amax quantization
+    // (proven by emb_quantize), integer dot products exact in double
+    // regardless of fold order, 6-decimal scales
+    "emb_ann_quantized" ->
+      """WITH qv AS (
+           SELECT vec_id,
+                  round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> abs(x))) / 127.0, 6) AS scale_r,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> round(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                      y -> abs(y))) / 127.0))) AS q
+           FROM embeddings
+           WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0),
+         pairs AS (
+           SELECT a.vec_id AS qid, b.vec_id,
+                  round(list_inner_product(a.q, b.q) * a.scale_r * b.scale_r, 6) AS qdot
+           FROM qv a CROSS JOIN qv b
+           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         ranked AS (
+           SELECT qid, vec_id, qdot,
+                  row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rn
+           FROM pairs)
+         SELECT qid, vec_id, qdot FROM ranked WHERE rn <= 10
+         ORDER BY qid, vec_id""",
     "emb_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id < 5),

@@ -47,4 +47,18 @@ class ScrubQuantizeSpec extends SparkSpec {
     val plan = Similarity.quantizeInt8(emb).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("quantized top-k tracks the float ranking closely on the real corpus") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "vec_id"))
+    val quant = topSet(Similarity.quantizedTopK(emb, queries, k = 10)
+      .select("qid", "vec_id"))
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    // int8 quantization may reorder near-ties but must keep most true neighbors
+    assert(overlap >= 0.7, f"quantized recall vs float top-10 too low: $overlap%.2f")
+  }
 }
