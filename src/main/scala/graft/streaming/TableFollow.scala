@@ -70,6 +70,13 @@ object TableFollow {
   def followAgg(src: GraftTable, dst: GraftTable, groupCols: Seq[String],
       valueCol: String, countCol: String = "n_rows",
       sumCol: String = "sum_val"): Option[Long] = {
+    // Concurrent-refresh guard: the apply commit is pinned to the view head
+    // this cycle READ from (`basedOn`) — two refreshers racing the same
+    // range cannot both land (deltas are not idempotent; a double-apply
+    // would double-count), the loser gets a loud
+    // ConcurrentModificationException and retries against the new offset,
+    // where the range is empty and the cycle no-ops.
+    val dstHead = dst.latest
     val from = lastFollowedOffset(dst).getOrElse(0L)
     val to = src.latest.snapshotId
     if (to <= from) return None
@@ -105,7 +112,8 @@ object TableFollow {
           col("s_new").cast(org.apache.spark.sql.types.DecimalType(18, 2))
             .as(sumCol): _*)
       dst.commitMorDelta(merged.select(keyC: _*).distinct(), Some(survivors),
-        "follow-agg", extraSummary = Map(OffsetKey -> to.toString))
+        "follow-agg", basedOn = Some(dstHead),
+        extraSummary = Map(OffsetKey -> to.toString))
       Some(to)
     } finally chg.unpersist()
   }

@@ -167,6 +167,46 @@ class TableFollowSpec extends SparkSpec {
       s"NULL values count rows, add nothing: got $r")
   }
 
+  test("concurrent refreshers never double-apply a delta (real threads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = Seq((0L, "x", 0.0)).toDF("k", "g", "v").schema
+    val src = GraftTable.create(spark, scratchDir("ivm-race-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir("ivm-race-dst"), StructType(Seq(
+      StructField("g", StringType), StructField("n_rows", LongType),
+      StructField("sum_val", DecimalType(18, 2)))))
+    src.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 4.0)).toDF("k", "g", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var applied = 0
+            var retries = 0
+            var done = false
+            while (!done && retries < 10) {
+              try {
+                if (TableFollow.followAgg(src, dst, Seq("g"), "v").isDefined)
+                  applied += 1
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException => retries += 1
+              }
+            }
+            assert(done, "refresher starved out")
+            applied
+          }
+        })
+      }
+      val applies = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sum
+      assert(applies == 1, s"exactly ONE refresher may apply the range, got $applies")
+    } finally pool.shutdownNow()
+    val r = dst.readLatest().orderBy("g").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDecimal(2).doubleValue())).toSeq
+    assert(r == Seq(("a", 2L, 3.0), ("b", 1L, 4.0)),
+      s"view must hold exactly one application of the delta: $r")
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
