@@ -678,6 +678,39 @@ object HarnessQueries {
     // the engine lists CatalogService's namespaces — not Spark's own
     // catalog — with LIKE-pattern filtering, and a dropped namespace
     // disappears from the listing. Deterministic names → literal oracle.
+    // Analytic SQL through the engine over a registered snapshot table:
+    // ROLLUP subtotals, a ranking window, and HAVING all execute via the
+    // bridge's capture path (temp view over the table's latest snapshot);
+    // the oracle recomputes all three shapes relationally
+    "h_sql_analytics" -> ((s, dir) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = graft.table.GraftTable.create(s, scratch("sql_analytics"), base.schema)
+      t.append(base)
+      eng.registerGraftTable("ord", t)
+      val rollRows = eng.execute(
+        "SELECT o_orderpriority AS p, COUNT(*) AS n FROM ord " +
+          "GROUP BY ROLLUP (o_orderpriority)").rows
+      val topRows = eng.execute(
+        "SELECT o_orderpriority, o_orderkey FROM (" +
+          "SELECT o_orderpriority, o_orderkey, row_number() OVER (" +
+          "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey" +
+          ") AS rk FROM ord) WHERE rk = 1").rows
+      val havRows = eng.execute(
+        "SELECT o_orderpriority AS p, COUNT(*) AS n FROM ord " +
+          "GROUP BY o_orderpriority HAVING COUNT(*) >= 10").rows
+      val topBy = topRows.map(r => r("o_orderpriority").asInstanceOf[String] ->
+        r("o_orderkey").asInstanceOf[Long]).toMap
+      val havSet = havRows.map(_("p").asInstanceOf[String]).toSet
+      rollRows.map { r =>
+        val p = Option(r("p")).map(_.asInstanceOf[String]).getOrElse("<ALL>")
+        (p, r("n").asInstanceOf[Long], topBy.getOrElse(p, -1L), havSet.contains(p))
+      }.toDF("priority", "n_orders", "top_orderkey", "big_group")
+        .orderBy("priority")
+    }),
+
     // Materialized-view SQL lifecycle end to end: CREATE over a registered
     // table, read the view, append through SQL INSERT, REFRESH (O(delta)
     // changelog apply), read the refreshed state — the final per-priority
@@ -786,6 +819,24 @@ object HarnessQueries {
            'spark_table' AS tables_after,
            'kun' AS first_name, 'xue' AS last_name, CAST(100 AS BIGINT) AS amount,
            '2025-05-06' AS create_date, 'first_name' AS partition_cols""",
+    "h_sql_analytics" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM orders WHERE o_orderkey < 300),
+         roll AS (SELECT o_orderpriority AS p, COUNT(*) AS n
+                  FROM o GROUP BY ROLLUP (o_orderpriority)),
+         top AS (SELECT o_orderpriority AS p, o_orderkey FROM (
+                   SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                   FROM o) WHERE rk = 1),
+         hav AS (SELECT o_orderpriority AS p FROM o
+                 GROUP BY o_orderpriority HAVING COUNT(*) >= 10)
+         SELECT COALESCE(roll.p, '<ALL>') AS priority, roll.n AS n_orders,
+                CAST(COALESCE(top.o_orderkey, -1) AS BIGINT) AS top_orderkey,
+                (hav.p IS NOT NULL) AS big_group
+         FROM roll LEFT JOIN top ON roll.p = top.p
+                   LEFT JOIN hav ON roll.p = hav.p
+         ORDER BY priority""",
     "h_sql_matview" ->
       """WITH final AS (
            SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey < 100
