@@ -52,18 +52,13 @@ object Similarity {
     * are excluded in both engines.
     */
   def quantizeInt8(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("scale",
-        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-      .filter(col("scale") > 0)
-      .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("bigint")))
-      .select(col("vec_id"),
-        round(col("scale"), 6).as("scale_r"),
-        fold(col("q").cast("array<double>")).cast("bigint").as("q_sum"),
-        fold(transform(col("q"), x => abs(x).cast("double"))).cast("bigint").as("q_l1"),
-        size(filter(col("q"), x => abs(x) === 127)).cast("bigint").as("n_sat"),
-        size(col("q")).cast("bigint").as("dim"))
+    // ONE definition of the quantization (codes + scale) lives in
+    // quantizedVectors; this report just reduces the codes to check sums
+    quantizedVectors(emb).select(col("vec_id"), col("scale_r"),
+      fold(col("q").cast("array<double>")).cast("bigint").as("q_sum"),
+      fold(transform(col("q"), x => abs(x).cast("double"))).cast("bigint").as("q_l1"),
+      size(filter(col("q"), x => abs(x) === 127)).cast("bigint").as("n_sat"),
+      size(col("q")).cast("bigint").as("dim"))
 
   /** Per-vector int8 codes for the quantized search path: (vec_id,
     * scale_r, q) with q_i = round(x_i / scale) and the 6-decimal rounded
@@ -93,8 +88,10 @@ object Similarity {
     val qq = quantizedVectors(queries)
       .select(col("vec_id").as("qid"), col("scale_r").as("qs"), col("q").as("qv"))
     val pairs = qq.crossJoin(qc).filter(col("vec_id") =!= col("qid"))
+      // native codegen dot (this module's own lesson: interpreted HOF
+      // folds dominate pair loops); int8 codes are exact in double either way
       .withColumn("idot",
-        fold(zip_with(col("qv"), col("q"), (a, b) => (a * b).cast("double"))))
+        dot(col("qv").cast("array<double>"), col("q").cast("array<double>")))
       .select(col("qid"), col("vec_id"),
         round(col("idot") * col("qs") * col("scale_r"), 6).as("qdot"))
     pairs.withColumn("rn", row_number().over(

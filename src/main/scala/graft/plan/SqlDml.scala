@@ -474,11 +474,19 @@ object SqlDml {
       case CreateMatViewRe(ifNot, nameQ, selectList, srcIdent, groupByStr) =>
         resolveDdlIdent(srcIdent).foreach { src =>
           val name = nameQ.replace("`", "")
-          // a registered TABLE name must never be silently rebound to a view
+          // the registered name is the identity: a TABLE name must never be
+          // silently rebound to a view, and an existing MV under this name
+          // must not be silently replaced by one over a DIFFERENT source
+          // (the backing-dir existence check below only catches same-source
+          // re-creates)
           tables.get(name.toLowerCase).foreach { existing =>
             if (!existing.properties.contains(MvSourceProp))
               throw new IllegalArgumentException(
                 s"$name is already a registered table; pick another view name")
+            if (ifNot != null)
+              return Some(StatementResult(statement, Nil, None)) // keep as-is
+            throw new IllegalArgumentException(
+              s"materialized view $name already exists")
           }
           val items = selectList.split(",").map(_.trim).filter(_.nonEmpty)
           val CountAgg = """(?i)\ACOUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\z""".r

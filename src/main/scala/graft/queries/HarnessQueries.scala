@@ -18,13 +18,14 @@ import graft.table.GraftTable
 object HarnessQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
   private def scratch(name: String): String = {
     val dir = new java.io.File(s"/root/repo/target/graft-scratch/$name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) rmTree(dir)
     dir.mkdirs()
     dir.toString
   }
@@ -723,10 +724,7 @@ object HarnessQueries {
       val tblDir = scratch("sql_mv")
       // the MV's backing table lives BESIDE the source dir, outside what
       // scratch() wipes — clear it so the entry reruns in one JVM
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(new java.io.File(s"$tblDir-mv-prio_mv"))
+      rmTree(new java.io.File(s"$tblDir-mv-prio_mv"))
       val t = graft.table.GraftTable.create(s, tblDir, base.schema)
       t.append(base)
       eng.registerGraftTable("ord", t)

@@ -48,10 +48,17 @@ object TableFollow {
     * same cheap empty range).
     */
   def follow(src: GraftTable, dst: GraftTable, keyCols: Seq[String]): Option[Long] = {
+    // Same concurrent-follower guard as followAgg: the apply commit pins to
+    // the target head this cycle read from. The delete-bearing branch is
+    // state-convergent even if double-applied, but the append-only branch
+    // is NOT (two appends of the same range duplicate every row) — so both
+    // pin, the loser gets a loud ConcurrentModificationException, and its
+    // retry sees the advanced offset and no-ops.
+    val dstHead = dst.latest
     val from = lastFollowedOffset(dst).getOrElse(0L)
     val to = src.latest.snapshotId
     if (to <= from) return None
-    mirror(src, dst, keyCols, from, to)
+    mirror(src, dst, keyCols, from, to, dstHead)
   }
 
   /** Incremental view maintenance of a grouped COUNT/SUM aggregate — the
@@ -145,7 +152,7 @@ object TableFollow {
     * target as one atomic delete+insert commit carrying the offset marker.
     */
   private def mirror(src: GraftTable, dst: GraftTable, keyCols: Seq[String],
-      fromId: Long, toId: Long): Option[Long] = {
+      fromId: Long, toId: Long, dstHead: graft.table.Snapshot): Option[Long] = {
     // The changelog feeds three consumers (empty check, delete-key file,
     // insert files) — cache the O(delta) batch once instead of re-executing
     // the changelog reconstruction per consumer.
@@ -173,10 +180,14 @@ object TableFollow {
       val hasDeletes = !deleteKeys.isEmpty
       if (hasDeletes) {
         dst.commitMorDelta(deleteKeys, Some(finalRows), "follow-cdc",
+          basedOn = Some(dstHead),
           extraSummary = Map(OffsetKey -> toId.toString))
       } else if (!finalRows.isEmpty) {
-        // append-only range: mirror it as a plain append (no delete file)
-        dst.append(finalRows, extraSummary = Map(OffsetKey -> toId.toString))
+        // append-only range: mirror it as a plain append (no delete file),
+        // pinned to the observed head — an unpinned double-apply would
+        // duplicate every mirrored row
+        dst.append(finalRows, extraSummary = Map(OffsetKey -> toId.toString),
+          basedOn = Some(dstHead))
       } else {
         return None // maintenance-only range: no state change
       }

@@ -1261,9 +1261,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * (O5, ref create_sales_events.sql:21-24). `extraSummary` entries land in
     * the snapshot's summary map (e.g. the streaming sink's batch-id marker).
     */
+  /** `basedOn` pins the commit to an observed head (same refusal contract
+    * as [[commitMorDelta]]): if the table advanced since, the commit throws
+    * ConcurrentModificationException instead of landing — for callers whose
+    * append is NOT idempotent relative to a state they read (e.g. a CDC
+    * follower applying a delta derived from the offset at that head).
+    */
   def append(df: DataFrame, sortWithinPartitionsCols: Seq[String] = Nil,
-      extraSummary: Map[String, String] = Map.empty): Snapshot =
-    commitData(df, "append", parentFiles = true, sortWithinPartitionsCols, extraSummary)
+      extraSummary: Map[String, String] = Map.empty,
+      basedOn: Option[Snapshot] = None): Snapshot =
+    commitData(df, "append", parentFiles = true, sortWithinPartitionsCols,
+      extraSummary, basedOn)
 
   /** Replace all data with `df` (used by compaction and full rewrites). */
   def overwrite(df: DataFrame, operation: String = "overwrite"): Snapshot =
@@ -1511,7 +1519,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   @volatile private[graft] var lastCommitNanos: Long = 0L
 
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
-      sortCols: Seq[String] = Nil, extraSummary: Map[String, String] = Map.empty): Snapshot = {
+      sortCols: Seq[String] = Nil, extraSummary: Map[String, String] = Map.empty,
+      basedOn: Option[Snapshot] = None): Snapshot = {
     val writeShape = shapeOf(df.schema)
     // Fail a genuinely mis-shaped write BEFORE any data lands; the in-retry
     // check below then only ever fires for a true evolution race.
@@ -1526,6 +1535,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
     val commitT0 = System.nanoTime()
     try commitWithRetry { parent =>
+      basedOn.foreach { pinned =>
+        if (parent.map(_.snapshotId).getOrElse(0L) != pinned.snapshotId)
+          throw new java.util.ConcurrentModificationException(
+            s"table advanced to ${parent.map(_.snapshotId)} since $operation " +
+              s"planned at ${pinned.snapshotId} in $tableDir")
+      }
       val id = parent.map(_.snapshotId + 1).getOrElse(1L)
       val keep = if (parentFiles) parent.map(_.files).getOrElse(Nil) else Nil
       val schemaJson = parent.map(_.schemaJson).getOrElse(df.schema.json)

@@ -980,4 +980,25 @@ class SqlDmlSpec extends SparkSpec {
         "COUNT(*) AS n, SUM(price) AS s FROM sales GROUP BY channel")
     }
   }
+
+  test("materialized view name cannot be rebound to a different source") {
+    val (eng, _) = mkTable("sqldml-mv-rebind")
+    import spark.implicits._
+    val other = Seq((1L, 2.0, "x")).toDF("id", "amount", "grp")
+    val t2 = GraftTable.create(spark, scratchDir("sqldml-mv-rebind-2"), other.schema)
+    t2.append(other)
+    eng.registerGraftTable("other", t2)
+    eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT channel, " +
+      "COUNT(*) AS n, SUM(price) AS s FROM sales GROUP BY channel")
+    intercept[Exception] { // same name, DIFFERENT source: must refuse
+      eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT grp, " +
+        "COUNT(*) AS n, SUM(amount) AS s FROM other GROUP BY grp")
+    }
+    // IF NOT EXISTS keeps the ORIGINAL definition, never rebinds
+    eng.execute("CREATE MATERIALIZED VIEW IF NOT EXISTS mv AS SELECT grp, " +
+      "COUNT(*) AS n, SUM(amount) AS s FROM other GROUP BY grp")
+    val cols = eng.execute("SELECT * FROM mv").rows.head.keySet
+    assert(cols.contains("channel") && !cols.contains("grp"),
+      s"mv must still be the sales view: $cols")
+  }
 }

@@ -167,6 +167,38 @@ class TableFollowSpec extends SparkSpec {
       s"NULL values count rows, add nothing: got $r")
   }
 
+  test("concurrent mirrors never double-append a range (real threads)") {
+    import spark.implicits._
+    val (src, dst) = mkPair("follow-race")
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var applied = 0
+            var retries = 0
+            var done = false
+            while (!done && retries < 10) {
+              try {
+                if (TableFollow.follow(src, dst, Seq("k")).isDefined) applied += 1
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException => retries += 1
+              }
+            }
+            assert(done, "mirror starved out")
+            applied
+          }
+        })
+      }
+      val applies = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sum
+      assert(applies == 1, s"exactly ONE mirror may apply the range, got $applies")
+    } finally pool.shutdownNow()
+    assert(content(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"append-only range must land exactly once: ${content(dst)}")
+  }
+
   test("concurrent refreshers never double-apply a delta (real threads)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
