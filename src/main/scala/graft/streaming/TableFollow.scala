@@ -84,7 +84,21 @@ object TableFollow {
     // ConcurrentModificationException and retries against the new offset,
     // where the range is empty and the cycle no-ops.
     val dstHead = dst.latest
-    val from = lastFollowedOffset(dst).getOrElse(0L)
+    // Offset loss is NOT convergent here (unlike [[follow]], whose net-
+    // effect replay is idempotent per key): re-applying history as a delta
+    // doubles the aggregates. from = 0 is therefore legal only for the
+    // bootstrap of an EMPTY view; a non-empty view whose offset summary
+    // was expired away (maintenance commits + aggressive snapshot expiry
+    // on the view table) must refuse and be rebuilt with [[initAgg]].
+    val from = lastFollowedOffset(dst) match {
+      case Some(f) => f
+      case None =>
+        require(dst.readLatest().isEmpty,
+          s"view ${dst.tableDir} has rows but no follow offset (snapshot " +
+            "expiry dropped it?) — deltas cannot be applied safely; rebuild " +
+            "the view with initAgg")
+        0L
+    }
     val to = src.latest.snapshotId
     if (to <= from) return None
     val chg = src.readChangelog(from, to).persist()

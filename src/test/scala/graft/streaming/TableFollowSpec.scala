@@ -239,6 +239,35 @@ class TableFollowSpec extends SparkSpec {
       s"view must hold exactly one application of the delta: $r")
   }
 
+  test("an expired offset on a non-empty view refuses instead of double-applying") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = Seq((0L, "x", 0.0)).toDF("k", "g", "v").schema
+    val src = GraftTable.create(spark, scratchDir("ivm-exp-src"), schema)
+    val dst = GraftTable.create(spark, scratchDir("ivm-exp-dst"), StructType(Seq(
+      StructField("g", StringType), StructField("n_rows", LongType),
+      StructField("sum_val", DecimalType(18, 2)))))
+    src.append(Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    // maintenance on the VIEW table (delete-file materialization commits
+    // after the refresh) pushes the offset-carrying refresh commit out of
+    // the retention window
+    graft.maintenance.Maintenance.materializeDeletes(dst)
+    graft.maintenance.Maintenance.expireSnapshots(dst, retainLast = 1)
+    assert(TableFollow.lastFollowedOffset(dst).isEmpty,
+      "retention should have dropped the offset in this scenario")
+    src.append(Seq((3L, "b", 4.0)).toDF("k", "g", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TableFollow.followAgg(src, dst, Seq("g"), "v")
+    }
+    assert(e.getMessage.contains("no follow offset"),
+      s"must refuse, never silently re-apply history as a delta: ${e.getMessage}")
+    // the view still holds exactly one application of the first range
+    val r = dst.readLatest().collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDecimal(2).doubleValue())).toSeq
+    assert(r == Seq(("a", 2L, 3.0)), s"view must be undoubled: $r")
+  }
+
   test("copy-on-write commit in range raises loudly") {
     import spark.implicits._
     val (src, dst) = mkPair("follow-cow")
