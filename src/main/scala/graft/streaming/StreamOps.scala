@@ -83,9 +83,13 @@ object StreamOps {
 
   /** Highest stream batch id ever committed into `t` by the table sink
     * (scan of the snapshot summaries — O(snapshots), metadata-only).
+    * Reads the carried form too: maintenance commits preserve the fence
+    * through snapshot expiry (`GraftTable.CarriedFencePrefix`).
     */
   def lastCommittedBatchId(t: graft.table.GraftTable): Option[Long] =
-    t.snapshotsList.flatMap(_.summary.get("stream-batch-id")).map(_.toLong).maxOption
+    t.snapshotsList.flatMap(s => s.summary.get("stream-batch-id") ++
+        s.summary.get(graft.table.GraftTable.CarriedFencePrefix + "stream-batch-id"))
+      .map(_.toLong).maxOption
 
   /** Idempotent streaming sink into a GraftTable: each micro-batch appends
     * with its batch id recorded in the snapshot summary, and a batch at or
@@ -176,10 +180,12 @@ object StreamOps {
     * (O(snapshots) metadata scan of the summaries, like
     * `lastCommittedBatchId`).
     */
-  def publishedStagedId(t: graft.table.GraftTable, branch: String): Option[Long] =
-    t.snapshotsList
-      .flatMap(_.summary.get(graft.table.GraftTable.StagedStreamKeyPrefix + branch))
+  def publishedStagedId(t: graft.table.GraftTable, branch: String): Option[Long] = {
+    val key = graft.table.GraftTable.StagedStreamKeyPrefix + branch
+    t.snapshotsList.flatMap(s => s.summary.get(key) ++
+        s.summary.get(graft.table.GraftTable.CarriedFencePrefix + key))
       .map(_.toLong).maxOption
+  }
 
   /** Run a streaming query over the static events parquet with
     * Trigger.AvailableNow into a memory sink; returns the final result table.

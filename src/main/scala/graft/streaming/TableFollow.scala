@@ -39,7 +39,9 @@ object TableFollow {
     * scan of the target's snapshot summaries).
     */
   def lastFollowedOffset(dst: GraftTable): Option[Long] =
-    dst.snapshotsList.flatMap(_.summary.get(OffsetKey)).map(_.toLong).maxOption
+    dst.snapshotsList.flatMap(s => s.summary.get(OffsetKey) ++
+        s.summary.get(GraftTable.CarriedFencePrefix + OffsetKey))
+      .map(_.toLong).maxOption
 
   /** Mirror everything the source committed since the last cycle. Returns
     * the new offset when a commit landed, None when there was nothing to do

@@ -1309,10 +1309,38 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * a concurrent append could hold rows matching the DML predicate, and a
     * concurrent rewrite may have replaced files this plan kept.
     */
+  /** Durable idempotence fences (stream batch ids, CDC follow offsets,
+    * staged-stream ids) live in snapshot summaries — aggressive snapshot
+    * expiry after maintenance commits would otherwise GC the fence and
+    * silently re-open exactly-once paths to replays. Maintenance commits
+    * therefore CARRY the current max of each fence key forward under
+    * `carried:<key>` (a distinct key, so consumers that count genuine
+    * stream commits by the primary key are unaffected); fence readers take
+    * the max over both forms.
+    */
+  private def carriedFences(): Map[String, String] = {
+    val snaps = snapshotsList
+    def isFence(k: String): Boolean =
+      k == "stream-batch-id" || k == "follow-src-snapshot" ||
+        k.startsWith(GraftTable.StagedStreamKeyPrefix)
+    val keys = snaps.flatMap(_.summary.keys).collect {
+      case k if isFence(k) => k
+      case k if k.startsWith(GraftTable.CarriedFencePrefix) =>
+        k.stripPrefix(GraftTable.CarriedFencePrefix)
+    }.toSet
+    keys.flatMap { k =>
+      snaps.flatMap(s => s.summary.get(k) ++
+          s.summary.get(GraftTable.CarriedFencePrefix + k))
+        .map(_.toLong).maxOption
+        .map(v => (GraftTable.CarriedFencePrefix + k) -> v.toString)
+    }.toMap
+  }
+
   def commitRewrite(df: DataFrame, keepFiles: Seq[FileEntry], operation: String,
       basedOn: Option[Snapshot] = None, clearDeletes: Boolean = false,
       advisoryBytesOverride: Option[Long] = None): Snapshot = {
     val planned = basedOn.getOrElse(latest)
+    val fences = carriedFences()
     val written = writeDataFiles(df, planned.snapshotId + 1,
       advisoryOverride = advisoryBytesOverride)
     commitWithRetry { parent =>
@@ -1329,7 +1357,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       val deletes = if (clearDeletes) Nil else p.deletes
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), operation, p.schemaJson,
         p.partitionCols, files,
-        Map("added-files" -> written.size.toString), Nil,
+        fences ++ Map("added-files" -> written.size.toString), Nil,
         schemasFor(files, p.schemas + ((p.snapshotId + 1).toString -> p.schemaJson)),
         p.chain, deletes)
     }
@@ -1832,6 +1860,12 @@ object GraftTable {
     * the main commit summary so the id chain survives the branch drop.
     */
   val StagedStreamKeyPrefix = "staged-stream-batch-id:"
+
+  /** Prefix under which maintenance commits carry idempotence fences
+    * forward (see `carriedFences`); fence readers max over both the
+    * primary key and this carried form.
+    */
+  val CarriedFencePrefix = "carried:"
 
   /** Accessors for the versioned per-column stats list in `FileEntry.stats`,
     * disambiguated STRUCTURALLY by length (no in-band sentinel — any string

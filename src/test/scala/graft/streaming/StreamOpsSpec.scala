@@ -37,6 +37,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.lastCommittedBatchId(t) === Some(2L))
   }
 
+  test("compaction + expiry cannot GC the stream batch-id fence") {
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, scratchDir("ingest-fence"),
+      Seq((1L, "a")).toDF("id", "s").schema)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 5).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1)
+    StreamOps.ingestBatch(t)(batch(0), 0L)
+    StreamOps.ingestBatch(t)(batch(5), 1L)
+    // maintenance pushes both ingest commits out of retention; the
+    // compaction commit must carry the fence forward
+    graft.maintenance.Maintenance.rewriteDataFiles(t, targetFileSizeBytes = 1L << 30)
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    assert(StreamOps.lastCommittedBatchId(t) === Some(1L),
+      "the batch-id fence must survive maintenance + snapshot expiry")
+    StreamOps.ingestBatch(t)(batch(0), 0L) // at-least-once replay
+    StreamOps.ingestBatch(t)(batch(5), 1L)
+    assert(t.readLatest().count() === 10L, "replayed batches must stay skipped")
+    StreamOps.ingestBatch(t)(batch(10), 2L)
+    assert(t.readLatest().count() === 15L)
+  }
+
   test("ingestBatchCompacting bounds file growth without disturbing batch ids") {
     import spark.implicits._
     val t = graft.table.GraftTable.create(spark, scratchDir("ingest-compact"),

@@ -249,23 +249,33 @@ class TableFollowSpec extends SparkSpec {
       StructField("sum_val", DecimalType(18, 2)))))
     src.append(Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("k", "g", "v"))
     TableFollow.followAgg(src, dst, Seq("g"), "v")
-    // maintenance on the VIEW table (delete-file materialization commits
-    // after the refresh) pushes the offset-carrying refresh commit out of
-    // the retention window
+    // maintenance on the VIEW table pushes the refresh commit out of the
+    // retention window — but maintenance commits CARRY the fence, so the
+    // offset survives and refreshes stay exactly-once
     graft.maintenance.Maintenance.materializeDeletes(dst)
     graft.maintenance.Maintenance.expireSnapshots(dst, retainLast = 1)
-    assert(TableFollow.lastFollowedOffset(dst).isEmpty,
-      "retention should have dropped the offset in this scenario")
+    assert(TableFollow.lastFollowedOffset(dst).isDefined,
+      "maintenance commits must carry the follow offset through expiry")
     src.append(Seq((3L, "b", 4.0)).toDF("k", "g", "v"))
+    TableFollow.followAgg(src, dst, Seq("g"), "v")
+    val r = dst.readLatest().orderBy("g").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDecimal(2).doubleValue())).toSeq
+    assert(r == Seq(("a", 2L, 3.0), ("b", 1L, 4.0)),
+      s"post-expiry refresh must apply the new range exactly once: $r")
+    // a GENUINE offset loss (an outsider append carries no fences, then
+    // expiry drops everything else) must refuse, never re-apply history
+    dst.append(Seq(("z", 1L, new java.math.BigDecimal("0.00")))
+      .toDF("g", "n_rows", "sum_val")
+      .select(col("g"), col("n_rows"),
+        col("sum_val").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_val")))
+    graft.maintenance.Maintenance.expireSnapshots(dst, retainLast = 1)
+    assert(TableFollow.lastFollowedOffset(dst).isEmpty, "loss not reproduced")
+    src.append(Seq((4L, "b", 5.0)).toDF("k", "g", "v"))
     val e = intercept[IllegalArgumentException] {
       TableFollow.followAgg(src, dst, Seq("g"), "v")
     }
     assert(e.getMessage.contains("no follow offset"),
       s"must refuse, never silently re-apply history as a delta: ${e.getMessage}")
-    // the view still holds exactly one application of the first range
-    val r = dst.readLatest().collect()
-      .map(x => (x.getString(0), x.getLong(1), x.getDecimal(2).doubleValue())).toSeq
-    assert(r == Seq(("a", 2L, 3.0)), s"view must be undoubled: $r")
   }
 
   test("copy-on-write commit in range raises loudly") {
