@@ -690,6 +690,30 @@ object SqlDml {
           StatementResult(statement, Nil, None)
         }
 
+      // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c,... | FOR ALL
+      // COLUMNS]: the column form runs the one-scan NDV/null pass; the
+      // table-level form records the row count — metadata-only when the
+      // statement says NOSCAN and the snapshot's per-file counts are whole.
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn =>
+        resolve(ac.child).map { t =>
+          val cols = if (ac.allColumns) Nil else ac.columnNames.getOrElse(Nil)
+          t.analyzeColumns(cols)
+          StatementResult(statement, Nil, None)
+        }
+      case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+        resolve(at.child).map { t =>
+          val rc =
+            if (at.noScan)
+              t.countRowsFromMetadata().getOrElse(
+                sys.error(s"ANALYZE NOSCAN: per-file row counts unavailable"))
+            else t.readLatest().count()
+          t.setProperties(Map(
+            graft.table.GraftTable.StatsRowCountProp -> Some(rc.toString),
+            graft.table.GraftTable.StatsSnapshotProp ->
+              Some(t.latest.snapshotId.toString)))
+          StatementResult(statement, Nil, None)
+        }
+
       case dr: DescribeRelation =>
         resolve(dr.relation).map { t =>
           val rows = t.schema.fields.toSeq.map(f =>
@@ -829,7 +853,8 @@ object SqlDml {
         val proc = procParts.last.toLowerCase
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
           "remove_orphan_files", "rollback_to_snapshot", "rollback_to_timestamp",
-          "rewrite_position_delete_files", "fast_forward")
+          "rewrite_position_delete_files", "fast_forward", "add_files",
+          "compute_table_stats")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -908,6 +933,45 @@ object SqlDml {
           case "rewrite_manifests" =>
             oneRow("rewritten_manifests_count" ->
               graft.maintenance.Maintenance.rewriteManifests(t).toLong)
+          case "add_files" =>
+            // Iceberg: add_files(table, source_table => '`parquet`.`/path`').
+            // Accept that quoted form or a bare directory path; the import
+            // itself is GraftTable.addFiles' zero-copy rename.
+            val rawSrc = argAt("source_table", 1)
+              .orElse(named.get("source_dir")).map(litString)
+              .getOrElse(unsupported("add_files without a source_table argument"))
+            val srcRe = """(?i)\A\s*`?parquet`?\s*\.\s*`([^`]+)`\s*\z""".r
+            val srcDir = rawSrc match {
+              case srcRe(p) => p
+              case p => p.replace("`", "")
+            }
+            val beforeParts = t.latest.files.map(_.partitionValues).toSet
+            val before = t.latest.files.map(_.path).toSet
+            t.addFiles(srcDir)
+            val addedEntries = t.latest.files.filterNot(f => before(f.path))
+            oneRow(
+              "added_files_count" -> addedEntries.size.toLong,
+              "changed_partition_count" ->
+                addedEntries.map(_.partitionValues).toSet.diff(beforeParts).size.toLong)
+          case "compute_table_stats" =>
+            // columns => array('a','b') scopes the pass; default is every
+            // column of the current schema
+            val colsArg: Seq[String] = named.get("columns").map {
+              case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                  if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+                f.arguments.map(litString)
+              case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+                ca.children.map(litString)
+              case other => unsupported(s"columns ${other.sql} (need array('c',...))")
+            }.getOrElse(Nil)
+            val analyzed =
+              if (colsArg.nonEmpty) colsArg.size else t.schema.fields.length
+            val props = t.analyzeColumns(colsArg)
+            oneRow(
+              "statistics_file" -> s"properties:${graft.table.GraftTable.StatsColPrefix}*",
+              "analyzed_columns" -> analyzed.toLong,
+              "snapshot_id" ->
+                props(graft.table.GraftTable.StatsSnapshotProp).toLong)
           case "expire_snapshots" =>
             // older_than: a TIMESTAMP literal (or a string Spark's own cast
             // accepts) — snapshots committed before the bound expire, with
@@ -1153,7 +1217,8 @@ object SqlDml {
     "refs" -> (_.refs()),
     "history" -> (_.history()),
     "all_files" -> (_.allFiles()),
-    "properties" -> (_.propertiesTable()))
+    "properties" -> (_.propertiesTable()),
+    "column_stats" -> (_.columnStatsTable()))
 
   /** Resolve a metadata-relation suffix: the static inspection tables above,
     * plus Iceberg's dynamic `branch_<name>` / `tag_<name>` ref reads

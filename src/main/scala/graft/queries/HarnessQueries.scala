@@ -589,6 +589,44 @@ object HarnessQueries {
           "manifests_consolidated", "snapshots_deleted", "files_after", "snapshots_after")
     }),
 
+    // ANALYZE statistics + zero-copy import as VERBATIM SQL through the
+    // engine: add_files renames an external parquet directory in, ANALYZE
+    // computes exact NDV/null stats, the column_stats metadata relation
+    // reads them back by name, and compute_table_stats scopes a re-analyze.
+    "h_sql_analyze" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_analyze"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute(
+        "CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT, tag STRING) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3, 'a'), (2, 5, 'b'), (3, 5, NULL)")
+      val ext = scratch("sql_analyze_ext")
+      Seq((4L, 2L, "a"), (5L, 7L, "c")).toDF("event_id", "qty", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(ext)
+      val af = eng.execute(
+        s"""CALL opencatalog.system.add_files(table => 'ops.ev',
+            source_table => '`parquet`.`$ext`')""").rows.head
+      eng.execute("ANALYZE TABLE ops.ev COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = eng.execute(
+        """SELECT col_name, ndv, null_count, row_count
+           FROM ops.ev.column_stats ORDER BY col_name""").rows
+      val cts = eng.execute(
+        """CALL opencatalog.system.compute_table_stats(table => 'ops.ev',
+           columns => array('qty'))""").rows.head
+      val m = stats.map(r => r("col_name").toString -> r).toMap
+      Seq((af("added_files_count").asInstanceOf[Long],
+        m("event_id")("ndv").asInstanceOf[Long],
+        m("qty")("ndv").asInstanceOf[Long],
+        m("tag")("ndv").asInstanceOf[Long],
+        m("tag")("null_count").asInstanceOf[Long],
+        m("qty")("row_count").asInstanceOf[Long],
+        cts("analyzed_columns").asInstanceOf[Long]))
+        .toDF("files_added", "event_ndv", "qty_ndv", "tag_ndv", "tag_nulls",
+          "row_count", "cts_cols")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -853,6 +891,11 @@ object HarnessQueries {
            'analytics,raw,staging' AS via_show_schemas,
            'staging' AS filtered,
            'analytics,staging' AS after_drop""",
+    "h_sql_analyze" ->
+      """SELECT CAST(1 AS BIGINT) AS files_added, CAST(5 AS BIGINT) AS event_ndv,
+           CAST(4 AS BIGINT) AS qty_ndv, CAST(3 AS BIGINT) AS tag_ndv,
+           CAST(1 AS BIGINT) AS tag_nulls, CAST(5 AS BIGINT) AS row_count,
+           CAST(1 AS BIGINT) AS cts_cols""",
     "h_sql_maintenance" ->
       """SELECT CAST(6 AS BIGINT) AS row_count, CAST(25 AS BIGINT) AS total_qty,
            CAST(6 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_added,

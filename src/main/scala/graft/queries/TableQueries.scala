@@ -725,6 +725,47 @@ object TableQueries {
 
     // D8 — partition evolution: repartition events-shaped data from
     // event_type to day partitioning; content is unchanged, layout is new
+    // Zero-copy import (the Iceberg add_files/migrate family): an external
+    // engine's parquet directory renames into the table — no data rewrite —
+    // and imported footers feed metadata exactly like written files, proven
+    // by answering COUNT(*) from metadata alone after the import.
+    "t_add_files" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 400)
+      val t = GraftTable.create(s, scratch("add_files"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 200))
+      val ext = scratch("add_files_ext")
+      base.filter(col("o_orderkey") >= 200)
+        .repartition(2).write.mode("overwrite").parquet(ext)
+      t.addFiles(ext)
+      val metaCnt = t.countRowsFromMetadata().getOrElse(
+        sys.error("metadata count must survive a zero-copy import"))
+      t.readLatest().agg(
+        count(lit(1)).as("row_count"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .withColumn("meta_count", lit(metaCnt))
+    }),
+
+    // ANALYZE TABLE: exact per-column NDV/null counts from one scan, footer
+    // min/max riding along, all durable in table properties — read back
+    // through the column_stats metadata relation and re-typed, so the
+    // store-then-parse path is what the oracle hash-checks. o_orderstatus
+    // has no tracked bounds (string footer bounds may be writer-truncated):
+    // its min/max are null by design.
+    "t_analyze_stats" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 600)
+      val t = GraftTable.create(s, scratch("analyze_stats"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 300))
+      t.append(base.filter(col("o_orderkey") >= 300))
+      t.analyzeColumns(Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+      t.columnStatsTable()
+        .select(col("col_name"), col("ndv"), col("null_count"), col("row_count"),
+          col("min").cast("double").as("min_val"),
+          col("max").cast("double").as("max_val"))
+        .orderBy("col_name")
+    }),
+
     "d8_partition_evolution" -> ((s, dir) => {
       import s.implicits._
       val data = Tables.events(s, dir).withColumn("ds", col("ts").cast("date").cast("string"))
@@ -903,6 +944,37 @@ object TableQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_add_files" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           COUNT(*) AS meta_count
+         FROM orders WHERE o_orderkey < 400""",
+    "t_analyze_stats" ->
+      """WITH src AS (SELECT * FROM orders WHERE o_orderkey < 600)
+         SELECT 'o_orderkey' AS col_name,
+                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                CAST(COUNT(*) AS BIGINT) AS row_count,
+                CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+                CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+         FROM src
+         UNION ALL
+         SELECT 'o_orderstatus',
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM src
+         UNION ALL
+         SELECT 'o_totalprice',
+                CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(MIN(o_totalprice) AS DOUBLE),
+                CAST(MAX(o_totalprice) AS DOUBLE)
+         FROM src
+         ORDER BY col_name""",
     "t_ts_stats_prune" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
            MIN(event_id) AS min_event, MAX(event_id) AS max_event,

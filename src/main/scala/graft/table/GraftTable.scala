@@ -1202,6 +1202,83 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     throw new IllegalStateException(s"could not publish properties in $tableDir")
   }
 
+  /** ANALYZE — table/column statistics computed in ONE scan and stored in
+    * table properties (the Iceberg `compute_table_stats` procedure / Puffin
+    * stats-file analog). Per column: exact NDV and null count; min/max come
+    * from snapshot metadata (footer bounds) — already exact there, and free.
+    * Exact NDV (`COUNT(DISTINCT)`) keeps the stored numbers verifiable by
+    * any engine; Spark plans the multi-distinct agg as one Expand + one
+    * shuffle with map-side partials. At 100 TB pass `exact = false`:
+    * HLL++ `approx_count_distinct` is a bounded-memory one-pass sketch —
+    * the same trade Iceberg makes with theta sketches in Puffin.
+    *
+    * Keys: `stats.row-count`, `stats.snapshot-id`,
+    * `stats.col.<name>.{ndv,nulls,min,max}`. Returns the merged properties.
+    */
+  def analyzeColumns(cols: Seq[String] = Nil, exact: Boolean = true): Map[String, String] = {
+    val snap = latest
+    val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val targets: Seq[String] =
+      if (cols.isEmpty) logical.fields.map(_.name).toSeq
+      else {
+        cols.foreach(c => require(logical.fieldNames.contains(c),
+          s"analyze: no column $c in $tableDir"))
+        cols
+      }
+    val df = readSnapshot(snap)
+    val aggs = targets.flatMap { c =>
+      val ndv = if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(ndv.as(s"ndv:$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
+    }
+    val row = df.agg(count(lit(1)).as("rc"), aggs: _*).collect().head
+    val rc = row.getAs[Long]("rc")
+    val updates = scala.collection.mutable.Map[String, Option[String]](
+      StatsRowCountProp -> Some(rc.toString),
+      StatsSnapshotProp -> Some(snap.snapshotId.toString))
+    targets.foreach { c =>
+      updates(s"$StatsColPrefix$c.ndv") = Some(row.getAs[Long](s"ndv:$c").toString)
+      updates(s"$StatsColPrefix$c.nulls") =
+        Some(Option(row.get(row.fieldIndex(s"nulls:$c"))).fold("0")(_.toString))
+      // bounds only where footer stats are exact for the type; stale keys
+      // from a prior analyze are removed rather than left lying
+      minMaxFromMetadata(c, Some(snap)) match {
+        case Some((mn, mx)) =>
+          updates(s"$StatsColPrefix$c.min") = Some(mn.toString)
+          updates(s"$StatsColPrefix$c.max") = Some(mx.toString)
+        case None =>
+          updates(s"$StatsColPrefix$c.min") = None
+          updates(s"$StatsColPrefix$c.max") = None
+      }
+    }
+    setProperties(updates.toMap)
+  }
+
+  /** The `ns.t.column_stats` metadata relation: one row per analyzed column
+    * out of the stored `stats.*` properties — (col_name, ndv, null_count,
+    * min, max, row_count, analyzed_snapshot_id). Empty until `analyzeColumns`
+    * (or `ANALYZE TABLE` / `CALL compute_table_stats`) has run.
+    */
+  def columnStatsTable(): DataFrame = {
+    import spark.implicits._
+    val props = properties
+    val rc = props.get(StatsRowCountProp).map(_.toLong)
+    val sid = props.get(StatsSnapshotProp).map(_.toLong)
+    val colNames = props.keys.collect {
+      case k if k.startsWith(StatsColPrefix) =>
+        val rest = k.stripPrefix(StatsColPrefix)
+        rest.take(rest.lastIndexOf('.'))
+    }.toSeq.distinct.sorted
+    colNames.map { c =>
+      (c, props.get(s"$StatsColPrefix$c.ndv").map(_.toLong),
+        props.get(s"$StatsColPrefix$c.nulls").map(_.toLong),
+        props.get(s"$StatsColPrefix$c.min"), props.get(s"$StatsColPrefix$c.max"),
+        rc, sid)
+    }.toDF("col_name", "ndv", "null_count", "min", "max",
+      "row_count", "analyzed_snapshot_id")
+  }
+
   /** D4 — add column with default (ref schema_evolution_sales_events.sql:3-4).
     * An explicit default (even the empty string) replays over pre-evolution
     * rows; the no-default overload replays NULL — absence is encoded by
@@ -1272,6 +1349,115 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       basedOn: Option[Snapshot] = None): Snapshot =
     commitData(df, "append", parentFiles = true, sortWithinPartitionsCols,
       extraSummary, basedOn)
+
+  /** Zero-copy import of existing parquet files — the Iceberg
+    * `add_files`/`migrate` procedure family (onboard data another engine
+    * wrote without rewriting a byte). Files are RENAMED into the table's
+    * shared data layout — an O(1) metadata move per file on the same
+    * filesystem, never a data copy — and their parquet footers are harvested
+    * at import, so row counts, min/max pruning, and metadata-only aggregates
+    * work on imported files exactly as on written ones from the first read.
+    *
+    * Ownership transfers to the table (Iceberg `migrate` semantics). The
+    * in-place external reference of Iceberg's `add_files` is deliberately
+    * NOT offered: this format's GC ownership boundary is its single data
+    * root — orphan scans and snapshot expiry reason only about files under
+    * it, and an external reference would silently dodge both.
+    *
+    * Source layout contract: hive `k=v` subdirectories map to partition
+    * columns and must cover the table's partition spec exactly; file
+    * schemas must match the table's current logical schema minus partition
+    * columns (the table's own layout keeps partition values in directories,
+    * not files). Leaf names are uniquified on the way in (import sources
+    * repeat `part-00000-…` names; merge-on-read delete applicability is
+    * keyed by globally-unique part names). Empty files are skipped in
+    * place; an unreadable footer refuses the whole import BEFORE any file
+    * moves; a failed commit moves every imported file back.
+    */
+  def addFiles(sourceDir: String): Snapshot = {
+    val src = new org.apache.hadoop.fs.Path(sourceDir)
+    require(hfs.exists(src), s"add_files source $sourceDir does not exist")
+    val parentSnap = latest
+    val partCols = parentSnap.partitionCols
+    val logical = DataType.fromJson(parentSnap.schemaJson).asInstanceOf[StructType]
+    val srcFiles = listParquetFiles(src)
+    require(srcFiles.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    val srcQual = hfs.makeQualified(src).toString
+    val parsed = srcFiles.map { f =>
+      val rel = hfs.makeQualified(f).toString.stripPrefix(srcQual).stripPrefix("/")
+      val partVals = rel.split("/").dropRight(1).filter(_.contains("="))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      require(partVals.keySet == partCols.toSet,
+        s"add_files: $rel carries partition dirs [${partVals.keySet.mkString(",")}] " +
+          s"but $tableDir is partitioned by [${partCols.mkString(",")}]")
+      (f, rel, partVals)
+    }
+    // Shape check through Spark's own reader (data columns + hive partition
+    // columns must equal the table's logical shape — the same rule append
+    // enforces). Partition columns compare by NAME only: their directory-
+    // inferred type is irrelevant because every table read forces the
+    // logical schema over basePath discovery.
+    val srcSchema = spark.read.option("basePath", sourceDir).parquet(sourceDir).schema
+    def minusParts(s: StructType): StructType =
+      StructType(s.fields.filterNot(f => partCols.contains(f.name)))
+    require(partCols.forall(srcSchema.fieldNames.contains),
+      s"add_files: source layout misses partition column(s) " +
+        partCols.filterNot(srcSchema.fieldNames.contains).mkString(", "))
+    require(shapeOf(minusParts(srcSchema)) == shapeOf(minusParts(logical)),
+      s"add_files: source schema ${minusParts(srcSchema).simpleString} does not " +
+        s"match table $tableDir ${minusParts(logical).simpleString}")
+    // Footers are read at the SOURCE, so a corrupt file refuses the import
+    // while everything still sits untouched where the caller put it.
+    val withStats = parsed.map { case (f, rel, pv) =>
+      val (rows, st) = footerMeta(f)
+      require(rows >= 0,
+        s"add_files: unreadable parquet footer for $rel — refusing import")
+      (f, rel, pv, rows, st)
+    }
+    val dataRoot = SnapshotLog.dataPath(tableDir)
+    val guessId = parentSnap.snapshotId + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val moved: Seq[(org.apache.hadoop.fs.Path, FileEntry)] =
+      withStats.zipWithIndex.flatMap { case ((f, rel, pv, rows, st), i) =>
+        if (rows == 0L) None // provably empty: never referenced, left in place
+        else {
+          val dirPart = rel.split("/").dropRight(1).filter(_.contains("=")).mkString("/")
+          val name = f"import-$guessId%08d-$token-$i-${f.getName}"
+          val destRel = if (dirPart.isEmpty) name else s"$dirPart/$name"
+          val dest = new org.apache.hadoop.fs.Path(dataRoot, destRel)
+          hfs.mkdirs(dest.getParent)
+          require(hfs.rename(f, dest), s"add_files: could not move $f to $dest")
+          val size = hfs.getFileStatus(dest).getLen
+          Some((f, FileEntry(destRel, pv, rows, size, guessId, st)))
+        }
+      }
+    require(moved.nonEmpty, s"add_files: only empty parquet files under $sourceDir")
+    def moveBack(): Unit = moved.foreach { case (orig, e) =>
+      scala.util.Try(hfs.rename(new org.apache.hadoop.fs.Path(dataRoot, e.path), orig))
+    }
+    try commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException(
+        s"add_files into $tableDir: table has no snapshots"))
+      // A concurrent schema or partition evolution means the files no longer
+      // match what they were validated against — abort (files move back).
+      val cur = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+      if (shapeOf(cur) != shapeOf(logical))
+        throw new java.util.ConcurrentModificationException(
+          s"schema of $tableDir evolved concurrently with add_files")
+      if (p.partitionCols != partCols)
+        throw new java.util.ConcurrentModificationException(
+          s"partitioning of $tableDir evolved concurrently with add_files")
+      val id = p.snapshotId + 1
+      // writtenAt = this commit: existing equality deletes (appliedAt <= id)
+      // never touch imported rows, exactly as with an append's rows
+      val files = (p.files ++ moved.map(_._2.copy(writtenAt = id))).toList
+      Snapshot(id, Some(p.snapshotId), clock(), "add-files", p.schemaJson,
+        p.partitionCols, files,
+        Map("added-files" -> moved.size.toString, "import-source" -> sourceDir),
+        Nil, schemasFor(files, p.schemas + (id.toString -> p.schemaJson)),
+        p.chain, p.deletes)
+    } catch { case e: Throwable => moveBack(); throw e }
+  }
 
   /** Replace all data with `df` (used by compaction and full rewrites). */
   def overwrite(df: DataFrame, operation: String = "overwrite"): Snapshot =
@@ -1926,6 +2112,13 @@ object GraftTable {
     * per-call sort argument overrides it.
     */
   val SortOrderProp = "write.sort-order"
+
+  /** ANALYZE output (`analyzeColumns`): table-level row count / snapshot id
+    * plus per-column `stats.col.<name>.{ndv,nulls,min,max}`.
+    */
+  val StatsRowCountProp = "stats.row-count"
+  val StatsSnapshotProp = "stats.snapshot-id"
+  val StatsColPrefix = "stats.col."
   /** Iceberg's `write.target-file-size-bytes`: when set, partitioned writes
     * size their rebalance splits to land parquet files near this target
     * (advisory = target × [[ShuffleCompressionFactorProp]]).

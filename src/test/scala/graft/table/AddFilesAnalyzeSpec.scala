@@ -1,0 +1,161 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `addFiles` (zero-copy import) and `analyzeColumns` (stored statistics). */
+class AddFilesAnalyzeSpec extends SparkSpec {
+
+  private def orders(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i =>
+      (i.toLong, s"c$i", (i % 3).toString, i * 10.5)).toDF(
+      "o_orderkey", "name", "bucket", "price")
+  }
+
+  test("addFiles imports an unpartitioned directory zero-copy with live stats") {
+    val dir = scratchDir("addfiles")
+    val df = orders(100)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df.filter(col("o_orderkey") <= 40))
+
+    val ext = s"$dir/external"
+    df.filter(col("o_orderkey") > 40).repartition(3)
+      .write.parquet(ext)
+    val extFilesBefore = new java.io.File(ext).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(extFilesBefore == 3)
+
+    val snap = t.addFiles(ext)
+    assert(snap.operation == "add-files")
+    assert(snap.summary("added-files") == "3")
+    // zero-copy: the source directory's parquet files are GONE (renamed)
+    assert(new java.io.File(ext).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0)
+    // content is the union
+    assert(t.readLatest().count() == 100)
+    assert(t.readLatest().agg(sum("o_orderkey")).head.getLong(0) == 5050L)
+    // imported footers feed metadata-only answers
+    assert(t.countRowsFromMetadata().contains(100L))
+    val (mn, mx) = t.minMaxFromMetadata("o_orderkey").get
+    assert(mn == 1L && mx == 100L)
+    // and stats pruning: a point lookup above the import boundary must not
+    // open the pre-import file (its footer max is 40)
+    val (planned, total) = t.planBetween(t.latest, "o_orderkey", 90L, 100L)
+    assert(total == t.latest.files.size)
+    assert(planned.nonEmpty && planned.forall(_.path.contains("import-")),
+      s"expected every o_orderkey<=40 append file pruned, planned " +
+        planned.map(_.path).mkString(", "))
+  }
+
+  test("addFiles maps hive k=v dirs onto the table's partition spec") {
+    val dir = scratchDir("addfiles_part")
+    val df = orders(60)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema,
+      partitionCols = Seq("bucket"))
+    t.append(df.filter(col("o_orderkey") <= 30))
+    val ext = s"$dir/external"
+    df.filter(col("o_orderkey") > 30)
+      .write.partitionBy("bucket").parquet(ext)
+
+    t.addFiles(ext)
+    assert(t.readLatest().count() == 60)
+    // imported entries carry their partition values → partition pruning works
+    val one = t.readLatest().filter(col("bucket") === "1")
+    assert(one.count() == 20)
+    val imported = t.latest.files.filter(_.path.contains("import-"))
+    assert(imported.nonEmpty)
+    assert(imported.forall(_.partitionValues.keySet == Set("bucket")))
+  }
+
+  test("addFiles refuses a schema mismatch and a partition-layout mismatch") {
+    val dir = scratchDir("addfiles_bad")
+    val df = orders(10)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df)
+    // wrong shape
+    val bad = s"$dir/bad"
+    df.withColumnRenamed("price", "cost").write.parquet(bad)
+    val e1 = intercept[IllegalArgumentException](t.addFiles(bad))
+    assert(e1.getMessage.contains("does not match table"))
+    // partitioned source into an unpartitioned table
+    val badPart = s"$dir/badpart"
+    df.write.partitionBy("bucket").parquet(badPart)
+    val e2 = intercept[IllegalArgumentException](t.addFiles(badPart))
+    assert(e2.getMessage.contains("partition"))
+    // nothing imported, nothing half-moved
+    assert(t.readLatest().count() == 10)
+    assert(t.latest.files.forall(!_.path.contains("import-")))
+  }
+
+  test("addFiles refuses an unreadable footer before moving anything") {
+    val dir = scratchDir("addfiles_corrupt")
+    val df = orders(10)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df)
+    val ext = s"$dir/external"
+    df.write.parquet(ext)
+    // corrupt one file in place (truncate the footer)
+    val f = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(4) finally ch.close()
+    val names = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    intercept[Exception](t.addFiles(ext))
+    // source untouched: every file still where the caller put it
+    assert(new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet == names)
+    assert(t.readLatest().count() == 10)
+  }
+
+  test("analyzeColumns stores exact ndv/null/bounds; re-analyze replaces") {
+    import spark.implicits._
+    val dir = scratchDir("analyze")
+    val df = Seq(
+      (1L, Some(1.0), "a"), (2L, Some(2.0), "b"), (3L, None, "a"),
+      (4L, Some(2.0), null.asInstanceOf[String])).toDF("k", "v", "s")
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df)
+    t.analyzeColumns()
+    val props = t.properties
+    assert(props(GraftTable.StatsRowCountProp) == "4")
+    assert(props(s"${GraftTable.StatsColPrefix}k.ndv") == "4")
+    assert(props(s"${GraftTable.StatsColPrefix}v.ndv") == "2")
+    assert(props(s"${GraftTable.StatsColPrefix}v.nulls") == "1")
+    assert(props(s"${GraftTable.StatsColPrefix}s.ndv") == "2")
+    assert(props(s"${GraftTable.StatsColPrefix}s.nulls") == "1")
+    assert(props(s"${GraftTable.StatsColPrefix}k.min") == "1")
+    assert(props(s"${GraftTable.StatsColPrefix}k.max") == "4")
+    // string columns track no bounds
+    assert(!props.contains(s"${GraftTable.StatsColPrefix}s.min"))
+    // the relation renders the same numbers
+    val rel = t.columnStatsTable().collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rel("k") == ((4L, 0L)) && rel("v") == ((2L, 1L)))
+
+    // MOR deletes make footer bounds unsafe → re-analyze must DROP bounds
+    // while refreshing ndv (stale bounds would be silently wrong)
+    t.commitMorDelta(Seq(1L).toDF("k"), None, "delete")
+    t.analyzeColumns(Seq("k"))
+    val props2 = t.properties
+    assert(props2(s"${GraftTable.StatsColPrefix}k.ndv") == "3")
+    assert(!props2.contains(s"${GraftTable.StatsColPrefix}k.min"))
+    assert(props2(GraftTable.StatsRowCountProp) == "3")
+  }
+
+  test("approx analyze bounds memory at scale and stays sane") {
+    import spark.implicits._
+    val dir = scratchDir("analyze_approx")
+    val df = (1 to 5000).map(i => (i.toLong, i % 7)).toDF("k", "m")
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df)
+    t.analyzeColumns(Seq("k", "m"), exact = false)
+    val props = t.properties
+    val ndvK = props(s"${GraftTable.StatsColPrefix}k.ndv").toLong
+    assert(math.abs(ndvK - 5000L) <= 500L, s"approx ndv too far off: $ndvK")
+    assert(props(s"${GraftTable.StatsColPrefix}m.ndv").toLong == 7L)
+  }
+}
