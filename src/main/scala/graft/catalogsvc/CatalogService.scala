@@ -75,11 +75,47 @@ class CatalogService(spark: SparkSession, rootDir: String) {
     GraftTable.create(spark, tableDir(ns, name).toString, schema, partitionCols)
   }
 
+  /** A registered table (`registerTable`) is a POINTER entry: the catalog
+    * directory holds only `_pointer.json` naming the external table
+    * location. Name resolution follows the pointer; everything downstream
+    * (loads, DML, maintenance) operates on the external directory.
+    */
+  private def pointerFile(ns: String, name: String) =
+    tableDir(ns, name).resolve("_pointer.json")
+
+  private def resolvedDir(ns: String, name: String): String = {
+    val ptr = pointerFile(ns, name)
+    if (Files.exists(ptr)) {
+      val doc: Map[String, String] = Serialization.read[Map[String, String]](
+        new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8))
+      doc("location")
+    } else tableDir(ns, name).toString
+  }
+
+  /** The Iceberg `register_table` procedure: attach an EXISTING table
+    * directory to this catalog under `ns.name` — metadata-only (one pointer
+    * doc written; the table's own snapshot log stays where it is, and stays
+    * shared with whoever else reads that location). Dropping a registered
+    * name removes the registration, never the external table.
+    */
+  def registerTable(ns: String, name: String, location: String): GraftTable = {
+    require(namespaceExists(ns), s"no such namespace: $ns")
+    if (tableExists(ns, name))
+      throw new IllegalStateException(s"table exists: $ns.$name")
+    require(GraftTable.exists(spark, location),
+      s"register_table: no table at $location")
+    Files.createDirectories(tableDir(ns, name))
+    Files.write(pointerFile(ns, name),
+      Serialization.write(Map("location" -> location))
+        .getBytes(StandardCharsets.UTF_8))
+    loadTable(ns, name)
+  }
+
   def loadTable(ns: String, name: String): GraftTable =
-    GraftTable.load(spark, tableDir(ns, name).toString)
+    GraftTable.load(spark, resolvedDir(ns, name))
 
   def tableExists(ns: String, name: String): Boolean =
-    GraftTable.exists(spark, tableDir(ns, name).toString)
+    GraftTable.exists(spark, resolvedDir(ns, name))
 
   def listTables(ns: String): Seq[String] = {
     val dir = nsDir(ns)
@@ -88,7 +124,7 @@ class CatalogService(spark: SparkSession, rootDir: String) {
       import scala.jdk.CollectionConverters._
       Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
-        .filter(n => GraftTable.exists(spark, dir.resolve(n).toString)).toSeq.sorted
+        .filter(n => tableExists(ns, n)).toSeq.sorted
     }
   }
 

@@ -854,7 +854,7 @@ object SqlDml {
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
           "remove_orphan_files", "rollback_to_snapshot", "rollback_to_timestamp",
           "rewrite_position_delete_files", "fast_forward", "add_files",
-          "compute_table_stats")
+          "compute_table_stats", "register_table")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -886,9 +886,30 @@ object SqlDml {
         }
         val identExpr = argAt("table", 0).getOrElse(
           unsupported(s"CALL $proc without a table argument"))
-        val t = resolveIdent(litString(identExpr)).getOrElse(return None)
         def oneRow(m: (String, Any)*): StatementResult =
           StatementResult(statement, Seq(m.toMap[String, Any]), None)
+        // register_table's target does not exist yet — it attaches an
+        // existing external table directory under a new catalog name, so it
+        // runs before name resolution (Iceberg's register_table procedure).
+        if (proc == "register_table") {
+          val loc = argAt("metadata_file", 1).orElse(named.get("location"))
+            .map(litString).getOrElse(
+              unsupported("register_table without a metadata_file argument"))
+          val parts = litString(identExpr).replace("`", "").split("\\.").toSeq
+          val (rns, rtn) = parts match {
+            case Seq(ns0, tn0) => (ns0, tn0)
+            case Seq(_, ns0, tn0) => (ns0, tn0) // leading catalog part drops
+            case _ => unsupported(
+              s"register_table target ${litString(identExpr)} (need ns.table)")
+          }
+          val cat = catalog.getOrElse(return None)
+          val rt = cat.registerTable(rns, rtn, loc)
+          return Some(oneRow(
+            "current_snapshot_id" -> rt.latest.snapshotId,
+            "total_records_count" -> rt.countRowsFromMetadata().getOrElse(-1L),
+            "total_data_files_count" -> rt.latest.files.size.toLong))
+        }
+        val t = resolveIdent(litString(identExpr)).getOrElse(return None)
         val result = proc match {
           case "rewrite_data_files" =>
             Seq("strategy", "sort_order").foreach(k =>

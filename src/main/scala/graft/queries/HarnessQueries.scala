@@ -627,6 +627,37 @@ object HarnessQueries {
           "row_count", "cts_cols")
     }),
 
+    // register_table as VERBATIM SQL: attach a table directory that lives
+    // OUTSIDE the catalog root under a catalog name (metadata-only — one
+    // pointer doc), query it by name, then drop the name and prove the
+    // external table is untouched (dropping a registration never deletes
+    // shared data).
+    "h_sql_register" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_register"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE shared")
+      val extDir = scratch("sql_register_ext") + "/t"
+      val src = Seq((1L, 4L), (2L, 6L), (3L, 5L)).toDF("id", "qty").coalesce(1)
+      val ext = graft.table.GraftTable.create(s, extDir, src.schema)
+      ext.append(src)
+      val reg = eng.execute(
+        s"""CALL opencatalog.system.register_table(table => 'shared.ev',
+            metadata_file => '$extDir')""").rows.head
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM shared.ev").rows.head
+      val wasListed = cat.listTables("shared").contains("ev")
+      eng.execute("DROP TABLE shared.ev")
+      Seq((reg("total_records_count").asInstanceOf[Long],
+        reg("total_data_files_count").asInstanceOf[Long],
+        agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long],
+        wasListed, cat.tableExists("shared", "ev"),
+        graft.table.GraftTable.exists(s, extDir), ext.readLatest().count()))
+        .toDF("reg_rows", "reg_files", "row_count", "total_qty",
+          "was_listed", "listed_after_drop", "external_intact", "external_rows")
+    }),
+
     // S11 — catalog CRUD lifecycle with tables-before-namespace cleanup
     "catalog_crud" -> ((s, dir) => {
       import s.implicits._
@@ -891,6 +922,11 @@ object HarnessQueries {
            'analytics,raw,staging' AS via_show_schemas,
            'staging' AS filtered,
            'analytics,staging' AS after_drop""",
+    "h_sql_register" ->
+      """SELECT CAST(3 AS BIGINT) AS reg_rows, CAST(1 AS BIGINT) AS reg_files,
+           CAST(3 AS BIGINT) AS row_count, CAST(15 AS BIGINT) AS total_qty,
+           TRUE AS was_listed, FALSE AS listed_after_drop,
+           TRUE AS external_intact, CAST(3 AS BIGINT) AS external_rows""",
     "h_sql_analyze" ->
       """SELECT CAST(1 AS BIGINT) AS files_added, CAST(5 AS BIGINT) AS event_ndv,
            CAST(4 AS BIGINT) AS qty_ndv, CAST(3 AS BIGINT) AS tag_ndv,

@@ -1001,4 +1001,38 @@ class SqlDmlSpec extends SparkSpec {
     assert(cols.contains("channel") && !cols.contains("grp"),
       s"mv must still be the sales view: $cols")
   }
+
+  test("register_table attaches an external dir; refusals are loud") {
+    import spark.implicits._
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-reg"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE reg")
+    val extDir = scratchDir("sqldml-reg-ext") + "/t"
+    val df = Seq((1L, 2.0)).toDF("id", "v").coalesce(1)
+    val ext = GraftTable.create(spark, extDir, df.schema)
+    ext.append(df)
+    val row = eng.execute(
+      s"CALL opencatalog.system.register_table(table => 'reg.ev', metadata_file => '$extDir')")
+      .rows.head
+    assert(row("total_records_count") == 1L)
+    // the registered name is live: DML through the catalog hits the
+    // EXTERNAL table (shared metadata, Iceberg register semantics)
+    eng.execute("INSERT INTO reg.ev VALUES (2, 3.0)")
+    assert(ext.readLatest().count() == 2)
+    // duplicate registration refuses
+    intercept[Exception] {
+      eng.execute(
+        s"CALL opencatalog.system.register_table(table => 'reg.ev', metadata_file => '$extDir')")
+    }
+    // registering a non-table location refuses
+    intercept[Exception] {
+      eng.execute(
+        "CALL opencatalog.system.register_table(table => 'reg.ev2', metadata_file => '/nonexistent')")
+    }
+    // dropping the registration never touches the external table
+    eng.execute("DROP TABLE reg.ev")
+    assert(!cat.tableExists("reg", "ev"))
+    assert(GraftTable.exists(spark, extDir) && ext.readLatest().count() == 2)
+  }
 }
