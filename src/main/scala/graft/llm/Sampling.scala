@@ -134,6 +134,27 @@ object Sampling {
       .repartitionByRange(col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
 
+  /** Cluster-balanced subsampling (data-map curation: cap each semantic
+    * cluster at `cap` members so dominant clusters cannot crowd the
+    * training mix — the cluster-aware complement of [[temperatureMix]]'s
+    * source-level damping): within each cluster rank by a deterministic
+    * id-keyed hash (stable across engines and input order) and keep the
+    * first `cap`. One window over cluster-sized partitions — the cluster id
+    * is the partition key at 100 TB, so every partition sorts independently
+    * and nothing global moves.
+    */
+  def clusterBalancedSample(assigned: DataFrame, idCol: String,
+      cellCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val key = conv(substring(
+      md5(concat(lit("cb:"), col(idCol).cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cellCol).orderBy(key, col(idCol))
+    assigned.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= cap)
+  }
+
   /** Token-budget mixture plan — the training-run data-recipe step: given
     * a total token budget, allocate per-source shares by temperature-
     * weighted size (`n_tokens^alpha`, the standard multilingual/multi-

@@ -225,6 +225,73 @@ object Similarity {
     * then goes through the ANN path (`lshTopK`/`ivfTopK` over the centroid
     * set); the downstream cell-local greedy is unchanged.
     */
+  /** K-means (Lloyd) over the embedding corpus by cosine: `iters`
+    * assignment/update rounds seeded from the deterministic label-mean
+    * centroids (k-means++ would inject RNG no oracle can replay). The
+    * clustering primitive under data curation — cluster-balanced sampling,
+    * SemDeDup's operating structure, data maps.
+    *
+    * Scale shape per round: the k-row centroid table broadcasts; assignment
+    * is a map-only argmax; the update is ONE (cell, pos) shuffle of exploded
+    * components with map-side partial sums. Rounds are a driver loop of
+    * O(iters) such jobs with a `localCheckpoint` cutting lineage per round
+    * (the corpusDedup pattern); `iters` stays small — Lloyd's gains are
+    * front-loaded and each extra round is a full corpus pass at 100 TB.
+    *
+    * Cross-engine determinism: assignment ranks by (cosine desc, cell);
+    * centroid components differ between engines by fold-order ulps, so the
+    * ranking is safe only while every vector's top1-top2 margin dwarfs that
+    * noise — `KmeansSpec` measures the margin at EVERY round, and the entry
+    * rounds the reported similarity to 6.
+    */
+  def kmeans(corpus: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
+    var centroids = meanCentroids(corpus)
+    var assigned: DataFrame = null
+    for (round <- 1 to iters) {
+      assigned = corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("csim"))
+        .localCheckpoint()
+      if (round < iters)
+        centroids = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    }
+    assigned
+  }
+
+  /** Per-round centroid tables for margin auditing (KmeansSpec): index 0 is
+    * the seed, index i the centroids entering assignment round i+1.
+    */
+  private[llm] def kmeansCentroidRounds(corpus: DataFrame, iters: Int): Seq[DataFrame] = {
+    var centroids = meanCentroids(corpus)
+    (1 to iters).map { _ =>
+      val cur = centroids
+      val assigned = corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cur))
+        .withColumn("csim", cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      cur
+    }
+  }
+
   def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
     val centroids = meanCentroids(corpus)
     val assigned = corpus.select(col("vec_id"), col("embedding"))
@@ -415,6 +482,24 @@ object Similarity {
       semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy("vec_id")),
 
+    // K-means, 2 Lloyd rounds from the label-mean seed — per-vector
+    // assignment + similarity, fully DuckDB-checked (the oracle unrolls
+    // both rounds in SQL; KmeansSpec proves the per-round assignment
+    // margin dwarfs cross-engine fold-order noise)
+    "emb_kmeans" -> ((s, dir) =>
+      kmeans(Tables.embeddings(s, dir), iters = 2)
+        .select(col("vec_id"), col("cell"), round(col("csim"), 6).as("sim"))
+        .orderBy("vec_id")),
+
+    // Cluster-balanced sample over the k-means cells: at most 8 members
+    // per cluster by a deterministic id hash — both stages replayed by the
+    // oracle per row
+    "sample_cluster_balanced" -> ((s, dir) =>
+      graft.llm.Sampling.clusterBalancedSample(
+        kmeans(Tables.embeddings(s, dir), iters = 2), "vec_id", "cell", cap = 8)
+        .select(col("vec_id"), col("cell"), col("rk"))
+        .orderBy("vec_id")),
+
     // Bucket-occupancy profile of the LSH index (skew check) — rows-only
     "emb_lsh_buckets" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -574,6 +659,55 @@ object Similarity {
            FROM cand WHERE NOT isnan(sim))
          SELECT qid, vec_id, round(sim, 6) AS sim FROM ranked
          WHERE rn <= 5 ORDER BY qid, vec_id""",
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         expl AS (
+           SELECT vec_id, label, p AS pos, emb[p] AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS p) t),
+         cm0 AS (SELECT label AS cell, pos, avg(v) AS m FROM expl GROUP BY 1, 2),
+         c0 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm0 GROUP BY cell),
+         a1 AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c0.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.emb, c0.centroid) DESC, cell) AS rn
+           FROM e CROSS JOIN c0) WHERE rn = 1),
+         cm1 AS (SELECT a1.cell, expl.pos, avg(expl.v) AS m
+                 FROM a1 JOIN expl ON expl.vec_id = a1.vec_id GROUP BY 1, 2),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm1 GROUP BY cell),
+         a2 AS (SELECT vec_id, cell, csim FROM (
+           SELECT e.vec_id, c1.cell,
+                  list_cosine_similarity(e.emb, c1.centroid) AS csim,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.emb, c1.centroid) DESC, cell) AS rn
+           FROM e CROSS JOIN c1) WHERE rn = 1)
+         SELECT vec_id, cell, round(csim, 6) AS sim FROM a2 ORDER BY vec_id""",
+    "sample_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         expl AS (
+           SELECT vec_id, label, p AS pos, emb[p] AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS p) t),
+         cm0 AS (SELECT label AS cell, pos, avg(v) AS m FROM expl GROUP BY 1, 2),
+         c0 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm0 GROUP BY cell),
+         a1 AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c0.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.emb, c0.centroid) DESC, cell) AS rn
+           FROM e CROSS JOIN c0) WHERE rn = 1),
+         cm1 AS (SELECT a1.cell, expl.pos, avg(expl.v) AS m
+                 FROM a1 JOIN expl ON expl.vec_id = a1.vec_id GROUP BY 1, 2),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm1 GROUP BY cell),
+         a2 AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c1.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.emb, c1.centroid) DESC, cell) AS rn
+           FROM e CROSS JOIN c1) WHERE rn = 1),
+         sel AS (SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY CAST(('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                      vec_id) AS rk
+           FROM a2)
+         SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk FROM sel
+         WHERE rk <= 8 ORDER BY vec_id""",
     // Mirrors semanticDedup stage by stage: the same centroid build and
     // probe ranking as emb_ann_ivf's oracle (assignment margin ≥ 1.1e-4 on
     // this corpus — far above float fold-order noise), then the cell-local
