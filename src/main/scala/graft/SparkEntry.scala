@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.HarnessQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.operators.Sessionize.queries ++
+      graft.operators.Graph.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.LangModel.queries ++
       graft.llm.Decontaminate.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.HarnessQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++
       graft.operators.Sessionize.oracle ++
+      graft.operators.Graph.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.LangModel.oracle ++
       graft.llm.Decontaminate.oracle ++
