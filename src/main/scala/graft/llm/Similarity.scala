@@ -256,14 +256,17 @@ object Similarity {
           Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cell"), col("csim"))
-        .localCheckpoint()
-      if (round < iters)
+      // intermediate rounds checkpoint (lineage cut); the FINAL assignment
+      // keeps its plan so consumers compose and plan audits see the shape
+      if (round < iters) {
+        assigned = assigned.localCheckpoint()
         centroids = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
           .groupBy("cell")
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      }
     }
     assigned
   }

@@ -48,7 +48,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, Seq("src")).localCheckpoint()
     var ranks = srcs.withColumn("rank", lit(Scale))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .withColumn("contrib", expr("rank div outdeg"))
@@ -58,7 +58,9 @@ object Graph {
         .select(col("node"),
           (lit(Scale * 15L / 100L) +
             expr("(17 * coalesce(insum, 0L)) div 20")).as("rank"))
-        .localCheckpoint()
+      // intermediate rounds checkpoint (lineage cut); the final round keeps
+      // its plan so consumers compose and plan audits see the round's shape
+      if (round < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -222,6 +222,49 @@ class PlanShapeSpec extends SparkSpec {
       s"cell-local verify is not an equi-join: $ns")
   }
 
+  test("pagerank round: contribution agg is partial, no cartesian, edges equi-join") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.operators.Graph.pageRank(
+      spark.range(1, 50).selectExpr("id AS src", "(id % 7) + 100 AS dst")
+        .union(spark.range(1, 50).selectExpr("(id % 7) + 100 AS src", "id AS dst")),
+      iters = 1)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.nodeName +: (p.children.flatMap(nodes) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.initialPlan)
+        case _ => Nil
+      }))
+    val ns = nodes(df.queryExecution.executedPlan)
+    assert(!ns.exists(_.contains("CartesianProduct")),
+      s"pagerank plan contains a cartesian product: $ns")
+    // rank-x-edges and the final rank attach must be equi-joins
+    assert(ns.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")),
+      s"pagerank joins are not equi-joins: $ns")
+    // the per-dst contribution sum combines map-side before the shuffle
+    def collectAggs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.aggregate.HashAggregateExec] =
+      (p match {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => Seq(h)
+        case _ => Nil
+      }) ++ p.children.flatMap(collectAggs) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectAggs(a.initialPlan)
+        case _ => Nil
+      })
+    val aggs = collectAggs(df.queryExecution.executedPlan)
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "contribution aggregation has no map-side partial")
+    // kmeans: the k-row centroid table broadcasts for assignment
+    val km = graft.llm.Similarity.kmeans(
+      graft.queries.Tables.embeddings(spark, sf), iters = 2)
+    val kns = nodes(km.queryExecution.executedPlan)
+    assert(kns.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"kmeans centroid table did not broadcast: $kns")
+    assert(!kns.exists(_.contains("CartesianProduct")),
+      s"kmeans plan contains a cartesian product: $kns")
+  }
+
   test("the SQL-bridge view keeps scan-level column pruning") {
     val t = mkTable("shape-sql")
     val eng = new graft.plan.SparkSqlEngine(spark)
