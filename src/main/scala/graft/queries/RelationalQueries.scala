@@ -307,6 +307,52 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Moving-window aggregate (beyond-reference like w1-w3): 3-row sliding
+    // sum/count per user in exact DECIMAL over a deterministic (ts,
+    // event_id) frame — ROWS frames are the monitoring/rolling-metric
+    // surface UNBOUNDED running totals (w8) don't cover. Per-user window
+    // partitions sort in parallel; nothing global moves.
+    "w9_moving_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("moving_sum", dbl(sum(dec(col("value"))).over(w)))
+        .withColumn("n_in_frame", count(lit(1)).over(w))
+        .select("user_id", "event_id", "moving_sum", "n_in_frame")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Referential-integrity audit (the data-quality gate a warehouse runs
+    // before publishing): per relationship, how many child rows point at a
+    // missing parent. Anti-joins against broadcast parents; exact counts.
+    "dq_referential" -> ((s, dir) => {
+      import s.implicits._
+      val orphanOrders = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left_anti").count()
+      val orphanLines = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      val orphanSupp = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"), "left_anti").count()
+      // a deliberately stale parent snapshot (customers below 1000 only)
+      // proves the counter actually counts — healthy relationships above
+      // read zero on this consistent corpus
+      val staleSnapshot = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).filter(col("c_custkey") < 1000),
+          col("o_custkey") === col("c_custkey"), "left_anti").count()
+      Seq(("lineitem->orders", orphanLines),
+        ("lineitem->supplier", orphanSupp),
+        ("orders->customer", orphanOrders),
+        ("orders->customer_stale", staleSnapshot))
+        .toDF("relationship", "orphan_rows")
+        .orderBy("relationship")
+    }),
+
     // F13 — regex extraction (log/field parsing surface): pull the numeric
     // id out of the JSON-ish props string without a JSON parser; both
     // engines run the same RE2-safe pattern
@@ -466,6 +512,32 @@ object RelationalQueries {
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "w9_moving_window" ->
+      """SELECT user_id, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS DOUBLE) AS moving_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
+         FROM events WHERE user_id < 10
+         ORDER BY user_id, event_id""",
+    "dq_referential" ->
+      """SELECT * FROM (
+           SELECT 'lineitem->orders' AS relationship, CAST(COUNT(*) AS BIGINT) AS orphan_rows
+           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           UNION ALL
+           SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+           FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+           UNION ALL
+           SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           UNION ALL
+           SELECT 'orders->customer_stale', CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE o_custkey NOT IN (
+             SELECT c_custkey FROM customer WHERE c_custkey < 1000))
+         ORDER BY relationship""",
     "w8_running_total" ->
       """SELECT user_id, event_id,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
