@@ -259,6 +259,21 @@ object StreamOps {
         .orderBy("user_id")
     }),
 
+    // Stream-static enrichment join: each micro-batch joins the event
+    // stream to a BROADCAST static dimension (the static side re-resolves
+    // per batch, so a dimension update is visible without restarting the
+    // query — the classic enrichment shape). Per-nation counts equal the
+    // batch join (DuckDB-checked).
+    "stream_static_join" -> ((s, dir) => {
+      val dim = broadcast(graft.queries.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")))
+      runAvailableNow(s, dir, "stream_static_join",
+        ev => ev.join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_events")))
+        .orderBy("c_nationkey")
+    }),
+
     // Streaming dedup by event id under watermark; counts equal the batch
     // distinct counts (DuckDB-checked)
     "stream_dedup" -> ((s, dir) =>
@@ -488,6 +503,10 @@ object StreamOps {
       """SELECT user_id, COUNT(*) AS n_events,
               round(SUM(value), 4) AS total_value
          FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
+    "stream_static_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_events
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -111,6 +111,32 @@ class AddFilesAnalyzeSpec extends SparkSpec {
     assert(t.readLatest().count() == 10)
   }
 
+  test("addFiles racing a concurrent append loses no files from either side") {
+    val dir = scratchDir("addfiles_race")
+    val df = orders(60)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df.filter(col("o_orderkey") <= 20))
+    val ext = s"$dir/external"
+    df.filter(col("o_orderkey") > 40).repartition(2).write.parquet(ext)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fImport = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t.addFiles(ext)
+      })
+      val fAppend = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = new GraftTable(spark, s"$dir/t")
+          .append(df.filter(col("o_orderkey") > 20 && col("o_orderkey") <= 40))
+      })
+      fImport.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      fAppend.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // both commits landed: full content, no lost files, counts intact
+    assert(t.readLatest().count() == 60)
+    assert(t.readLatest().agg(sum("o_orderkey")).head.getLong(0) == 30L * 61L)
+    assert(t.countRowsFromMetadata().contains(60L))
+  }
+
   test("analyzeColumns stores exact ndv/null/bounds; re-analyze replaces") {
     import spark.implicits._
     val dir = scratchDir("analyze")
