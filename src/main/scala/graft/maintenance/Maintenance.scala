@@ -133,6 +133,40 @@ object Maintenance {
     * domain). Rewrites the WHOLE table (like a full OPTIMIZE); live
     * merge-on-read deletes are materialized by the rewrite.
     */
+  /** Linear sort-clustering rewrite — Iceberg's
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'c1, c2')`:
+    * rewrite the table range-partitioned and sorted on `cols`, so file-level
+    * min/max bounds become narrow on the LEADING column (lexicographically
+    * on the rest) and stats pruning skips files for its predicates; when
+    * several INDEPENDENT predicate columns must all prune, use
+    * [[zorderRewrite]]. One `repartitionByRange` (sampled boundaries) plus a
+    * partition-local sort — no global single-task stage. Unpartitioned
+    * tables only (a hive-partitioned write re-clusters rows by partition
+    * value and would undo the range layout; partitioned tables get sticky
+    * per-partition ordering via `write.sort-order` instead).
+    */
+  def sortRewrite(t: GraftTable, cols: Seq[String],
+      targetFileSizeBytes: Long = 512L * 1024 * 1024): Option[graft.table.Snapshot] = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty, "sort rewrite needs at least one column")
+    val planned = t.latest
+    if (planned.files.isEmpty) return None
+    require(planned.partitionCols.isEmpty,
+      s"sort rewrite requires an unpartitioned table; ${t.tableDir} is " +
+        s"partitioned by ${planned.partitionCols.mkString(", ")} — set " +
+        "write.sort-order for sticky per-partition ordering instead")
+    val schema = t.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column $c in ${t.tableDir}"))
+    val totalBytes = planned.files.map(_.sizeBytes).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val out = t.readSnapshot(planned)
+      .repartitionByRange(targetFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    Some(t.commitRewrite(out, Nil, "sort-rewrite",
+      basedOn = Some(planned), clearDeletes = true))
+  }
+
   def zorderRewrite(t: GraftTable, cols: Seq[String],
       targetFileSizeBytes: Long = 512L * 1024 * 1024): Option[graft.table.Snapshot] = {
     import org.apache.spark.sql.functions._

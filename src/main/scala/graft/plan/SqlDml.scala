@@ -912,8 +912,42 @@ object SqlDml {
         val t = resolveIdent(litString(identExpr)).getOrElse(return None)
         val result = proc match {
           case "rewrite_data_files" =>
-            Seq("strategy", "sort_order").foreach(k =>
-              if (named.contains(k)) unsupported(s"rewrite_data_files $k (binpack only)"))
+            // strategy 'binpack' (default) compacts small files in place;
+            // 'sort' re-clusters the whole table on sort_order — either a
+            // column list ('c1, c2') or 'zorder(c1, c2)' (Iceberg's two
+            // sort-rewrite spellings)
+            val strategy = named.get("strategy").map(litString(_).toLowerCase)
+              .getOrElse("binpack")
+            if (strategy == "sort") {
+              val so = named.get("sort_order").map(litString).getOrElse(
+                unsupported("rewrite_data_files(strategy => 'sort') without sort_order"))
+              val zRe = """(?i)\A\s*zorder\s*\(([^)]*)\)\s*\z""".r
+              val target = argAt("options", 4).map(strMap).getOrElse(Map.empty)
+                .get("target-file-size-bytes").map(_.toLong)
+                .orElse(t.properties.get(graft.table.GraftTable.TargetFileSizeProp)
+                  .flatMap(x => scala.util.Try(x.toLong).toOption))
+                .getOrElse(512L * 1024 * 1024)
+              val before = t.latest.files.map(_.path).toSet
+              val after = (so match {
+                case zRe(colsStr) =>
+                  val zcols = colsStr.split(",").map(_.trim.replace("`", ""))
+                    .filter(_.nonEmpty).toSeq
+                  graft.maintenance.Maintenance.zorderRewrite(t, zcols, target)
+                case _ =>
+                  val scols = so.split(",")
+                    .map(_.trim.replace("`", ""))
+                    .map(c => c.split("\\s+").head) // tolerate ASC/DESC NULLS ...
+                    .filter(_.nonEmpty).toSeq
+                  graft.maintenance.Maintenance.sortRewrite(t, scols, target)
+              }).map(_.files.map(_.path).toSet).getOrElse(before)
+              oneRow(
+                "rewritten_data_files_count" -> (before -- after).size.toLong,
+                "added_data_files_count" -> (after -- before).size.toLong)
+            } else {
+            if (strategy != "binpack")
+              unsupported(s"rewrite_data_files strategy '$strategy' (binpack or sort)")
+            if (named.contains("sort_order"))
+              unsupported("rewrite_data_files sort_order without strategy => 'sort'")
             // `where => "<part> = '<v>' [AND ...]"` scopes the compaction to
             // matching partitions (partition-equality conjunctions only —
             // arbitrary predicates would need a row-level rewrite, which is
@@ -951,6 +985,7 @@ object SqlDml {
               .map(_.files.map(_.path).toSet).getOrElse(before)
             oneRow("rewritten_data_files_count" -> (before -- after).size.toLong,
               "added_data_files_count" -> (after -- before).size.toLong)
+            }
           case "rewrite_manifests" =>
             oneRow("rewritten_manifests_count" ->
               graft.maintenance.Maintenance.rewriteManifests(t).toLong)

@@ -371,6 +371,34 @@ object TableQueries {
         .withColumn("pruned_user", lit(selU.size < totU))
     }),
 
+    // Linear sort rewrite via the VERBATIM CALL route (Iceberg's
+    // rewrite_data_files(strategy => 'sort', sort_order => ...)): a table
+    // appended in shuffled order re-clusters on event_id, so leading-column
+    // stats pruning bites (strict fewer-files proof like t_zorder; the
+    // sampled range boundaries make exact file counts non-deterministic)
+    // while content is byte-preserved.
+    "t_sort_rewrite" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val t = GraftTable.create(s, scratch("sort_rewrite"), ev.schema)
+      t.append(ev.repartition(8))
+      val target = math.max(1L, t.latest.files.map(_.sizeBytes).sum / 16)
+      val eng = new graft.plan.SparkSqlEngine(s)
+      eng.registerGraftTable("sorted_t", t)
+      val row = eng.execute(
+        s"""CALL opencatalog.system.rewrite_data_files(table => 'sorted_t',
+            strategy => 'sort', sort_order => 'event_id ASC',
+            options => map('target-file-size-bytes', '$target'))""").rows.head
+      val nEvents = ev.count()
+      val (sel, tot) = t.planBetween(t.latest, "event_id",
+        nEvents / 2, nEvents / 2 + nEvents / 20)
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .withColumn("pruned_event", lit(sel.size < tot))
+        .withColumn("files_rewritten",
+          lit(row("rewritten_data_files_count").asInstanceOf[Long] > 0L))
+    }),
+
     // Merge-on-read DELETE (the Iceberg v2 equality-delete path): the commit
     // writes a small delete file and rewrites ZERO data files — proven in the
     // oracle-checked output by `data_files_rewritten` (set difference of the
@@ -1089,6 +1117,12 @@ object TableQueries {
          SELECT t AS change_type, COUNT(*) AS row_count,
                 CAST(SUM(k) AS BIGINT) AS key_sum
          FROM ch GROUP BY 1 ORDER BY 1""",
+    "t_sort_rewrite" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           true AS pruned_event, true AS files_rewritten
+         FROM events""",
     "t_zorder" ->
       """SELECT COUNT(*) AS row_count,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,

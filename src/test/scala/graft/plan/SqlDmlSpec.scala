@@ -1002,6 +1002,47 @@ class SqlDmlSpec extends SparkSpec {
       s"mv must still be the sales view: $cols")
   }
 
+  test("rewrite_data_files strategy 'sort' routes both spellings; bad strategy is loud") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i * 7 % 200).toLong)).toDF("a", "b")
+    val t = GraftTable.create(spark, scratchDir("sqldml-sortrw"), df.schema)
+    t.append(df.repartition(4))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("srt", t)
+    val row = eng.execute(
+      """CALL opencatalog.system.rewrite_data_files(table => 'srt',
+         strategy => 'sort', sort_order => 'a ASC',
+         options => map('target-file-size-bytes', '2048'))""").rows.head
+    assert(row("rewritten_data_files_count").asInstanceOf[Long] >= 1L)
+    assert(row("added_data_files_count").asInstanceOf[Long] >= 1L)
+    // content preserved and the registered view sees the rewrite
+    assert(eng.execute("SELECT CAST(SUM(a) AS BIGINT) AS s FROM srt")
+      .rows.head("s") == (200L * 201L) / 2)
+    // zorder spelling routes to the z-rewrite
+    val zrow = eng.execute(
+      """CALL opencatalog.system.rewrite_data_files(table => 'srt',
+         strategy => 'sort', sort_order => 'zorder(a, b)')""").rows.head
+    assert(zrow("added_data_files_count").asInstanceOf[Long] >= 1L)
+    // refusals: unknown strategy; sort_order without the strategy
+    intercept[UnsupportedOperationException] {
+      eng.execute(
+        "CALL opencatalog.system.rewrite_data_files(table => 'srt', strategy => 'shuffle')")
+    }
+    intercept[UnsupportedOperationException] {
+      eng.execute(
+        "CALL opencatalog.system.rewrite_data_files(table => 'srt', sort_order => 'a')")
+    }
+  }
+
+  test("ANALYZE TABLE table-level route: NOSCAN answers from metadata") {
+    val (eng, t) = mkTable("sqldml-analyze")
+    eng.execute("ANALYZE TABLE sales COMPUTE STATISTICS NOSCAN")
+    assert(t.properties(graft.table.GraftTable.StatsRowCountProp) == "4")
+    eng.execute("ANALYZE TABLE sales COMPUTE STATISTICS FOR COLUMNS channel")
+    assert(t.properties(
+      s"${graft.table.GraftTable.StatsColPrefix}channel.ndv") == "3")
+  }
+
   test("register_table attaches an external dir; refusals are loud") {
     import spark.implicits._
     val eng = new SparkSqlEngine(spark)
