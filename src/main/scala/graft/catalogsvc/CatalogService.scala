@@ -70,7 +70,9 @@ class CatalogService(spark: SparkSession, rootDir: String) {
   def createTable(ns: String, name: String, schema: StructType,
       partitionCols: Seq[String] = Nil): GraftTable = {
     require(namespaceExists(ns), s"no such namespace: $ns")
-    if (GraftTable.exists(spark, tableDir(ns, name).toString))
+    // a pointer registration also occupies the name, even when its external
+    // table has vanished — creating over it would shadow the registration
+    if (tableExists(ns, name) || Files.exists(pointerFile(ns, name)))
       throw new IllegalStateException(s"table exists: $ns.$name")
     GraftTable.create(spark, tableDir(ns, name).toString, schema, partitionCols)
   }
@@ -129,7 +131,10 @@ class CatalogService(spark: SparkSession, rootDir: String) {
   }
 
   def dropTable(ns: String, name: String): Unit = {
-    if (!tableExists(ns, name)) throw new IllegalStateException(s"no such table: $ns.$name")
+    // a pointer registration is droppable even after its external table
+    // vanished — otherwise the dead registration could never be cleared
+    if (!tableExists(ns, name) && !Files.exists(pointerFile(ns, name)))
+      throw new IllegalStateException(s"no such table: $ns.$name")
     def rm(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._

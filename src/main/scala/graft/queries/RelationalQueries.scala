@@ -307,6 +307,41 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Error-tolerant ingestion parsing: TRY_CAST over a dirty string column
+    // — malformed values land NULL instead of failing the job (the schema-
+    // on-read coercion shape every raw-data ingest needs). Counts parsed /
+    // failed per event type; map-only, codegen'd.
+    "f14_try_cast" -> ((s, dir) =>
+      Tables.events(s, dir)
+        // every 7th row carries a non-numeric value — the deterministic
+        // dirty-data mix that makes the tolerant-parse path observable
+        .withColumn("raw", when(col("event_id") % 7 === 0, col("event_type"))
+          .otherwise(regexp_extract(col("props"), "[0-9]+", 0)))
+        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(coalesce(col("parsed"), lit(0L))).as("parsed_sum"))
+        .orderBy("event_type")),
+
+    // Equi-width histogram of the value column (the profiling pass before
+    // choosing quality thresholds): bucket = floor arithmetic against the
+    // global min/max — a one-row broadcast from a first agg, then a map-only
+    // bucketing pass and a small rollup. No width_bucket builtin needed, so
+    // the formulation is engine-portable and exact.
+    "a8_histogram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val nb = 10
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(greatest(floor((col("value") - col("lo")) * nb /
+            (col("hi") - col("lo"))), lit(0)), lit(nb - 1)).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
+    }),
+
     // Moving-window aggregate (beyond-reference like w1-w3): 3-row sliding
     // sum/count per user in exact DECIMAL over a deterministic (ts,
     // event_id) frame — ROWS frames are the monitoring/rolling-metric
@@ -512,6 +547,22 @@ object RelationalQueries {
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "f14_try_cast" ->
+      """WITH r AS (
+           SELECT event_type, event_id,
+                  CASE WHEN event_id % 7 = 0 THEN event_type
+                       ELSE regexp_extract(props, '[0-9]+', 0) END AS raw
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN TRY_CAST(raw AS BIGINT) IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+                CAST(SUM(COALESCE(TRY_CAST(raw AS BIGINT), 0)) AS BIGINT) AS parsed_sum
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    "a8_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+         SELECT CAST(LEAST(GREATEST(FLOOR((value - lo) * 10 / (hi - lo)), 0), 9) AS BIGINT) AS bucket,
+                COUNT(*) AS n_rows
+         FROM events, b GROUP BY bucket ORDER BY bucket""",
     "w9_moving_window" ->
       """SELECT user_id, event_id,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

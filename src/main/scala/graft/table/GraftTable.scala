@@ -1408,11 +1408,22 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         s"match table $tableDir ${minusParts(logical).simpleString}")
     // Footers are read at the SOURCE, so a corrupt file refuses the import
     // while everything still sits untouched where the caller put it.
-    val withStats = parsed.map { case (f, rel, pv) =>
-      val (rows, st) = footerMeta(f)
-      require(rows >= 0,
-        s"add_files: unreadable parquet footer for $rel — refusing import")
-      (f, rel, pv, rows, st)
+    // 16-way parallel like the write path's stats harvest — a large import
+    // is O(files) driver metadata work either way (PlanningScaleSpec bounds
+    // the class), but serial footer I/O would dominate wall-clock.
+    val withStats = {
+      import scala.collection.parallel.CollectionConverters._
+      val par = parsed.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(16))
+      try par.map { case (f, rel, pv) =>
+        val (rows, st) = footerMeta(f)
+        require(rows >= 0,
+          s"add_files: unreadable parquet footer for $rel — refusing import")
+        (f, rel, pv, rows, st)
+      }.seq
+      finally par.tasksupport.asInstanceOf[scala.collection.parallel.ForkJoinTaskSupport]
+        .forkJoinPool.shutdown()
     }
     val dataRoot = SnapshotLog.dataPath(tableDir)
     val guessId = parentSnap.snapshotId + 1

@@ -1076,4 +1076,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(!cat.tableExists("reg", "ev"))
     assert(GraftTable.exists(spark, extDir) && ext.readLatest().count() == 2)
   }
+
+  test("a registered name cannot be shadowed and a dead pointer stays droppable") {
+    import spark.implicits._
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-reg2"))
+    cat.createNamespace("reg")
+    val extRoot = scratchDir("sqldml-reg2-ext")
+    val extDir = extRoot + "/t"
+    val df = Seq((1L, 2.0)).toDF("id", "v").coalesce(1)
+    GraftTable.create(spark, extDir, df.schema).append(df)
+    cat.registerTable("reg", "ev", extDir)
+    // creating over the registered name refuses — it would shadow the pointer
+    intercept[IllegalStateException] {
+      cat.createTable("reg", "ev", df.schema)
+    }
+    // the external table vanishes out from under the registration...
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm); p.delete()
+    }
+    rm(new java.io.File(extDir))
+    assert(!cat.tableExists("reg", "ev"))
+    // ...the dead registration is still droppable, and the name frees up
+    cat.dropTable("reg", "ev")
+    cat.createTable("reg", "ev", df.schema)
+    assert(cat.tableExists("reg", "ev"))
+  }
 }
