@@ -1438,6 +1438,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           val dest = new org.apache.hadoop.fs.Path(dataRoot, destRel)
           hfs.mkdirs(dest.getParent)
           require(hfs.rename(f, dest), s"add_files: could not move $f to $dest")
+          // rename preserves the SOURCE mtime — an old source file would sit
+          // unreferenced with an ancient timestamp until the commit lands,
+          // and a concurrent remove_orphan_files would delete it (fresh
+          // writes are safe only because their mtimes are new). Touch the
+          // mtime so imports enjoy the same in-flight grace window.
+          hfs.setTimes(dest, System.currentTimeMillis(), -1)
           val size = hfs.getFileStatus(dest).getLen
           Some((f, FileEntry(destRel, pv, rows, size, guessId, st)))
         }

@@ -111,6 +111,37 @@ class AddFilesAnalyzeSpec extends SparkSpec {
     assert(t.readLatest().count() == 10)
   }
 
+  test("imported files get fresh mtimes — the orphan-sweep in-flight grace applies") {
+    val dir = scratchDir("addfiles_mtime")
+    val df = orders(20)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df.filter(col("o_orderkey") <= 10))
+    val ext = s"$dir/external"
+    df.filter(col("o_orderkey") > 10).coalesce(1).write.parquet(ext)
+    // age the source file far past any orphan grace bound
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    new java.io.File(ext).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(old)))
+    val before = System.currentTimeMillis()
+    t.addFiles(ext)
+    val imported = t.latest.files.filter(_.path.contains("import-"))
+    assert(imported.nonEmpty)
+    val hfs = graft.table.SnapshotLog.fs(
+      spark.sessionState.newHadoopConf(), s"$dir/t")
+    imported.foreach { e =>
+      val mt = hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+        graft.table.SnapshotLog.dataPath(s"$dir/t"), e.path)).getModificationTime
+      assert(mt >= before - 1000,
+        s"${e.path} kept its ancient source mtime ($mt) — a concurrent " +
+          "orphan sweep in the rename-to-commit window would delete it")
+    }
+    // and a sweep bounded at 'now minus grace' leaves the import alone
+    val removed = graft.maintenance.Maintenance.removeOrphanFiles(
+      t, System.currentTimeMillis() - 1000L)
+    assert(removed.isEmpty)
+    assert(t.readLatest().count() == 20)
+  }
+
   test("addFiles racing a concurrent append loses no files from either side") {
     val dir = scratchDir("addfiles_race")
     val df = orders(60)
