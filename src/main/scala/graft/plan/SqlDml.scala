@@ -55,7 +55,23 @@ object SqlDml {
 
       case d: DeleteFromTable =>
         target(d.table, tables, catalog).map { case (alias, t) =>
-          Dml.delete(t, dequalify(alias)(d.condition))
+          val props = t.properties
+          val pred = dequalify(alias)(d.condition)
+          // Iceberg's write.delete.mode: merge-on-read commits an equality-
+          // delete file (read-only plan, O(matched keys)) instead of
+          // rewriting matched data files; the delete key tuple is the
+          // table's declared identifier columns (the identifier-field
+          // analog — equality deletes are undefined without one).
+          if (props.get(graft.table.GraftTable.DeleteModeProp)
+              .map(_.toLowerCase).contains("merge-on-read")) {
+            val keyCols = props.get(graft.table.GraftTable.IdentifierColumnsProp)
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .filter(_.nonEmpty)
+              .getOrElse(throw new IllegalArgumentException(
+                s"${graft.table.GraftTable.DeleteModeProp}=merge-on-read needs " +
+                  s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir}"))
+            Dml.deleteMor(t, pred, keyCols)
+          } else Dml.delete(t, pred)
           StatementResult(statement, Nil, None)
         }
 
@@ -854,7 +870,7 @@ object SqlDml {
         val known = Set("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
           "remove_orphan_files", "rollback_to_snapshot", "rollback_to_timestamp",
           "rewrite_position_delete_files", "fast_forward", "add_files",
-          "compute_table_stats", "register_table")
+          "compute_table_stats", "register_table", "create_changelog_view")
         if (!known(proc)) return None
         var positional = Vector.empty[Expression]
         var named = Map.empty[String, Expression]
@@ -989,6 +1005,22 @@ object SqlDml {
           case "rewrite_manifests" =>
             oneRow("rewritten_manifests_count" ->
               graft.maintenance.Maintenance.rewriteManifests(t).toLong)
+          case "create_changelog_view" =>
+            // Iceberg's CDC-view procedure: register a session view over the
+            // row-level changelog in (start, end] — default full history to
+            // head. The view is the SQL face of readChangelog; the O(delta)
+            // read itself happens when the view is queried.
+            val viewName = named.get("changelog_view").map(litString).getOrElse {
+              val base = litString(identExpr).replace("`", "").split("\\.").last
+              s"${base}_changes"
+            }
+            val opts = argAt("options", 2).map(strMap).getOrElse(Map.empty)
+            val from = opts.get("start-snapshot-id").map(_.toLong)
+              .getOrElse(t.snapshotsList.head.snapshotId)
+            val toId = opts.get("end-snapshot-id").map(_.toLong)
+              .getOrElse(t.latest.snapshotId)
+            t.readChangelog(from, toId).createOrReplaceTempView(viewName)
+            oneRow("changelog_view" -> viewName)
           case "add_files" =>
             // Iceberg: add_files(table, source_table => '`parquet`.`/path`').
             // Accept that quoted form or a bare directory path; the import

@@ -627,6 +627,68 @@ object HarnessQueries {
           "row_count", "cts_cols")
     }),
 
+    // Merge-on-read DELETE as VERBATIM SQL (Iceberg's write.delete.mode):
+    // after ALTER TABLE sets merge-on-read + identifier columns, DELETE
+    // commits an equality-delete file and rewrites ZERO data files — proven
+    // in the oracle-checked output — while reads reconcile via the
+    // broadcast anti-join.
+    "h_sql_mor_delete" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_mor_delete"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5), (3, 2), (4, 8), (5, 1)")
+      eng.execute("""ALTER TABLE ops.ev SET TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.identifier-columns' = 'event_id')""")
+      val t = cat.loadTable("ops", "ev")
+      val filesBefore = t.latest.files.map(_.path).toSet
+      eng.execute("DELETE FROM ev WHERE qty >= 5")
+      val rewritten = (filesBefore -- t.latest.files.map(_.path).toSet).size.toLong
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM ev").rows.head
+      Seq((agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long], rewritten,
+        t.latest.deletes.size.toLong))
+        .toDF("row_count", "total_qty", "files_rewritten", "n_delete_files")
+    }),
+
+    // CDC as VERBATIM SQL (Iceberg's create_changelog_view procedure): the
+    // whole lifecycle — appends, a merge-on-read DELETE (whose pre-images
+    // the changelog reconstructs), another append — then the registered
+    // view aggregates row-level changes by type. Oracle states the exact
+    // change counts and key sums.
+    "h_sql_changelog" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_changelog"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5), (3, 2), (4, 8), (5, 1)")
+      eng.execute("""ALTER TABLE ops.ev SET TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.identifier-columns' = 'event_id')""")
+      eng.execute("DELETE FROM ev WHERE qty >= 5")
+      eng.execute("INSERT INTO ev VALUES (6, 9)")
+      val cv = eng.execute(
+        """CALL opencatalog.system.create_changelog_view(table => 'ops.ev',
+           changelog_view => 'ev_changes')""").rows.head
+      val rows = eng.execute(
+        """SELECT _change_type AS change_type, COUNT(*) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS key_sum
+           FROM ev_changes GROUP BY _change_type ORDER BY _change_type""").rows
+      val byType = rows.map(r => r("change_type").toString -> r).toMap
+      Seq((cv("changelog_view").toString,
+        byType("insert")("n").asInstanceOf[Long],
+        byType("insert")("key_sum").asInstanceOf[Long],
+        byType("delete")("n").asInstanceOf[Long],
+        byType("delete")("key_sum").asInstanceOf[Long]))
+        .toDF("view_name", "n_inserts", "insert_key_sum",
+          "n_deletes", "delete_key_sum")
+    }),
+
     // register_table as VERBATIM SQL: attach a table directory that lives
     // OUTSIDE the catalog root under a catalog name (metadata-only — one
     // pointer doc), query it by name, then drop the name and prove the
@@ -922,6 +984,13 @@ object HarnessQueries {
            'analytics,raw,staging' AS via_show_schemas,
            'staging' AS filtered,
            'analytics,staging' AS after_drop""",
+    "h_sql_changelog" ->
+      """SELECT 'ev_changes' AS view_name, CAST(6 AS BIGINT) AS n_inserts,
+           CAST(21 AS BIGINT) AS insert_key_sum, CAST(2 AS BIGINT) AS n_deletes,
+           CAST(6 AS BIGINT) AS delete_key_sum""",
+    "h_sql_mor_delete" ->
+      """SELECT CAST(3 AS BIGINT) AS row_count, CAST(6 AS BIGINT) AS total_qty,
+           CAST(0 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS n_delete_files""",
     "h_sql_register" ->
       """SELECT CAST(3 AS BIGINT) AS reg_rows, CAST(1 AS BIGINT) AS reg_files,
            CAST(3 AS BIGINT) AS row_count, CAST(15 AS BIGINT) AS total_qty,

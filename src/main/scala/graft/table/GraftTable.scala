@@ -2130,6 +2130,17 @@ object GraftTable {
     */
   val SortOrderProp = "write.sort-order"
 
+  /** Iceberg's `write.delete.mode`: `copy-on-write` (default) rewrites
+    * matched files; `merge-on-read` commits an equality-delete file keyed by
+    * the table's declared identifier columns.
+    */
+  val DeleteModeProp = "write.delete.mode"
+
+  /** Comma-separated identifier columns (the Iceberg identifier-field
+    * analog) — the equality-delete key tuple for merge-on-read DML.
+    */
+  val IdentifierColumnsProp = "write.identifier-columns"
+
   /** ANALYZE output (`analyzeColumns`): table-level row count / snapshot id
     * plus per-column `stats.col.<name>.{ndv,nulls,min,max}`.
     */
