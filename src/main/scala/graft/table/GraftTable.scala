@@ -784,12 +784,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   def readIncremental(fromId: Long, toId: Long): DataFrame = {
     val (to, range) = changeRange(fromId, toId)
     val bad = range.filterNot(s =>
-      s.operation == "append" || contentPreserving(s.operation))
+      RowAddingOps(s.operation) || contentPreserving(s.operation))
     require(bad.isEmpty,
       s"incremental read over ($fromId, $toId] crosses content-changing commit(s) " +
         bad.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ") +
         s" in $tableDir — append-only incremental semantics cannot represent them")
-    val appendIds = range.filter(_.operation == "append").map(_.snapshotId).toSet
+    val appendIds = range.filter(s => RowAddingOps(s.operation)).map(_.snapshotId).toSet
     // the appended files, from each appending snapshot's own doc (a later
     // in-range compaction may have dropped them from toId's list — they
     // remain on disk and in their commit's doc until expiry)
@@ -802,11 +802,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     readSnapshot(to.copy(files = appended.toList, schemas = schemas, deletes = Nil))
   }
 
+  /** Commits that only ADD rows (their files carry writtenAt == own id) —
+    * the insert-producing class for incremental/changelog reads. A zero-copy
+    * import is an insert like any append.
+    */
+  private val RowAddingOps = Set("append", "add-files")
+
   /** Commits whose net content change is nil — skippable by incremental and
     * changelog reads (rewritten rows are credited to their original commit).
     */
   private val ContentPreservingOps = Set("create", "rewrite-data-files",
-    "materialize-deletes", "zorder-rewrite",
+    "materialize-deletes", "zorder-rewrite", "sort-rewrite",
     "add-column", "rename-column", "widen-column", "evolve-partitioning")
   private def contentPreserving = ContentPreservingOps
 
@@ -855,7 +861,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     */
   def readChangelog(fromId: Long, toId: Long): DataFrame = {
     val (to, range) = changeRange(fromId, toId)
-    val rowLevel = Set("append", "delete-mor", "upsert-mor")
+    val rowLevel = Set("delete-mor", "upsert-mor") ++ RowAddingOps
     val bad = range.filterNot(s => rowLevel(s.operation) || contentPreserving(s.operation))
     require(bad.isEmpty,
       s"changelog over ($fromId, $toId] crosses commit(s) without row-level change " +

@@ -168,6 +168,29 @@ class AddFilesAnalyzeSpec extends SparkSpec {
     assert(t.countRowsFromMetadata().contains(60L))
   }
 
+  test("incremental/changelog reads treat add-files as inserts, sort-rewrite as no-op") {
+    val dir = scratchDir("cdc_class")
+    val df = orders(30)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df.filter(col("o_orderkey") <= 10))
+    val from = t.latest.snapshotId
+    t.append(df.filter(col("o_orderkey") > 10 && col("o_orderkey") <= 20))
+    // content-preserving re-cluster inside the range must NOT break or
+    // double-count the incremental read
+    graft.maintenance.Maintenance.sortRewrite(t, Seq("o_orderkey"), 1L << 20)
+    val ext = s"$dir/ext"
+    df.filter(col("o_orderkey") > 20).coalesce(1).write.parquet(ext)
+    t.addFiles(ext) // zero-copy import is an insert like any append
+    val inc = t.readIncremental(from, t.latest.snapshotId)
+    assert(inc.count() == 20)
+    assert(inc.agg(min("o_orderkey"), max("o_orderkey")).head match {
+      case r => r.getLong(0) == 11L && r.getLong(1) == 30L
+    })
+    val cl = t.readChangelog(from, t.latest.snapshotId)
+    assert(cl.filter(col("_change_type") === "insert").count() == 20)
+    assert(cl.filter(col("_change_type") === "delete").count() == 0)
+  }
+
   test("analyzeColumns stores exact ndv/null/bounds; re-analyze replaces") {
     import spark.implicits._
     val dir = scratchDir("analyze")
