@@ -237,6 +237,38 @@ object StreamOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // The DSv2 STREAMING SOURCE over a snapshot table
+    // (spark.readStream.format("graft") — graft.sources.GraftStreamSource):
+    // a two-commit table streams through the connector micro-batch by
+    // micro-batch (offset = snapshot id) and the aggregate equals the batch
+    // answer from the same source rows (DuckDB-checked). The read half of
+    // the streaming story; the exactly-once sinks are the write half.
+    "stream_table_source" -> ((s, dir) => {
+      val base = graft.queries.Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val tdir = s"/root/repo/target/graft-scratch/stream_table_source/t"
+      val root = new java.io.File(tdir).getParentFile
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (root.exists()) rm(root)
+      root.mkdirs()
+      val t = graft.table.GraftTable.create(s, tdir, base.schema)
+      t.append(base.filter(col("o_orderkey") < 250))
+      t.append(base.filter(col("o_orderkey") >= 250))
+      val q = s.readStream.format("graft").load(tdir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Fmt.dbl(
+            sum(graft.queries.Fmt.dec(col("o_totalprice")))).as("total"))
+        .writeStream.format("memory").queryName("stream_table_source")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("stream_table_source").orderBy("o_orderstatus")
+    }),
+
     // Streaming windowed agg == batch daily counts (oracle-checked)
     "stream_windowed_counts" -> ((s, dir) =>
       runAvailableNow(s, dir, "stream_windowed_counts", dailyTypeCounts)
@@ -503,6 +535,11 @@ object StreamOps {
       """SELECT user_id, COUNT(*) AS n_events,
               round(SUM(value), 4) AS total_value
          FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""",
+    "stream_table_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey < 500
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "stream_static_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_events
          FROM events JOIN customer ON user_id = c_custkey

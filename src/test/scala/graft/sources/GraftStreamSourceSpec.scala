@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** The DSv2 streaming source: `spark.readStream.format("graft").load(dir)`. */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  private def mkTable(name: String, n: Int): (String, GraftTable) = {
+    import spark.implicits._
+    val df = (1 to n).map(i => (i.toLong, s"u${i % 5}", i * 1.5)).toDF("id", "user", "v")
+    val dir = scratchDir(name) + "/t"
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df.filter(col("id") <= n / 2))
+    t.append(df.filter(col("id") > n / 2))
+    (dir, t)
+  }
+
+  private def runStream(dir: String, queryName: String): Unit = {
+    val q = spark.readStream.format("graft").load(dir)
+      .groupBy("user").agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("streams the table's committed appends exactly once") {
+    val (dir, t) = mkTable("stream-src", 100)
+    runStream(dir, "src_counts")
+    val out = spark.table("src_counts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.values.map(_._1).sum == 100)
+    assert(out.values.map(_._2).sum == 5050L)
+    assert(out("u0")._1 == 20)
+    // maintenance inside the history is skipped, not double-read
+    graft.maintenance.Maintenance.rewriteDataFiles(t, minInputFiles = 2)
+    runStream(dir, "src_counts2")
+    assert(spark.table("src_counts2").collect().map(_.getLong(1)).sum == 100)
+  }
+
+  test("a second run resumes from the checkpointed offset and sees only new appends") {
+    import spark.implicits._
+    val (dir, t) = mkTable("stream-src-resume", 50)
+    val ckpt = scratchDir("stream-src-ckpt")
+    val outDir = scratchDir("stream-src-out")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(dir)
+        .select("id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 50)
+    // new append between runs → only the delta streams on resume
+    t.append(Seq((51L, "u1", 1.0), (52L, "u2", 2.0)).toDF("id", "user", "v"))
+    runOnce()
+    val ids = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 52 && ids.distinct.length == 52,
+      s"expected exactly-once delivery of 52 distinct ids, got ${ids.length}")
+  }
+
+  test("row-removing commits refuse; hive partition values fill from dirs") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, (i % 4).toString)).toDF("id", "bucket")
+    val dir = scratchDir("stream-src-part") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema, partitionCols = Seq("bucket"))
+    t.append(df)
+    runStreamPart(dir, "src_part")
+    val out = spark.table("src_part").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("0" -> 10L, "1" -> 10L, "2" -> 10L, "3" -> 10L))
+    // a COW delete inside the unconsumed range refuses loudly
+    graft.dml.Dml.delete(t, col("id") === 1L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStreamPart(dir, "src_part2")
+    }
+    assert(ex.getCause.getMessage.contains("row-removing") ||
+      ex.getMessage.contains("row-removing"))
+  }
+
+  private def runStreamPart(dir: String, queryName: String): Unit = {
+    val q = spark.readStream.format("graft").load(dir)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
