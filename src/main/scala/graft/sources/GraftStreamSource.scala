@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,24 +77,57 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     tableSchema.fields.foreach { f =>
       require(GraftStreamSource.readable(f.dataType),
         s"graft streaming source: column ${f.name} has unsupported type " +
           s"${f.dataType.simpleString} (primitive columns only)")
     }
+    val maxCommits = Option(options.get("max-commits-per-trigger")).map(_.toInt)
     new ScanBuilder {
-      override def build(): Scan = new GraftScan(dir, tableSchema)
+      override def build(): Scan = new GraftScan(dir, tableSchema, maxCommits)
     }
   }
 }
 
-private[sources] class GraftScan(dir: String, schema: StructType) extends Scan {
+private[sources] class GraftScan(dir: String, schema: StructType,
+    maxCommitsPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftScan($dir)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, schema)
+    new GraftMicroBatchStream(dir, schema, maxCommitsPerTrigger)
+
+  /** Batch read of the LATEST snapshot through the same per-file readers.
+    * Merge-on-read deletes and unreplayed schema evolution refuse (those
+    * reads need the reconciling scan — `GraftTable.readLatest`); the
+    * connector's batch face covers the plain append/import/compact
+    * lifecycle, which is what an external engine pointed at the directory
+    * can safely consume.
+    */
+  override def toBatch(): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val snaps = SnapshotLog.load(new Configuration(), dir)
+      require(snaps.nonEmpty, s"no graft table at $dir")
+      val head = snaps.last
+      require(head.deletes.isEmpty,
+        s"graft batch read: $dir has live merge-on-read deletes — use the " +
+          "table API (readLatest) for the reconciling scan")
+      val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
+      val dataRoot = SnapshotLog.dataPath(dir).toString
+      head.files.map { e =>
+        val writeSchema = DataType.fromJson(head.schemas(e.writtenAt.toString))
+          .asInstanceOf[StructType]
+        val dataShape = shape(StructType(schema.fields.filterNot(f =>
+          e.partitionValues.contains(f.name))))
+        require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(schema),
+          s"graft batch read: ${e.path} in $dir was written under an evolved " +
+            "schema — use the table API (readLatest) for evolution replay")
+        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues, schema.json)
+      }.toArray[InputPartition]
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  }
 }
 
 /** Offset = highest consumed snapshot id. */
@@ -102,10 +135,19 @@ private[sources] case class GraftOffset(snapshotId: Long) extends Offset {
   override def json(): String = s"""{"snapshotId":$snapshotId}"""
 }
 
-private[sources] class GraftMicroBatchStream(dir: String, schema: StructType)
-    extends MicroBatchStream {
+private[sources] class GraftMicroBatchStream(dir: String, schema: StructType,
+    maxCommitsPerTrigger: Option[Int]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   private def snaps = SnapshotLog.load(new Configuration(), dir)
+
+  // Trigger.AvailableNow contract: the run drains up to the head captured
+  // HERE, then stops — commits landing mid-run wait for the next run.
+  // Without this interface Spark falls back to single-batch Trigger.Once
+  // semantics, where a rate limit would silently truncate the run.
+  @volatile private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(snaps.lastOption.map(_.snapshotId).getOrElse(0L))
 
   override def initialOffset(): Offset = GraftOffset(0L)
 
@@ -113,6 +155,30 @@ private[sources] class GraftMicroBatchStream(dir: String, schema: StructType)
     val s = snaps
     GraftOffset(if (s.isEmpty) 0L else s.last.snapshotId)
   }
+
+  /** Rate limiting (`option("max-commits-per-trigger", n)`): each
+    * micro-batch consumes at most n commits past the start offset — the
+    * backfill-throttle an operator needs when a streaming query starts
+    * against months of table history (the Iceberg streaming-read
+    * rate-limit analog, in commit units because a commit is this source's
+    * atomic progress step).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val all = snaps.filter(s => s.snapshotId > from &&
+      availableNowBound.forall(s.snapshotId <= _))
+    if (all.isEmpty) GraftOffset(from)
+    else maxCommitsPerTrigger match {
+      case Some(n) => GraftOffset(all.take(n).last.snapshotId)
+      case None => GraftOffset(all.last.snapshotId)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val re = """\{"snapshotId":(\d+)\}""".r

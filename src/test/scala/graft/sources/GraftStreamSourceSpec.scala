@@ -83,6 +83,44 @@ class GraftStreamSourceSpec extends SparkSpec {
       ex.getMessage.contains("row-removing"))
   }
 
+  test("max-commits-per-trigger throttles the backfill into multiple batches") {
+    val (dir, _) = mkTable("stream-src-rate", 60)
+    val q = spark.readStream.format("graft")
+      .option("max-commits-per-trigger", "1").load(dir)
+      .groupBy("user").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("src_rate")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // create + 2 append commits at 1 commit/trigger → the offset advances
+    // one snapshot per micro-batch (DSv2 row metrics aren't reported by
+    // this source, so the batch count reads from the offset progression)
+    val ends = q.recentProgress.toSeq
+      .flatMap(p => p.sources.headOption.map(_.endOffset))
+      .flatMap(o => """"snapshotId":(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toLong))
+    assert(ends.distinct.size >= 3,
+      s"expected the throttle to advance one commit per batch, offsets: $ends")
+    assert(spark.table("src_rate").collect().map(_.getLong(1)).sum == 60)
+  }
+
+  test("batch read serves the latest snapshot; MOR deletes refuse") {
+    import spark.implicits._
+    val (dir, t) = mkTable("batch-src", 80)
+    val out = spark.read.format("graft").load(dir)
+    assert(out.count() == 80)
+    assert(out.agg(sum("id")).head.getLong(0) == 80L * 81L / 2)
+    // compaction keeps the batch face consistent
+    graft.maintenance.Maintenance.rewriteDataFiles(t, minInputFiles = 2)
+    assert(spark.read.format("graft").load(dir).count() == 80)
+    // merge-on-read deletes need the reconciling scan → refuse
+    t.commitMorDelta(Seq(1L).toDF("id"), None, "delete-mor")
+    val ex = intercept[Exception] {
+      spark.read.format("graft").load(dir).count()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => t.getMessage +: messages(t.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("merge-on-read")))
+  }
+
   private def runStreamPart(dir: String, queryName: String): Unit = {
     val q = spark.readStream.format("graft").load(dir)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
