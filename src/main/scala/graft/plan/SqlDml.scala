@@ -730,6 +730,26 @@ object SqlDml {
           StatementResult(statement, Nil, None)
         }
 
+      // SHOW CREATE TABLE: reconstruct the DDL from the snapshot's schema,
+      // partition spec, and live properties — identity partition columns
+      // render by name (a transform spec's full definition already rides
+      // the rendered TBLPROPERTIES).
+      case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+        resolve(sct.child).map { t =>
+          val name = nameParts(sct.child).map(_.mkString("."))
+            .getOrElse(t.tableDir)
+          val cols = t.schema.fields
+            .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+          val partCols = t.latest.partitionCols
+          val props = t.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
+          val ddl = s"CREATE TABLE $name (\n$cols)\nUSING iceberg" +
+            (if (partCols.nonEmpty) s"\nPARTITIONED BY (${partCols.mkString(", ")})"
+             else "") +
+            (if (props.nonEmpty) s"\nTBLPROPERTIES (\n$props)" else "")
+          StatementResult(statement, Seq(Map("createtab_stmt" -> ddl)), None)
+        }
+
       case dr: DescribeRelation =>
         resolve(dr.relation).map { t =>
           val rows = t.schema.fields.toSeq.map(f =>
@@ -1306,7 +1326,8 @@ object SqlDml {
     "history" -> (_.history()),
     "all_files" -> (_.allFiles()),
     "properties" -> (_.propertiesTable()),
-    "column_stats" -> (_.columnStatsTable()))
+    "column_stats" -> (_.columnStatsTable()),
+    "metadata_log_entries" -> (_.metadataLogTable()))
 
   /** Resolve a metadata-relation suffix: the static inspection tables above,
     * plus Iceberg's dynamic `branch_<name>` / `tag_<name>` ref reads

@@ -654,6 +654,35 @@ object HarnessQueries {
         .toDF("row_count", "total_qty", "files_rewritten", "n_delete_files")
     }),
 
+    // SHOW CREATE TABLE + the metadata_log_entries relation as VERBATIM
+    // SQL: the reconstructed DDL carries columns, partitioning, and live
+    // properties; the metadata-log relation exposes the physical log docs.
+    "h_sql_show_create" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_showcreate"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute(
+        """CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT, region STRING)
+           USING iceberg PARTITIONED BY (region)
+           TBLPROPERTIES ('write.target-file-size-bytes' = '1048576')""")
+      eng.execute("INSERT INTO ev VALUES (1, 3, 'na'), (2, 5, 'eu')")
+      val ddl = eng.execute("SHOW CREATE TABLE ops.ev")
+        .rows.head("createtab_stmt").toString
+      val meta = eng.execute(
+        """SELECT kind, COUNT(*) AS n FROM ops.ev.metadata_log_entries
+           GROUP BY kind ORDER BY kind""").rows
+      val byKind = meta.map(r => r("kind").toString -> r("n").asInstanceOf[Long]).toMap
+      Seq((ddl.contains("event_id BIGINT"),
+        ddl.contains("PARTITIONED BY (region)"),
+        ddl.contains("'write.target-file-size-bytes' = '1048576'"),
+        byKind.getOrElse("snapshot", 0L),
+        byKind.getOrElse("properties", 0L) >= 1L))
+        .toDF("has_cols", "has_partitioning", "has_props",
+          "n_snapshot_docs", "has_props_doc")
+    }),
+
     // CDC as VERBATIM SQL (Iceberg's create_changelog_view procedure): the
     // whole lifecycle — appends, a merge-on-read DELETE (whose pre-images
     // the changelog reconstructs), another append — then the registered
@@ -984,6 +1013,9 @@ object HarnessQueries {
            'analytics,raw,staging' AS via_show_schemas,
            'staging' AS filtered,
            'analytics,staging' AS after_drop""",
+    "h_sql_show_create" ->
+      """SELECT TRUE AS has_cols, TRUE AS has_partitioning, TRUE AS has_props,
+           CAST(2 AS BIGINT) AS n_snapshot_docs, TRUE AS has_props_doc""",
     "h_sql_changelog" ->
       """SELECT 'ev_changes' AS view_name, CAST(6 AS BIGINT) AS n_inserts,
            CAST(21 AS BIGINT) AS insert_key_sum, CAST(2 AS BIGINT) AS n_deletes,

@@ -371,6 +371,23 @@ object TableQueries {
         .withColumn("pruned_user", lit(selU.size < totU))
     }),
 
+    // The DSv2 connector's BATCH face (spark.read.format("graft")): a
+    // two-commit table reads through the connector's own per-file readers
+    // and the aggregate hash-matches the source rows (DuckDB-checked) —
+    // what an external Spark job pointed at the directory consumes.
+    "t_connector_batch" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 400)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val t = GraftTable.create(s, scratch("connector_batch"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 200))
+      t.append(base.filter(col("o_orderkey") >= 200))
+      s.read.format("graft").load(t.tableDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Linear sort rewrite via the VERBATIM CALL route (Iceberg's
     // rewrite_data_files(strategy => 'sort', sort_order => ...)): a table
     // appended in shuffled order re-clusters on event_id, so leading-column
@@ -1117,6 +1134,11 @@ object TableQueries {
          SELECT t AS change_type, COUNT(*) AS row_count,
                 CAST(SUM(k) AS BIGINT) AS key_sum
          FROM ch GROUP BY 1 ORDER BY 1""",
+    "t_connector_batch" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey < 400
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "t_sort_rewrite" ->
       """SELECT COUNT(*) AS row_count,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -133,6 +133,33 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     properties.toSeq.sortBy(_._1).toDF("key", "value")
   }
 
+  /** Metadata-log table (the Iceberg `.metadata_log_entries` analog): one
+    * row per live document in the snapshot log directory — the physical
+    * metadata a debugger or a manifest-consolidation policy reasons about.
+    */
+  def metadataLogTable(): DataFrame = {
+    import spark.implicits._
+    val dir = SnapshotLog.logPath(tableDir)
+    val fs = hfs
+    val rows =
+      if (!fs.exists(dir)) Nil
+      else {
+        val it = fs.listStatus(dir).toSeq
+        it.filter(_.isFile).map { st =>
+          val name = st.getPath.getName
+          val kind =
+            if (name.startsWith("manifest-")) "manifest"
+            else if (name.startsWith("v") && name.endsWith(".json")) "snapshot"
+            else if (name.startsWith("tag-")) "tag"
+            else if (name.startsWith("branch-")) "branch"
+            else if (name.startsWith("props-")) "properties"
+            else "other"
+          (name, kind, st.getLen)
+        }.sortBy(_._1)
+      }
+    rows.toDF("file", "kind", "size_bytes")
+  }
+
   /** Every file referenced by ANY live snapshot (the Iceberg `.all_files`
     * analog), with the referencing snapshot — metadata-only, one row per
     * (snapshot, file) reference, so maintenance and debugging can see which
