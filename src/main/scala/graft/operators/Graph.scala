@@ -35,16 +35,27 @@ object Graph {
     * dangling nodes would otherwise leak rank mass silently, so they
     * refuse loudly instead.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank iters must be >= 1, got $iters")
-    val e = edges.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).distinct().localCheckpoint()
+    // The edge list is the BIG side and is needed src-partitioned in every
+    // round; partition it ONCE here (localCheckpoint preserves the physical
+    // partitioning), so each round's rank join moves only the rank table —
+    // one row per node, orders of magnitude smaller than the edges and
+    // small enough that Catalyst broadcasts it. `edgesDistinct` lets a
+    // caller whose list is deduplicated by construction (e.g. a union of
+    // two disjoint direction namespaces) skip a full extra shuffle.
+    val e0 = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .repartition(col("src")).localCheckpoint()
     val srcs = e.select(col("src").as("node")).distinct()
     val dangling = e.select(col("dst").as("node")).distinct()
       .join(srcs, Seq("node"), "left_anti").limit(1).collect()
     require(dangling.isEmpty,
       s"pageRank: dangling node ${dangling.head.getLong(0)} has in-edges but " +
         "no out-edges; feed an undirected graph as both directions")
+    // src-partitioned input: the degree agg and its join add no edge shuffle
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, Seq("src")).localCheckpoint()
     var ranks = srcs.withColumn("rank", lit(Scale))
@@ -83,7 +94,9 @@ object Graph {
     // Fixed-point PageRank, 5 rounds over the trade graph — per-node exact
     // integer ranks, fully DuckDB-checked (the oracle unrolls the rounds)
     "graph_pagerank" -> ((s, dir) =>
-      pageRank(tradeEdges(s, dir), iters = 5)
+      // the two direction namespaces are disjoint and each side is distinct
+      // by construction → edgesDistinct skips the redundant dedup shuffle
+      pageRank(tradeEdges(s, dir), iters = 5, edgesDistinct = true)
         .orderBy(col("rank").desc, col("node")).limit(100)),
 
     // Degree profile of the same graph (the skew diagnostic you run before
