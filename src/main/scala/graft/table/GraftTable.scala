@@ -1410,6 +1410,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   def addFiles(sourceDir: String): Snapshot = {
     val src = new org.apache.hadoop.fs.Path(sourceDir)
     require(hfs.exists(src), s"add_files source $sourceDir does not exist")
+    // importing from inside the table itself would rename LIVE files onto
+    // new names and double-reference their rows — refuse before looking
+    val tableQual = hfs.makeQualified(
+      new org.apache.hadoop.fs.Path(tableDir)).toString
+    require(!(hfs.makeQualified(src).toString + "/").startsWith(tableQual + "/"),
+      s"add_files source $sourceDir lies inside table $tableDir")
     val parentSnap = latest
     val partCols = parentSnap.partitionCols
     val logical = DataType.fromJson(parentSnap.schemaJson).asInstanceOf[StructType]

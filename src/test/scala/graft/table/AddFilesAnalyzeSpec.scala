@@ -89,6 +89,18 @@ class AddFilesAnalyzeSpec extends SparkSpec {
     assert(t.latest.files.forall(!_.path.contains("import-")))
   }
 
+  test("addFiles refuses a source inside the table itself") {
+    val dir = scratchDir("addfiles_self")
+    val df = orders(10)
+    val t = GraftTable.create(spark, s"$dir/t", df.schema)
+    t.append(df)
+    // importing the table's own data dir would rename live files onto new
+    // names and double-reference every row
+    val e = intercept[IllegalArgumentException](t.addFiles(s"$dir/t/data"))
+    assert(e.getMessage.contains("inside table"))
+    assert(t.readLatest().count() == 10)
+  }
+
   test("addFiles refuses an unreadable footer before moving anything") {
     val dir = scratchDir("addfiles_corrupt")
     val df = orders(10)
