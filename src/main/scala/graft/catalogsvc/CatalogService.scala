@@ -126,7 +126,11 @@ class CatalogService(spark: SparkSession, rootDir: String) {
       import scala.jdk.CollectionConverters._
       Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
-        .filter(n => tableExists(ns, n)).toSeq.sorted
+        // a pointer registration is a catalog entry even when its external
+        // table has vanished — hiding it would strand the dead registration
+        // from lifecycle ops (cascade drop walks this listing)
+        .filter(n => tableExists(ns, n) || Files.exists(pointerFile(ns, n)))
+        .toSeq.sorted
     }
   }
 

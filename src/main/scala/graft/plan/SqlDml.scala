@@ -955,6 +955,12 @@ object SqlDml {
             val strategy = named.get("strategy").map(litString(_).toLowerCase)
               .getOrElse("binpack")
             if (strategy == "sort") {
+              // a sort rewrite re-clusters the WHOLE table; silently
+              // ignoring a where-scope would claim a narrower rewrite than
+              // what ran
+              if (named.contains("where"))
+                unsupported("rewrite_data_files(strategy => 'sort') with where " +
+                  "(sort rewrites are whole-table)")
               val so = named.get("sort_order").map(litString).getOrElse(
                 unsupported("rewrite_data_files(strategy => 'sort') without sort_order"))
               val zRe = """(?i)\A\s*zorder\s*\(([^)]*)\)\s*\z""".r

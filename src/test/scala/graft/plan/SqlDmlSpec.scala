@@ -1096,9 +1096,19 @@ class SqlDmlSpec extends SparkSpec {
     }
     rm(new java.io.File(extDir))
     assert(!cat.tableExists("reg", "ev"))
-    // ...the dead registration is still droppable, and the name frees up
+    // ...it still LISTS (lifecycle ops must see it), is droppable, and the
+    // name frees up
+    assert(cat.listTables("reg").contains("ev"))
     cat.dropTable("reg", "ev")
     cat.createTable("reg", "ev", df.schema)
     assert(cat.tableExists("reg", "ev"))
+    // a namespace holding a dead registration cascade-drops cleanly
+    cat.createNamespace("reg2")
+    val ext2 = scratchDir("sqldml-reg2-ext2") + "/t"
+    GraftTable.create(spark, ext2, df.schema).append(df)
+    cat.registerTable("reg2", "dead", ext2)
+    rm(new java.io.File(ext2))
+    cat.dropNamespaceCascade("reg2")
+    assert(!cat.namespaceExists("reg2"))
   }
 }
