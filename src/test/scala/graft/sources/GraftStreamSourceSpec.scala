@@ -64,6 +64,26 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"expected exactly-once delivery of 52 distinct ids, got ${ids.length}")
   }
 
+  test("timestamp and null values round-trip through the connector readers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), java.sql.Timestamp.valueOf("2024-03-01 10:30:00")),
+      (2L, None, java.sql.Timestamp.valueOf("2024-03-02 11:45:30")),
+      (3L, Some("c"), java.sql.Timestamp.valueOf("2024-03-03 23:59:59")))
+      .toDF("id", "tag", "ts")
+    val dir = scratchDir("stream-src-ts") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df)
+    val out = spark.read.format("graft").load(dir).orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(1).isNullAt(1), "null string must survive the reader")
+    assert(out(0).getTimestamp(2) == java.sql.Timestamp.valueOf("2024-03-01 10:30:00"))
+    assert(out(2).getTimestamp(2) == java.sql.Timestamp.valueOf("2024-03-03 23:59:59"))
+    // and the batch face agrees with the table's own read path
+    assert(spark.read.format("graft").load(dir).orderBy("id").collect().toSeq ==
+      t.readLatest().orderBy("id").collect().toSeq)
+  }
+
   test("row-removing commits refuse; hive partition values fill from dirs") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, (i % 4).toString)).toDF("id", "bucket")
