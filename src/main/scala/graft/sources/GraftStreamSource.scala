@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -85,18 +85,29 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
           s"${f.dataType.simpleString} (primitive columns only)")
     }
     val maxCommits = Option(options.get("max-commits-per-trigger")).map(_.toInt)
-    new ScanBuilder {
-      override def build(): Scan = new GraftScan(dir, tableSchema, maxCommits)
+    // Column pruning: Catalyst hands the projection down and the per-file
+    // readers project at the PARQUET level (the footer's filtered message
+    // type rides ReadSupport.PARQUET_READ_SCHEMA), so unprojected columns
+    // are never decoded — the same contract as the table's own scans.
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // keep the table's field order; Spark's requiredSchema is already a
+        // subset of the logical schema
+        required = StructType(tableSchema.fields.filter(f =>
+          requiredSchema.fieldNames.contains(f.name)))
+      override def build(): Scan =
+        new GraftScan(dir, tableSchema, required, maxCommits)
     }
   }
 }
 
-private[sources] class GraftScan(dir: String, schema: StructType,
-    maxCommitsPerTrigger: Option[Int]) extends Scan {
+private[sources] class GraftScan(dir: String, fullSchema: StructType,
+    schema: StructType, maxCommitsPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftScan($dir)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, schema, maxCommitsPerTrigger)
+    new GraftMicroBatchStream(dir, fullSchema, schema, maxCommitsPerTrigger)
 
   /** Batch read of the LATEST snapshot through the same per-file readers.
     * Merge-on-read deletes and unreplayed schema evolution refuse (those
@@ -116,14 +127,17 @@ private[sources] class GraftScan(dir: String, schema: StructType,
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
       val dataRoot = SnapshotLog.dataPath(dir).toString
       head.files.map { e =>
+        // drift detection runs against the FULL logical schema — the pruned
+        // read schema is a projection, not the table's shape
         val writeSchema = DataType.fromJson(head.schemas(e.writtenAt.toString))
           .asInstanceOf[StructType]
-        val dataShape = shape(StructType(schema.fields.filterNot(f =>
+        val dataShape = shape(StructType(fullSchema.fields.filterNot(f =>
           e.partitionValues.contains(f.name))))
-        require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(schema),
+        require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(fullSchema),
           s"graft batch read: ${e.path} in $dir was written under an evolved " +
             "schema — use the table API (readLatest) for evolution replay")
-        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues, schema.json)
+        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
+          schema.json, e.rowCount)
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -135,7 +149,8 @@ private[sources] case class GraftOffset(snapshotId: Long) extends Offset {
   override def json(): String = s"""{"snapshotId":$snapshotId}"""
 }
 
-private[sources] class GraftMicroBatchStream(dir: String, schema: StructType,
+private[sources] class GraftMicroBatchStream(dir: String,
+    fullSchema: StructType, schema: StructType,
     maxCommitsPerTrigger: Option[Int]) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
@@ -209,14 +224,17 @@ private[sources] class GraftMicroBatchStream(dir: String, schema: StructType,
       val writeSchema = DataType.fromJson(s.schemas(s.snapshotId.toString))
         .asInstanceOf[StructType]
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
-      val dataShape = shape(StructType(schema.fields.filterNot(f =>
+      // drift detection against the FULL logical schema (the read schema
+      // may be a pruned projection)
+      val dataShape = shape(StructType(fullSchema.fields.filterNot(f =>
         s.files.exists(_.partitionValues.contains(f.name)))))
-      require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(schema),
+      require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(fullSchema),
         s"graft streaming read: snapshot ${s.snapshotId} in $dir was written " +
           s"under a different schema than the stream's — consume up to the " +
           "evolution point with the old schema, then restart the query")
       s.files.filter(_.writtenAt == s.snapshotId).map { e =>
-        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues, schema.json)
+        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
+          schema.json, e.rowCount)
       }
     }.toArray[InputPartition]
   }
@@ -228,32 +246,66 @@ private[sources] class GraftMicroBatchStream(dir: String, schema: StructType,
 private[sources] case class GraftInputPartition(
     filePath: String,
     partitionValues: Map[String, String],
-    schemaJson: String) extends InputPartition
+    schemaJson: String,
+    rowCount: Long) extends InputPartition
 
 private[sources] class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
 }
 
-/** One-file record reader: parquet-hadoop group materialization → InternalRow.
-  * Hive partition columns (absent from the file bytes) fill from the
-  * partition's directory values, cast to the logical type.
+/** One-file record reader: parquet-hadoop group materialization → InternalRow,
+  * PROJECTED at the parquet level — only the pruned scan schema's data
+  * fields decode (the footer's filtered message type rides
+  * `ReadSupport.PARQUET_READ_SCHEMA`). Hive partition columns (absent from
+  * the file bytes) fill from the partition's directory values. A projection
+  * with NO data fields (`count(*)`, partition-only selects) emits the
+  * file's metadata row count without opening the file at all.
   */
 private[sources] class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(p.filePath))
-    .withConf(new Configuration())
-    .build()
+  private val dataFields = schema.fields
+    .filterNot(f => p.partitionValues.contains(f.name)).map(_.name)
+
+  // metadata-only path: no data field requested and the count is known
+  private val metadataRows: Long =
+    if (dataFields.isEmpty && p.rowCount >= 0) p.rowCount else -1L
+  private var emitted = 0L
+
+  private lazy val reader = {
+    val conf = new Configuration()
+    val path = new org.apache.hadoop.fs.Path(p.filePath)
+    if (dataFields.nonEmpty) {
+      // project: filter the FILE's own message type down to the requested
+      // data fields (names absent from the file — later-added columns —
+      // simply drop out and read back as null)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileType = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val wanted = dataFields.toSet
+      val kept = fileType.getFields.asScala.filter(f => wanted.contains(f.getName))
+      if (kept.nonEmpty && kept.size < fileType.getFieldCount) {
+        val projected = new org.apache.parquet.schema.MessageType(
+          fileType.getName, kept.toList.asJava)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          projected.toString)
+      }
+    }
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+      .withConf(conf)
+      .build()
+  }
   private var current: org.apache.parquet.example.data.Group = _
 
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
-  }
+  override def next(): Boolean =
+    if (metadataRows >= 0) { emitted += 1; emitted <= metadataRows }
+    else {
+      current = reader.read()
+      current != null
+    }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(schema.length)
@@ -272,7 +324,7 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     row
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (metadataRows < 0) reader.close()
 }
 
 object GraftStreamSource {

@@ -64,6 +64,28 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"expected exactly-once delivery of 52 distinct ids, got ${ids.length}")
   }
 
+  test("column pruning reaches the scan; count(*) answers from metadata alone") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, s"n$i", i * 2.0, s"t$i"))
+      .toDF("id", "name", "v", "tag")
+    val dir = scratchDir("stream-src-prune") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df)
+    val pruned = spark.read.format("graft").load(dir).select("id", "v")
+    val scanOut = pruned.queryExecution.executedPlan
+      .collectLeaves().head.output.map(_.name)
+    assert(scanOut.toSet == Set("id", "v"),
+      s"projection did not reach the scan: $scanOut")
+    assert(pruned.agg(sum("v")).head.getDouble(0) == (1 to 30).map(_ * 2.0).sum)
+    // the strongest proof the zero-data-field path never opens a file:
+    // remove the data bytes, then count through the connector
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/data"))
+    assert(spark.read.format("graft").load(dir).count() == 30)
+  }
+
   test("timestamp and null values round-trip through the connector readers") {
     import spark.implicits._
     val df = Seq(
