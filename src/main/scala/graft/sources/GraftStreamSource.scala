@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, LessThan => SLt, LessThanOrEqual => SLte}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -89,25 +90,40 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
     // readers project at the PARQUET level (the footer's filtered message
     // type rides ReadSupport.PARQUET_READ_SCHEMA), so unprojected columns
     // are never decoded — the same contract as the table's own scans.
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    // Filter pushdown: comparison predicates prune whole FILES against the
+    // snapshot's footer bounds and partition values at PLANNING time; every
+    // filter is also returned as residual, so Spark re-evaluates row-level —
+    // pruning can only ever drop files proven out of range, never change
+    // results.
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = tableSchema
+      private var pushed: Array[SFilter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         // keep the table's field order; Spark's requiredSchema is already a
         // subset of the logical schema
         required = StructType(tableSchema.fields.filter(f =>
           requiredSchema.fieldNames.contains(f.name)))
+      override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+        pushed = filters.filter(GraftStreamSource.prunable(_, tableSchema))
+        filters // all residual: file-skipping only, rows re-checked above
+      }
+      override def pushedFilters(): Array[SFilter] = pushed
       override def build(): Scan =
-        new GraftScan(dir, tableSchema, required, maxCommits)
+        new GraftScan(dir, tableSchema, required, maxCommits, pushed)
     }
   }
 }
 
 private[sources] class GraftScan(dir: String, fullSchema: StructType,
-    schema: StructType, maxCommitsPerTrigger: Option[Int]) extends Scan {
+    schema: StructType, maxCommitsPerTrigger: Option[Int],
+    pushedFilters: Array[SFilter] = Array.empty) extends Scan {
   override def readSchema(): StructType = schema
-  override def description(): String = s"GraftScan($dir)"
+  override def description(): String =
+    s"GraftScan($dir, pushed=[${pushedFilters.mkString(", ")}])"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, fullSchema, schema, maxCommitsPerTrigger)
+    new GraftMicroBatchStream(dir, fullSchema, schema, maxCommitsPerTrigger,
+      pushedFilters)
 
   /** Batch read of the LATEST snapshot through the same per-file readers.
     * Merge-on-read deletes and unreplayed schema evolution refuse (those
@@ -126,7 +142,8 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
           "table API (readLatest) for the reconciling scan")
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
       val dataRoot = SnapshotLog.dataPath(dir).toString
-      head.files.map { e =>
+      head.files.filter(e =>
+        GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters)).map { e =>
         // drift detection runs against the FULL logical schema — the pruned
         // read schema is a projection, not the table's shape
         val writeSchema = DataType.fromJson(head.schemas(e.writtenAt.toString))
@@ -151,7 +168,8 @@ private[sources] case class GraftOffset(snapshotId: Long) extends Offset {
 
 private[sources] class GraftMicroBatchStream(dir: String,
     fullSchema: StructType, schema: StructType,
-    maxCommitsPerTrigger: Option[Int]) extends MicroBatchStream
+    maxCommitsPerTrigger: Option[Int],
+    pushedFilters: Array[SFilter] = Array.empty) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   private def snaps = SnapshotLog.load(new Configuration(), dir)
@@ -232,7 +250,8 @@ private[sources] class GraftMicroBatchStream(dir: String,
         s"graft streaming read: snapshot ${s.snapshotId} in $dir was written " +
           s"under a different schema than the stream's — consume up to the " +
           "evolution point with the old schema, then restart the query")
-      s.files.filter(_.writtenAt == s.snapshotId).map { e =>
+      s.files.filter(e => e.writtenAt == s.snapshotId &&
+          GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters)).map { e =>
         GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
           schema.json, e.rowCount)
       }
@@ -328,6 +347,70 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
 }
 
 object GraftStreamSource {
+
+  /** A filter participates in file-level pruning when it is a comparison on
+    * a NUMERIC column (footer bounds for strings may be writer-truncated —
+    * the same exclusion as the table's own stats pruning) or an equality on
+    * a partition column, with a non-null literal. AND recurses.
+    */
+  private[sources] def prunable(f: SFilter, schema: StructType): Boolean = f match {
+    case SAnd(l, r) => prunable(l, schema) || prunable(r, schema)
+    case SEqualTo(c, v) => v != null && comparableCol(c, schema)
+    case SGt(c, v) => v != null && numericCol(c, schema)
+    case SGte(c, v) => v != null && numericCol(c, schema)
+    case SLt(c, v) => v != null && numericCol(c, schema)
+    case SLte(c, v) => v != null && numericCol(c, schema)
+    case _ => false
+  }
+
+  private def numericCol(c: String, schema: StructType): Boolean =
+    schema.find(_.name == c).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    })
+
+  private def comparableCol(c: String, schema: StructType): Boolean =
+    numericCol(c, schema) || schema.exists(_.name == c) // partition equality
+
+  /** File-level verdict for the pushed filters: keep the file unless a
+    * filter PROVES no row can match — numeric comparisons against the
+    * file's footer [min, max], string/typed equality against partition
+    * values. Absent bounds keep the file (all-null or untracked columns).
+    */
+  private[sources] def fileMayMatch(e: graft.table.FileEntry,
+      schema: StructType, filters: Array[SFilter]): Boolean =
+    filters.forall(mayMatch(e, schema, _))
+
+  private def mayMatch(e: graft.table.FileEntry, schema: StructType,
+      f: SFilter): Boolean = f match {
+    case SAnd(l, r) => mayMatch(e, schema, l) && mayMatch(e, schema, r)
+    case SEqualTo(c, v) if e.partitionValues.contains(c) =>
+      v != null && e.partitionValues(c) == v.toString
+    case SEqualTo(c, v) => boundsAllow(e, schema, c, v, lowIncl = true, v, highIncl = true)
+    case SGt(c, v) => boundsAllow(e, schema, c, v, lowIncl = false, null, highIncl = true)
+    case SGte(c, v) => boundsAllow(e, schema, c, v, lowIncl = true, null, highIncl = true)
+    case SLt(c, v) => boundsAllow(e, schema, c, null, lowIncl = true, v, highIncl = false)
+    case SLte(c, v) => boundsAllow(e, schema, c, null, lowIncl = true, v, highIncl = true)
+    case _ => true // unknown filter: never prune on it
+  }
+
+  /** True unless the file's numeric bounds prove [lo, hi] misses every row. */
+  private def boundsAllow(e: graft.table.FileEntry, schema: StructType,
+      c: String, lo: Any, lowIncl: Boolean, hi: Any, highIncl: Boolean): Boolean = {
+    if (!numericCol(c, schema)) return true
+    val st = e.stats.get(c).getOrElse(return true)
+    if (st.size < 2) return true // no bounds tracked (nulls-only entry)
+    val mn = scala.util.Try(new java.math.BigDecimal(st(0))).getOrElse(return true)
+    val mx = scala.util.Try(new java.math.BigDecimal(st(1))).getOrElse(return true)
+    def dec(v: Any): Option[java.math.BigDecimal] =
+      scala.util.Try(new java.math.BigDecimal(v.toString)).toOption
+    val loOk = lo == null || dec(lo).forall(l =>
+      if (lowIncl) mx.compareTo(l) >= 0 else mx.compareTo(l) > 0)
+    val hiOk = hi == null || dec(hi).forall(h =>
+      if (highIncl) mn.compareTo(h) <= 0 else mn.compareTo(h) < 0)
+    loOk && hiOk
+  }
+
   /** Same classification as the table's incremental readers. */
   private[sources] val RowAdding = Set("append", "add-files")
   private[sources] val Skippable = Set("create", "rewrite-data-files",

@@ -86,6 +86,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 30)
   }
 
+  test("pushed comparison filters prune whole files at planning time") {
+    import spark.implicits._
+    val dir = scratchDir("stream-src-filter") + "/t"
+    val df = (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val t = GraftTable.create(spark, dir, df.schema)
+    // three single-file commits with disjoint id ranges
+    t.append(df.filter(col("id") <= 100).coalesce(1))
+    t.append(df.filter(col("id") > 100 && col("id") <= 200).coalesce(1))
+    t.append(df.filter(col("id") > 200).coalesce(1))
+    def scanParts(d: org.apache.spark.sql.DataFrame): Int = d.rdd.getNumPartitions
+    val all = spark.read.format("graft").load(dir)
+    assert(scanParts(all) == 3)
+    val hi = all.filter(col("id") > 250)
+    assert(scanParts(hi) == 1, "range filter must prune two of three files")
+    assert(hi.count() == 50)
+    val point = all.filter(col("id") === 150L)
+    assert(scanParts(point) == 1)
+    assert(point.select("v").head.getDouble(0) == 150.0)
+    // partition-value equality prunes hive partitions
+    val pdir = scratchDir("stream-src-filter-p") + "/t"
+    val pdf = (1 to 60).map(i => (i.toLong, (i % 3).toString)).toDF("id", "bucket")
+    val pt = GraftTable.create(spark, pdir, pdf.schema, partitionCols = Seq("bucket"))
+    pt.append(pdf)
+    val nTotal = pt.latest.files.size
+    val one = spark.read.format("graft").load(pdir).filter(col("bucket") === "1")
+    assert(scanParts(one) < nTotal,
+      s"partition filter must prune: ${scanParts(one)}/$nTotal")
+    assert(one.count() == 20)
+  }
+
   test("timestamp and null values round-trip through the connector readers") {
     import spark.implicits._
     val df = Seq(
