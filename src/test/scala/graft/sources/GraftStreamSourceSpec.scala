@@ -116,6 +116,23 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(one.count() == 20)
   }
 
+  test("filters on the streaming path stay correct under file pruning") {
+    import spark.implicits._
+    val dir = scratchDir("stream-src-sfilter") + "/t"
+    val df = (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df.filter(col("id") <= 100).coalesce(1))
+    t.append(df.filter(col("id") > 100).coalesce(1))
+    val q = spark.readStream.format("graft").load(dir)
+      .filter(col("id") > 150)
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .writeStream.format("memory").queryName("src_sfilter")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r = spark.table("src_sfilter").head
+    assert(r.getLong(0) == 50 && r.getLong(1) == (151L to 200L).sum)
+  }
+
   test("timestamp and null values round-trip through the connector readers") {
     import spark.implicits._
     val df = Seq(
