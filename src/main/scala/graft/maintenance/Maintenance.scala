@@ -311,6 +311,10 @@ object Maintenance {
     val conf = t.spark.sessionState.newHadoopConf()
     val snaps = SnapshotLog.load(conf, t.tableDir)
     if (snaps.size <= retainLast) return 0
+    // ref aging first (Iceberg's expire_snapshots order): a tag created
+    // with RETAIN past its window drops here, releasing its snapshot to
+    // the same pass's expiry below
+    t.dropExpiredTags(t.clock())
     // tags pin snapshots past retain-last (the Iceberg ref-aware expiry):
     // a tagged snapshot and its files survive until the tag is dropped
     val pinned = t.tags.values.toSet

@@ -350,7 +350,7 @@ object SqlDml {
   private val CreateBranchRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+BRANCH\s+(IF\s+NOT\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
   private val CreateTagRe =
-    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+(IF\s+NOT\s+EXISTS\s+)?([\w-]+)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*\z""".r
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+(IF\s+NOT\s+EXISTS\s+)?([\w-]+)(\s+AS\s+OF\s+VERSION\s+(\d+))?(\s+RETAIN\s+(\d+)\s+DAYS)?\s*;?\s*\z""".r
   private val DropBranchRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+BRANCH\s+(IF\s+EXISTS\s+)?([\w-]+)\s*;?\s*\z""".r
   private val DropTagRe =
@@ -467,10 +467,13 @@ object SqlDml {
           if (ifNot == null || !t.branches.contains(name)) t.createBranch(name)
           return Some(StatementResult(statement, Nil, None))
         }
-      case CreateTagRe(ident, ifNot, name, _, version) =>
+      case CreateTagRe(ident, ifNot, name, _, version, _, retainDays) =>
         resolveDdlIdent(ident).foreach { t =>
           val sid = Option(version).map(_.toLong).getOrElse(t.latest.snapshotId)
-          if (ifNot == null || !t.tags.contains(name)) t.createTag(name, sid)
+          // RETAIN n DAYS (the Iceberg ref-retention clause): the tag ages
+          // out at the next ref-aware expiry after the window passes
+          val age = Option(retainDays).map(_.toLong * 24L * 3600 * 1000)
+          if (ifNot == null || !t.tags.contains(name)) t.createTag(name, sid, age)
           return Some(StatementResult(statement, Nil, None))
         }
       case DropBranchRe(ident, ifExists, name) =>

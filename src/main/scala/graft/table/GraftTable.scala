@@ -972,15 +972,49 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * "the snapshot this model trained on"). Create-if-absent: re-tagging an
     * existing name is an error, not a silent move.
     */
-  def createTag(name: String, snapshotId: Long): Unit = {
+  def createTag(name: String, snapshotId: Long): Unit =
+    createTag(name, snapshotId, None)
+
+  /** Tag with Iceberg's `RETAIN` clause: past `maxRefAgeMs` from creation
+    * the tag is dropped by the next ref-aware expiry, releasing its pinned
+    * snapshot — a bounded-lifetime audit point. None = pinned until an
+    * explicit drop.
+    */
+  def createTag(name: String, snapshotId: Long, maxRefAgeMs: Option[Long]): Unit = {
     require(TagNameRe.matches(name),
       s"tag name must match ${TagNameRe.regex}, got '$name'")
     require(snapshotsList.exists(_.snapshotId == snapshotId),
       s"no snapshot $snapshotId in $tableDir")
+    maxRefAgeMs.foreach(a => require(a > 0, s"tag RETAIN age must be positive, got $a"))
     val p = new org.apache.hadoop.fs.Path(SnapshotLog.logPath(tableDir), s"tag-$name.json")
     val doc = org.json4s.jackson.Serialization.write(
-      Map("name" -> name, "snapshotId" -> snapshotId.toString))(SnapshotLog.formats)
+      Map("name" -> name, "snapshotId" -> snapshotId.toString,
+        "createdAt" -> clock().toString) ++
+        maxRefAgeMs.map(a => "maxRefAgeMs" -> a.toString))(SnapshotLog.formats)
     require(SnapshotLog.publishAtomicAt(hfs, p, doc), s"tag $name already exists in $tableDir")
+  }
+
+  /** Drop every tag whose RETAIN window has passed (the ref-aging step of
+    * Iceberg's expire_snapshots); returns the dropped names. Tags without a
+    * retention (or from the pre-retention format) never age out.
+    */
+  def dropExpiredTags(nowMillis: Long): Seq[String] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val dir = SnapshotLog.logPath(tableDir)
+    if (!hfs.exists(dir)) return Nil
+    hfs.listStatus(dir).map(_.getPath).flatMap { p =>
+      p.getName match {
+        case TagFileRe(_) =>
+          val m = org.json4s.jackson.JsonMethods.parse(
+            SnapshotLog.readStringAt(hfs, p)).extract[Map[String, String]]
+          for {
+            age <- m.get("maxRefAgeMs").map(_.toLong)
+            created <- m.get("createdAt").map(_.toLong)
+            if created + age < nowMillis
+          } yield { hfs.delete(p, false); m("name") }
+        case _ => None
+      }
+    }.toSeq
   }
 
   /** All tags, name → pinned snapshot id. */

@@ -201,4 +201,39 @@ class RefsAndIncrementalSpec extends SparkSpec {
     t.createTag("release-1.0", t.latest.snapshotId)
     assert(t.tags === Map("release-1.0" -> t.latest.snapshotId))
   }
+
+  test("RETAIN-aged tags drop at expiry and release their snapshots") {
+    val t = newSalesTable()
+    var now = 1700000000000L
+    t.clock = () => now
+    val v2 = t.append(slice(4, 6)).snapshotId
+    // short-lived audit tag (2-day retention) on v2; permanent tag on head
+    t.createTag("nightly", v2, Some(2L * 24 * 3600 * 1000))
+    val v3 = t.append(slice(6, 8)).snapshotId
+    t.createTag("release", v3)
+    t.append(slice(0, 0)) // advance head so v2/v3 are expiry candidates
+    val v4 = t.latest.snapshotId
+
+    // inside the window: expiry must keep BOTH tagged snapshots
+    now += 1L * 24 * 3600 * 1000
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    assert(t.tags.keySet == Set("nightly", "release"))
+    assert(t.snapshotsList.map(_.snapshotId).toSet.intersect(Set(v2, v3)) == Set(v2, v3))
+
+    // past the window: the nightly tag ages out IN the expiry pass and its
+    // snapshot expires with it; the permanent tag still pins v3
+    now += 2L * 24 * 3600 * 1000
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    assert(t.tags.keySet == Set("release"))
+    val left = t.snapshotsList.map(_.snapshotId).toSet
+    assert(!left.contains(v2) && left.contains(v3) && left.contains(v4))
+
+    // the SQL RETAIN clause routes to the same retention
+    val eng = new graft.plan.SparkSqlEngine(spark)
+    eng.registerGraftTable("refsql", t)
+    eng.execute("ALTER TABLE refsql CREATE TAG tmp RETAIN 7 DAYS")
+    assert(t.tags.contains("tmp"))
+    assert(t.dropExpiredTags(now + 8L * 24 * 3600 * 1000) == Seq("tmp"))
+    assert(!t.tags.contains("tmp"))
+  }
 }
