@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, LessThan => SLt, LessThanOrEqual => SLte}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -117,8 +117,29 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
 
 private[sources] class GraftScan(dir: String, fullSchema: StructType,
     schema: StructType, maxCommitsPerTrigger: Option[Int],
-    pushedFilters: Array[SFilter] = Array.empty) extends Scan {
+    pushedFilters: Array[SFilter] = Array.empty) extends Scan
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
+
+  /** Exact table statistics from the snapshot's file inventory, AFTER the
+    * pushed filters' file pruning — so Catalyst's join planning sees the
+    * size a scan will actually read and broadcasts small graft reads
+    * (estimate → runtime AQE, the same decision order as the engine's own
+    * MERGE planning). Metadata only: no file is opened.
+    */
+  override def estimateStatistics(): Statistics = {
+    val snaps = SnapshotLog.load(new Configuration(), dir)
+    val files = snaps.lastOption.map(_.files).getOrElse(Nil)
+      .filter(e => GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters))
+    val bytes = files.map(_.sizeBytes).sum
+    val rows = if (files.exists(_.rowCount < 0)) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(files.map(_.rowCount).sum)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
   override def description(): String =
     s"GraftScan($dir, pushed=[${pushedFilters.mkString(", ")}])"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

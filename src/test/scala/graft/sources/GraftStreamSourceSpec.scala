@@ -116,6 +116,26 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(one.count() == 20)
   }
 
+  test("reported statistics drive a broadcast when the connector side is small") {
+    import spark.implicits._
+    val dir = scratchDir("stream-src-stats") + "/t"
+    val dim = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("id", "nm").coalesce(1)
+    val t = GraftTable.create(spark, dir, dim.schema)
+    t.append(dim)
+    val big = spark.range(0, 200000).selectExpr("(id % 50) + 1 AS id", "id AS x")
+    val joined = big.join(spark.read.format("graft").load(dir), Seq("id"))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.nodeName +: (p.children.flatMap(nodes) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.initialPlan)
+        case _ => Nil
+      }))
+    val ns = nodes(joined.queryExecution.executedPlan)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"small connector read did not broadcast: $ns")
+    assert(joined.count() == 200000)
+  }
+
   test("filters on the streaming path stay correct under file pruning") {
     import spark.implicits._
     val dir = scratchDir("stream-src-sfilter") + "/t"
