@@ -249,6 +249,24 @@ private[sources] class GraftMicroBatchStream(dir: String,
     val from = start.asInstanceOf[GraftOffset].snapshotId
     val to = end.asInstanceOf[GraftOffset].snapshotId
     val range = snaps.filter(s => s.snapshotId > from && s.snapshotId <= to)
+    // Expiry safety (the table's changeRange contract): the range must be
+    // an UNBROKEN parent chain anchored at the start offset — snapshot
+    // expiry between runs can drop committed appends, and silently skipping
+    // them would lose streamed data. Refuse loudly instead.
+    range.headOption.foreach { first =>
+      val anchored =
+        if (from == 0L) first.parentId.isEmpty
+        else first.parentId.contains(from)
+      val contiguous = range.sliding(2).forall {
+        case Seq(a, b) => b.parentId.contains(a.snapshotId)
+        case _ => true
+      }
+      require(anchored && contiguous,
+        s"graft streaming read: snapshots in ($from, $to] of $dir are not a " +
+          "contiguous parent chain — commits were expired since the last " +
+          "consumed offset; restart the query with a fresh checkpoint (full " +
+          "reload) or re-point it at a retained offset")
+    }
     val bad = range.filterNot(s =>
       GraftStreamSource.RowAdding(s.operation) ||
         GraftStreamSource.Skippable(s.operation))

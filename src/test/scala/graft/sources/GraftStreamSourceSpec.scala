@@ -116,6 +116,34 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(one.count() == 20)
   }
 
+  test("a resume across expired commits refuses instead of silently skipping") {
+    import spark.implicits._
+    val (dir, t) = mkTable("stream-src-expire", 40)
+    val ckpt = scratchDir("stream-src-expire-ckpt")
+    val outDir = scratchDir("stream-src-expire-out")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(dir).select("id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 40)
+    // two more appends, then aggressive expiry drops the FIRST of them —
+    // the resumed stream must refuse, not silently deliver only the second
+    t.append(Seq((41L, "u1", 1.0)).toDF("id", "user", "v"))
+    t.append(Seq((42L, "u2", 2.0)).toDF("id", "user", "v"))
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("contiguous parent chain")),
+      s"expected the expiry-gap refusal, got: ${messages(ex).take(3)}")
+  }
+
   test("reported statistics drive a broadcast when the connector side is small") {
     import spark.implicits._
     val dir = scratchDir("stream-src-stats") + "/t"
