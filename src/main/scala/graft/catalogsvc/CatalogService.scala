@@ -104,6 +104,13 @@ class CatalogService(spark: SparkSession, rootDir: String) {
     require(namespaceExists(ns), s"no such namespace: $ns")
     if (tableExists(ns, name))
       throw new IllegalStateException(s"table exists: $ns.$name")
+    // occupancy matches createTable's shadow-refusal: an existing pointer —
+    // even one whose target died — still occupies the name; re-pointing
+    // requires an explicit dropTable first, never a silent overwrite
+    if (Files.exists(pointerFile(ns, name)))
+      throw new IllegalStateException(
+        s"register_table: $ns.$name is already a registration (its pointer " +
+          "file exists); DROP TABLE it before registering a new location")
     require(GraftTable.exists(spark, location),
       s"register_table: no table at $location")
     Files.createDirectories(tableDir(ns, name))

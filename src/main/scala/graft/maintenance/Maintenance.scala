@@ -310,11 +310,12 @@ object Maintenance {
   def expireSnapshots(t: GraftTable, retainLast: Int, olderThanMillis: Option[Long]): Int = {
     val conf = t.spark.sessionState.newHadoopConf()
     val snaps = SnapshotLog.load(conf, t.tableDir)
-    if (snaps.size <= retainLast) return 0
-    // ref aging first (Iceberg's expire_snapshots order): a tag created
-    // with RETAIN past its window drops here, releasing its snapshot to
-    // the same pass's expiry below
+    // ref aging first (Iceberg's expire_snapshots order), and BEFORE the
+    // retain-last short-circuit: Iceberg removes aged-out refs
+    // unconditionally, so a RETAIN-expired tag on a two-snapshot table
+    // must still drop even when no snapshot can expire this pass
     t.dropExpiredTags(t.clock())
+    if (snaps.size <= retainLast) return 0
     // tags pin snapshots past retain-last (the Iceberg ref-aware expiry):
     // a tagged snapshot and its files survive until the tag is dropped
     val pinned = t.tags.values.toSet

@@ -1044,8 +1044,19 @@ object SqlDml {
               s"${base}_changes"
             }
             val opts = argAt("options", 2).map(strMap).getOrElse(Map.empty)
-            val from = opts.get("start-snapshot-id").map(_.toLong)
-              .getOrElse(t.snapshotsList.head.snapshotId)
+            // Default = FULL history (from 0 includes the root commit's
+            // inserts). Only valid while the chain root is retained: after
+            // expiry the earliest retained snapshot is a data commit whose
+            // inserts a head-anchored default would silently omit — refuse
+            // and require an explicit start instead.
+            val from = opts.get("start-snapshot-id").map(_.toLong).getOrElse {
+              require(t.snapshotsList.head.parentId.isEmpty,
+                s"create_changelog_view on ${litString(identExpr)}: early history " +
+                  "was expired, so the default (full-history) changelog cannot be " +
+                  "built — pass options => map('start-snapshot-id', '<id>') with a " +
+                  "retained snapshot id")
+              0L
+            }
             val toId = opts.get("end-snapshot-id").map(_.toLong)
               .getOrElse(t.latest.snapshotId)
             t.readChangelog(from, toId).createOrReplaceTempView(viewName)

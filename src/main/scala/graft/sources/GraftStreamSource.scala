@@ -86,6 +86,7 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
           s"${f.dataType.simpleString} (primitive columns only)")
     }
     val maxCommits = Option(options.get("max-commits-per-trigger")).map(_.toInt)
+    val streamFrom = Option(options.get("stream-from"))
     // Column pruning: Catalyst hands the projection down and the per-file
     // readers project at the PARQUET level (the footer's filtered message
     // type rides ReadSupport.PARQUET_READ_SCHEMA), so unprojected columns
@@ -110,14 +111,15 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
       }
       override def pushedFilters(): Array[SFilter] = pushed
       override def build(): Scan =
-        new GraftScan(dir, tableSchema, required, maxCommits, pushed)
+        new GraftScan(dir, tableSchema, required, maxCommits, pushed, streamFrom)
     }
   }
 }
 
 private[sources] class GraftScan(dir: String, fullSchema: StructType,
     schema: StructType, maxCommitsPerTrigger: Option[Int],
-    pushedFilters: Array[SFilter] = Array.empty) extends Scan
+    pushedFilters: Array[SFilter] = Array.empty,
+    streamFrom: Option[String] = None) extends Scan
     with SupportsReportStatistics {
   override def readSchema(): StructType = schema
 
@@ -144,12 +146,16 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     s"GraftScan($dir, pushed=[${pushedFilters.mkString(", ")}])"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, fullSchema, schema, maxCommitsPerTrigger,
-      pushedFilters)
+      pushedFilters, streamFrom)
 
   /** Batch read of the LATEST snapshot through the same per-file readers.
-    * Merge-on-read deletes and unreplayed schema evolution refuse (those
-    * reads need the reconciling scan — `GraftTable.readLatest`); the
-    * connector's batch face covers the plain append/import/compact
+    * Merge-on-read deletes RECONCILE inside each reader (the Iceberg
+    * connector posture): every data file's partition carries the equality-
+    * delete files committed after it; the reader loads those key tuples into
+    * a hash map and skips matching rows — O(delete batch) extra read per
+    * task, no extra Spark stage. Unreplayed schema evolution still refuses
+    * (that read needs `GraftTable.readLatest`'s evolution replay); the
+    * connector's batch face covers the append/import/compact/MOR-delete
     * lifecycle, which is what an external engine pointed at the directory
     * can safely consume.
     */
@@ -158,11 +164,25 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
       val snaps = SnapshotLog.load(new Configuration(), dir)
       require(snaps.nonEmpty, s"no graft table at $dir")
       val head = snaps.last
-      require(head.deletes.isEmpty,
-        s"graft batch read: $dir has live merge-on-read deletes — use the " +
-          "table API (readLatest) for the reconciling scan")
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
       val dataRoot = SnapshotLog.dataPath(dir).toString
+      // MOR reconciliation preconditions: every delete key column must still
+      // exist under its recorded name (a rename between the delete commit
+      // and head would need the table API's rename-aware resolution) and be
+      // a readable primitive.
+      head.deletes.foreach { d =>
+        d.keyCols.foreach { k =>
+          require(fullSchema.fieldNames.contains(k),
+            s"graft batch read: delete file ${d.path} in $dir keys on renamed " +
+              s"column $k — use the table API (readLatest) for rename-aware " +
+              "delete resolution")
+        }
+      }
+      val keyColTypes = head.deletes.flatMap(_.keyCols).distinct.map { k =>
+        StructField(k, fullSchema(fullSchema.fieldIndex(k)).dataType)
+      }
+      val keySchemaJson =
+        if (keyColTypes.isEmpty) "" else StructType(keyColTypes).json
       head.files.filter(e =>
         GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters)).map { e =>
         // drift detection runs against the FULL logical schema — the pruned
@@ -174,8 +194,15 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
         require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(fullSchema),
           s"graft batch read: ${e.path} in $dir was written under an evolved " +
             "schema — use the table API (readLatest) for evolution replay")
+        // a delete applies iff committed strictly after this file's write;
+        // consolidated (per-row-bound) files can't be pruned at planning —
+        // each tuple carries its own bound, checked in the reader
+        val applicable = head.deletes.filter(d =>
+          d.perRowAppliedAt || d.appliedAt > e.writtenAt).map(d =>
+          GraftDeleteSpec(s"$dataRoot/${d.path}", d.keyCols, d.appliedAt,
+            d.perRowAppliedAt))
         GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
-          schema.json, e.rowCount)
+          schema.json, e.rowCount, e.writtenAt, applicable, keySchemaJson)
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -190,7 +217,8 @@ private[sources] case class GraftOffset(snapshotId: Long) extends Offset {
 private[sources] class GraftMicroBatchStream(dir: String,
     fullSchema: StructType, schema: StructType,
     maxCommitsPerTrigger: Option[Int],
-    pushedFilters: Array[SFilter] = Array.empty) extends MicroBatchStream
+    pushedFilters: Array[SFilter] = Array.empty,
+    streamFrom: Option[String] = None) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   private def snaps = SnapshotLog.load(new Configuration(), dir)
@@ -203,7 +231,29 @@ private[sources] class GraftMicroBatchStream(dir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowBound = Some(snaps.lastOption.map(_.snapshotId).getOrElse(0L))
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** Starting position for a FRESH checkpoint (`option("stream-from", ...)`,
+    * the Iceberg `stream-from-timestamp` analog in snapshot units):
+    * `earliest` (default) replays the full retained history and requires the
+    * chain root to still be retained; `latest` anchors at the current head
+    * and streams only commits after query start — the only position that
+    * always works on a table whose early history was expired; a snapshot id
+    * anchors at that retained snapshot. Only consulted when the checkpoint
+    * has no offset yet — resume always wins.
+    */
+  override def initialOffset(): Offset = streamFrom.map(_.trim) match {
+    case None | Some("earliest") => GraftOffset(0L)
+    case Some("latest") =>
+      GraftOffset(snaps.lastOption.map(_.snapshotId).getOrElse(0L))
+    case Some(id) if id.nonEmpty && id.forall(_.isDigit) =>
+      val sid = id.toLong
+      require(sid == 0L || snaps.exists(_.snapshotId == sid),
+        s"stream-from snapshot $sid is not retained in $dir — pick a live " +
+          "snapshot id (see the snapshots metadata table), or 'latest'")
+      GraftOffset(sid)
+    case Some(other) => throw new IllegalArgumentException(
+      s"bad stream-from value '$other': expected 'earliest', 'latest', or a " +
+        "snapshot id")
+  }
 
   override def latestOffset(): Offset = {
     val s = snaps
@@ -264,8 +314,10 @@ private[sources] class GraftMicroBatchStream(dir: String,
       require(anchored && contiguous,
         s"graft streaming read: snapshots in ($from, $to] of $dir are not a " +
           "contiguous parent chain — commits were expired since the last " +
-          "consumed offset; restart the query with a fresh checkpoint (full " +
-          "reload) or re-point it at a retained offset")
+          "consumed offset. Restart with a fresh checkpoint AND " +
+          "option(\"stream-from\", \"latest\") (or a retained snapshot id); " +
+          "a fresh checkpoint alone replays from the chain root, which is " +
+          "no longer retained")
     }
     val bad = range.filterNot(s =>
       GraftStreamSource.RowAdding(s.operation) ||
@@ -301,11 +353,25 @@ private[sources] class GraftMicroBatchStream(dir: String,
     new GraftReaderFactory
 }
 
+/** One applicable equality-delete file for a batch-read data file:
+  * absolute path, key columns under their recorded names, the commit bound
+  * (`appliedAt`), and whether each tuple carries its OWN bound column
+  * (`_gf_applied_at`, written by delete consolidation).
+  */
+private[sources] case class GraftDeleteSpec(
+    path: String,
+    keyCols: List[String],
+    appliedAt: Long,
+    perRowAppliedAt: Boolean)
+
 private[sources] case class GraftInputPartition(
     filePath: String,
     partitionValues: Map[String, String],
     schemaJson: String,
-    rowCount: Long) extends InputPartition
+    rowCount: Long,
+    writtenAt: Long = 0L,
+    deletes: List[GraftDeleteSpec] = Nil,
+    keySchemaJson: String = "") extends InputPartition
 
 private[sources] class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -315,22 +381,85 @@ private[sources] class GraftReaderFactory extends PartitionReaderFactory {
 /** One-file record reader: parquet-hadoop group materialization → InternalRow,
   * PROJECTED at the parquet level — only the pruned scan schema's data
   * fields decode (the footer's filtered message type rides
-  * `ReadSupport.PARQUET_READ_SCHEMA`). Hive partition columns (absent from
-  * the file bytes) fill from the partition's directory values. A projection
-  * with NO data fields (`count(*)`, partition-only selects) emits the
-  * file's metadata row count without opening the file at all.
+  * `ReadSupport.PARQUET_READ_SCHEMA`), plus any merge-on-read delete key
+  * columns the projection dropped (read for the tuple check, never emitted).
+  * Hive partition columns (absent from the file bytes) fill from the
+  * partition's directory values. A projection with NO data fields
+  * (`count(*)`, partition-only selects) emits the file's metadata row count
+  * without opening the file at all — unless deletes apply, which force the
+  * row-level read. The projected message type is fixed for the whole file,
+  * so the name→index map is computed ONCE (first row) and reused.
+  *
+  * MOR reconciliation: applicable delete files load into per-key-set hash
+  * maps (key tuple → latest applied-at bound) at open; a data row is
+  * skipped iff some map holds its tuple with a bound after the data file's
+  * commit — the reader-level form of the table's broadcast anti-join,
+  * O(delete batch) memory per task.
   */
 private[sources] class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-  private val dataFields = schema.fields
+  private val keySchema: StructType =
+    if (p.keySchemaJson.isEmpty) new StructType()
+    else DataType.fromJson(p.keySchemaJson).asInstanceOf[StructType]
+  // delete key columns ride the parquet projection even when the scan
+  // pruned them; `schema.length` stays the emitted width
+  private val extraKeyFields = keySchema.fields.filter(f =>
+    p.deletes.exists(_.keyCols.contains(f.name)) &&
+      !schema.fieldNames.contains(f.name) &&
+      !p.partitionValues.contains(f.name))
+  private val readFields: Array[StructField] = schema.fields ++ extraKeyFields
+  private val dataFields = readFields
     .filterNot(f => p.partitionValues.contains(f.name)).map(_.name)
 
-  // metadata-only path: no data field requested and the count is known
+  // metadata-only path: no data field requested, count known, no deletes
   private val metadataRows: Long =
-    if (dataFields.isEmpty && p.rowCount >= 0) p.rowCount else -1L
+    if (dataFields.isEmpty && p.rowCount >= 0 && p.deletes.isEmpty) p.rowCount
+    else -1L
   private var emitted = 0L
+
+  // (key columns) → (tuple → latest applied-at bound); built once at open
+  private lazy val deleteMaps: Seq[(List[String], java.util.HashMap[List[Any], java.lang.Long])] =
+    p.deletes.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(",")).map {
+      case (keyCols, specs) =>
+        val m = new java.util.HashMap[List[Any], java.lang.Long]()
+        specs.foreach { d =>
+          val conf = new Configuration()
+          val path = new org.apache.hadoop.fs.Path(d.path)
+          val r = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+            .withConf(conf).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val fields = g.getType.getFields
+              def idxOf(n: String): Int = {
+                var i = 0
+                while (i < fields.size() && fields.get(i).getName != n) i += 1
+                if (i < fields.size()) i else -1
+              }
+              val tuple = keyCols.map { k =>
+                val i = idxOf(k)
+                val dt = keySchema(keySchema.fieldIndex(k)).dataType
+                if (i < 0 || g.getFieldRepetitionCount(i) == 0) null
+                else GraftStreamSource.readValue(g, i, dt)
+              }
+              val bound: Long =
+                if (d.perRowAppliedAt) {
+                  val i = idxOf("_gf_applied_at")
+                  require(i >= 0 && g.getFieldRepetitionCount(i) > 0,
+                    s"consolidated delete file ${d.path} lacks _gf_applied_at")
+                  g.getLong(i, 0)
+                } else d.appliedAt
+              val prev = m.get(tuple)
+              if (prev == null || bound > prev) m.put(tuple, bound)
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        keyCols -> m
+    }
 
   private lazy val reader = {
     val conf = new Configuration()
@@ -357,11 +486,42 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
       .build()
   }
   private var current: org.apache.parquet.example.data.Group = _
+  // readFields position → projected-file field index (-1 = absent); the
+  // projected message type is identical for every row of the file
+  private var fieldIdx: Array[Int] = _
+
+  private def valueOf(pos: Int): Any = {
+    val f = readFields(pos)
+    p.partitionValues.get(f.name) match {
+      case Some(v) => GraftStreamSource.castPartitionValue(v, f.dataType)
+      case None =>
+        if (fieldIdx == null) {
+          val names = current.getType.getFields.asScala.map(_.getName).zipWithIndex.toMap
+          fieldIdx = readFields.map(fd => names.getOrElse(fd.name, -1))
+        }
+        val idx = fieldIdx(pos)
+        if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+        else GraftStreamSource.readValue(current, idx, f.dataType)
+    }
+  }
+
+  // key-column positions resolved once per map, not per row
+  private lazy val deleteMapPos = deleteMaps.map { case (keyCols, m) =>
+    (keyCols.map(k => readFields.indexWhere(_.name == k)), m)
+  }
+
+  private def deleted: Boolean = deleteMapPos.exists { case (positions, m) =>
+    val tuple = positions.map(valueOf)
+    val bound = m.get(tuple)
+    bound != null && p.writtenAt < bound
+  }
 
   override def next(): Boolean =
     if (metadataRows >= 0) { emitted += 1; emitted <= metadataRows }
     else {
       current = reader.read()
+      while (current != null && p.deletes.nonEmpty && deleted)
+        current = reader.read()
       current != null
     }
 
@@ -369,14 +529,7 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     val row = new GenericInternalRow(schema.length)
     var i = 0
     while (i < schema.length) {
-      val f = schema.fields(i)
-      row.update(i, p.partitionValues.get(f.name) match {
-        case Some(v) => GraftStreamSource.castPartitionValue(v, f.dataType)
-        case None =>
-          val idx = current.getType.getFields.asScala.indexWhere(_.getName == f.name)
-          if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
-          else GraftStreamSource.readValue(current, idx, f.dataType)
-      })
+      row.update(i, valueOf(i))
       i += 1
     }
     row
@@ -476,13 +629,25 @@ object GraftStreamSource {
     case other => throw new IllegalStateException(s"unreadable type $other")
   }
 
-  private[sources] def castPartitionValue(v: String, dt: DataType): Any = dt match {
-    case LongType => v.toLong
-    case IntegerType => v.toInt
-    case DoubleType => v.toDouble
-    case StringType => UTF8String.fromString(v)
-    case BooleanType => v.toBoolean
-    case other => throw new IllegalArgumentException(
-      s"graft streaming source: partition column type $other unsupported")
+  private[sources] def castPartitionValue(v: String, dt: DataType): Any = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return null
+    dt match {
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType => v.toDouble
+      case StringType => UTF8String.fromString(v)
+      case BooleanType => v.toBoolean
+      // hive directory renderings: dates plain (`ds=2025-05-06`), timestamps
+      // URL-escaped (`ts=2025-05-06 12%3A00%3A00`); InternalRow wants
+      // epoch days / epoch micros
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        val un = java.net.URLDecoder.decode(v, "UTF-8")
+        val ldt = java.time.LocalDateTime.parse(un.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case other => throw new IllegalArgumentException(
+        s"graft streaming source: partition column type $other unsupported")
+    }
   }
 }

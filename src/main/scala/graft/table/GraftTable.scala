@@ -1445,11 +1445,18 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val src = new org.apache.hadoop.fs.Path(sourceDir)
     require(hfs.exists(src), s"add_files source $sourceDir does not exist")
     // importing from inside the table itself would rename LIVE files onto
-    // new names and double-reference their rows — refuse before looking
+    // new names and double-reference their rows — refuse before looking.
+    // The check is symmetric: a source that CONTAINS the table (its parent)
+    // would recursively list the table's own data/ files and corrupt it the
+    // same way, so either direction of containment refuses.
     val tableQual = hfs.makeQualified(
       new org.apache.hadoop.fs.Path(tableDir)).toString
-    require(!(hfs.makeQualified(src).toString + "/").startsWith(tableQual + "/"),
+    val srcQualTop = hfs.makeQualified(src).toString
+    require(!(srcQualTop + "/").startsWith(tableQual + "/"),
       s"add_files source $sourceDir lies inside table $tableDir")
+    require(!(tableQual + "/").startsWith(srcQualTop + "/"),
+      s"add_files source $sourceDir contains table $tableDir — importing " +
+        "would rename the table's own live data files")
     val parentSnap = latest
     val partCols = parentSnap.partitionCols
     val logical = DataType.fromJson(parentSnap.schemaJson).asInstanceOf[StructType]

@@ -929,6 +929,41 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("changelog view default is full history; expired history refuses the default") {
+    import spark.implicits._
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-clv"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE ops")
+    eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+    eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5)")
+    eng.execute("INSERT INTO ev VALUES (3, 7)")
+    // default view = FULL history: the first commit's inserts are included
+    eng.execute(
+      "CALL opencatalog.system.create_changelog_view(table => 'ops.ev', " +
+        "changelog_view => 'clv_all')")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM clv_all").rows.head("n") == 3L)
+    // expire the early history: the default must refuse, not silently omit
+    val t = cat.loadTable("ops", "ev")
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    val e = intercept[Exception] {
+      eng.execute(
+        "CALL opencatalog.system.create_changelog_view(table => 'ops.ev', " +
+          "changelog_view => 'clv_gone')")
+    }
+    def messages(ex: Throwable): Seq[String] =
+      Option(ex).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("start-snapshot-id")),
+      s"refusal must name the explicit-start remediation: ${messages(e).take(3)}")
+    // an explicit retained start still works
+    val head = t.latest.snapshotId
+    eng.execute("INSERT INTO ev VALUES (4, 9)")
+    eng.execute(
+      "CALL opencatalog.system.create_changelog_view(table => 'ops.ev', " +
+        s"changelog_view => 'clv_tail', options => map('start-snapshot-id', '$head'))")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM clv_tail").rows.head("n") == 1L)
+  }
+
   test("materialized view lifecycle: create, incremental refresh, drop") {
     val (eng, t) = mkTable("sqldml-mv")
     eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT channel, " +
@@ -1099,6 +1134,14 @@ class SqlDmlSpec extends SparkSpec {
     // ...it still LISTS (lifecycle ops must see it), is droppable, and the
     // name frees up
     assert(cat.listTables("reg").contains("ev"))
+    // re-registering OVER the dead pointer refuses — same occupancy rule as
+    // createTable's shadow-refusal; the operator must drop first
+    val ext3 = scratchDir("sqldml-reg2-ext3") + "/t"
+    GraftTable.create(spark, ext3, df.schema).append(df)
+    val eDead = intercept[IllegalStateException] {
+      cat.registerTable("reg", "ev", ext3)
+    }
+    assert(eDead.getMessage.contains("already a registration"))
     cat.dropTable("reg", "ev")
     cat.createTable("reg", "ev", df.schema)
     assert(cat.tableExists("reg", "ev"))

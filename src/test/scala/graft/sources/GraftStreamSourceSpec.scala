@@ -239,7 +239,7 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.table("src_rate").collect().map(_.getLong(1)).sum == 60)
   }
 
-  test("batch read serves the latest snapshot; MOR deletes refuse") {
+  test("batch read serves the latest snapshot; MOR deletes reconcile in-reader") {
     import spark.implicits._
     val (dir, t) = mkTable("batch-src", 80)
     val out = spark.read.format("graft").load(dir)
@@ -248,14 +248,87 @@ class GraftStreamSourceSpec extends SparkSpec {
     // compaction keeps the batch face consistent
     graft.maintenance.Maintenance.rewriteDataFiles(t, minInputFiles = 2)
     assert(spark.read.format("graft").load(dir).count() == 80)
-    // merge-on-read deletes need the reconciling scan → refuse
-    t.commitMorDelta(Seq(1L).toDF("id"), None, "delete-mor")
-    val ex = intercept[Exception] {
-      spark.read.format("graft").load(dir).count()
+    // merge-on-read deletes apply inside the readers — the connector serves
+    // the same reconciled rows as the table API's scan
+    t.commitMorDelta(Seq(1L, 7L, 80L).toDF("id"), None, "delete-mor")
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 77)
+    assert(got.agg(sum("id")).head.getLong(0) == 80L * 81L / 2 - 1 - 7 - 80)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.readLatest().orderBy("id").collect().toSeq)
+    // a projection that drops the delete key column still reconciles (the
+    // key rides the parquet read without being emitted)
+    assert(spark.read.format("graft").load(dir).select("user")
+      .count() == 77)
+    // a row re-inserted AFTER the delete stays live (bound is per-file)
+    t.append(Seq((7L, "u7", 7.0)).toDF("id", "user", "v"))
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 78)
+    assert(after.filter(col("id") === 7L).count() == 1)
+    assert(after.orderBy("id", "user").collect().toSeq ==
+      t.readLatest().orderBy("id", "user").collect().toSeq)
+  }
+
+  test("stream-from latest / snapshot-id anchors a fresh checkpoint past expired history") {
+    import spark.implicits._
+    val (dir, t) = mkTable("stream-src-from", 40)
+    graft.maintenance.Maintenance.expireSnapshots(t, retainLast = 1)
+    // default (earliest) refuses: the chain root is gone
+    val exDefault = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(dir, "src_from_default")
     }
     def messages(e: Throwable): Seq[String] =
-      Option(e).toSeq.flatMap(t => t.getMessage +: messages(t.getCause))
-    assert(messages(ex).exists(m => m != null && m.contains("merge-on-read")))
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(exDefault).exists(_.contains("stream-from")),
+      s"refusal must name the remediation option: ${messages(exDefault).take(3)}")
+    // stream-from => latest: anchors at the current head, streams only new commits
+    val ckpt = scratchDir("stream-src-from-ckpt")
+    val outDir = scratchDir("stream-src-from-out")
+    def runLatest(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("stream-from", "latest").load(dir).select("id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runLatest()
+    assert(spark.read.parquet(outDir).count() == 0, "latest starts empty")
+    t.append(Seq((41L, "u1", 1.0), (42L, "u2", 2.0)).toDF("id", "user", "v"))
+    runLatest()
+    assert(spark.read.parquet(outDir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+    // stream-from => <retained id>: anchors there; later commits stream
+    val head = t.latest.snapshotId
+    t.append(Seq((43L, "u3", 3.0)).toDF("id", "user", "v"))
+    val q2 = spark.readStream.format("graft")
+      .option("stream-from", head.toString).load(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("src_from_id")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("src_from_id").head.getLong(0) == 1)
+    // a dropped/garbage position refuses loudly
+    val exBad = intercept[Exception] {
+      spark.readStream.format("graft").option("stream-from", "yesterday")
+        .load(dir).writeStream.format("memory").queryName("src_from_bad")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(messages(exBad).exists(_.contains("stream-from")))
+  }
+
+  test("date-partitioned tables read through the connector") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i =>
+      (i.toLong, java.sql.Date.valueOf("2024-06-0" + (i % 3 + 1)))).toDF("id", "ds")
+    val dir = scratchDir("stream-src-date") + "/t"
+    val t = GraftTable.create(spark, dir, clean.schema, partitionCols = Seq("ds"))
+    t.append(clean)
+    val out = spark.read.format("graft").load(dir)
+    assert(out.count() == 30)
+    assert(out.orderBy("id").collect().toSeq ==
+      t.readLatest().orderBy("id").collect().toSeq)
+    assert(out.filter(col("ds") === java.sql.Date.valueOf("2024-06-01")).count() == 10)
   }
 
   private def runStreamPart(dir: String, queryName: String): Unit = {

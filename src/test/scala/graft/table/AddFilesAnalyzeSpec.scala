@@ -99,6 +99,14 @@ class AddFilesAnalyzeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](t.addFiles(s"$dir/t/data"))
     assert(e.getMessage.contains("inside table"))
     assert(t.readLatest().count() == 10)
+    // the symmetric direction: a source that CONTAINS the table would list
+    // the table's own live files under data/ and rename them out
+    val e2 = intercept[IllegalArgumentException](t.addFiles(dir))
+    assert(e2.getMessage.contains("contains table"))
+    // equal paths trip the inside-table arm first — still a refusal
+    val e3 = intercept[IllegalArgumentException](t.addFiles(s"$dir/t"))
+    assert(e3.getMessage.contains("inside table"))
+    assert(t.readLatest().count() == 10)
   }
 
   test("addFiles refuses an unreadable footer before moving anything") {

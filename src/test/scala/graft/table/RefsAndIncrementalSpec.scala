@@ -236,4 +236,21 @@ class RefsAndIncrementalSpec extends SparkSpec {
     assert(t.dropExpiredTags(now + 8L * 24 * 3600 * 1000) == Seq("tmp"))
     assert(!t.tags.contains("tmp"))
   }
+
+  test("RETAIN-aged tags drop even when no snapshot can expire") {
+    // Iceberg removes aged-out refs unconditionally — on a table with too
+    // few snapshots for the retain-last floor, expiry must still age tags
+    // instead of short-circuiting before the ref pass
+    val t = newSalesTable()
+    var now = 1700000000000L
+    t.clock = () => now
+    t.createTag("shortlived", t.latest.snapshotId, Some(1L * 24 * 3600 * 1000))
+    val nSnaps = t.snapshotsList.size
+    now += 2L * 24 * 3600 * 1000
+    val expired = graft.maintenance.Maintenance.expireSnapshots(
+      t, retainLast = nSnaps + 5)
+    assert(expired == 0, "no snapshot may expire under the floor")
+    assert(!t.tags.contains("shortlived"),
+      "an aged-out tag must drop even when expiry itself is a no-op")
+  }
 }
