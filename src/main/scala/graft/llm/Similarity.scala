@@ -184,18 +184,84 @@ object Similarity {
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = meanCentroids(corpus)
-    // Assign each query to its nProbe nearest cells (centroids broadcast).
-    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qe"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rn") <= nProbe)
+  /** The k-row centroid table collected and rendered as a LITERAL array of
+    * (cell, centroid) structs in ascending-cell order — the broadcast-as-
+    * literal form nearest-centroid assignment folds over. k is small by
+    * construction (one cell per label / cluster); the collect is an
+    * O(k × dim) driver materialization, the price of keeping assignment
+    * map-only (VERDICT r14 #1: the broadcast-join + window argmax form
+    * re-shuffled all k × N exploded candidate rows).
+    */
+  private def centroidLiteral(centroids: DataFrame): (Column, org.apache.spark.sql.types.DataType) = {
+    val cellType = centroids.schema("cell").dataType
+    val rows = centroids.orderBy("cell").select("cell", "centroid").collect()
+    require(rows.nonEmpty, "empty centroid set")
+    val arr = array(rows.map { r =>
+      struct(lit(r.get(0)).cast(cellType).as("cell"),
+        array(r.getSeq[Double](1).map(lit): _*).as("centroid"))
+    }: _*)
+    (arr, cellType)
+  }
+
+  /** Map-only nearest-centroid assignment: per-row argmax as a higher-order
+    * fold over the literal centroid array — no exploded candidate rows, no
+    * window, NO exchange between the corpus scan and the assignment. The
+    * fold replaces its accumulator only on strict improvement over the
+    * ascending-cell array, so ties keep the LOWEST cell, and NaN counts as
+    * greatest — bit-identical to ranking by (csim DESC, cell ASC) under
+    * Spark's NaN-greatest ordering, which is what the DuckDB oracles replay.
+    * Output: (vec_id, embedding, cell, csim).
+    */
+  private[graft] def assignNearest(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val (centArr, cellType) = centroidLiteral(centroids)
+    val init = struct(lit(null).cast(cellType).as("cell"),
+      lit(Double.NegativeInfinity).as("csim"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("_best", aggregate(centArr, init, (acc, c) => {
+        val s = cosine(col("embedding"), c.getField("centroid"))
+        val accS = acc.getField("csim")
+        when(s > accS || (isnan(s) && !isnan(accS)),
+          struct(c.getField("cell").as("cell"), s.as("csim")))
+          .otherwise(acc)
+      }))
+      .select(col("vec_id"), col("embedding"),
+        col("_best").getField("cell").as("cell"),
+        col("_best").getField("csim").as("csim"))
+  }
+
+  /** Map-only top-`nProbe` nearest cells per query: score every centroid in
+    * the literal array, sort with an explicit (csim DESC, cell ASC,
+    * NaN-greatest) comparator, slice, explode — the multi-cell analog of
+    * [[assignNearest]], same no-exchange shape.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val (centArr, _) = centroidLiteral(centroids)
+    def cmp(l: Column, r: Column): Column = {
+      val (ls, rs) = (l.getField("csim"), r.getField("csim"))
+      val (lc, rc) = (l.getField("cell"), r.getField("cell"))
+      when(ls === rs || (isnan(ls) && isnan(rs)),
+        when(lc < rc, lit(-1)).when(lc > rc, lit(1)).otherwise(lit(0)))
+        .when(isnan(ls), lit(-1))
+        .when(isnan(rs), lit(1))
+        .when(ls > rs, lit(-1))
+        .otherwise(lit(1))
+    }
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(slice(transform(
+        array_sort(
+          transform(centArr, c => struct(
+            cosine(col("qe"), c.getField("centroid")).as("csim"),
+            c.getField("cell").as("cell"))),
+          (l, r) => cmp(l, r)),
+        x => x.getField("cell")), 1, nProbe)))
       .select(col("qid"), col("qe"), col("cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = meanCentroids(corpus)
+    // Assign each query to its nProbe nearest cells — map-only over the
+    // literal centroid array (no exchange on the query side).
+    val probes = probeCells(queries, centroids, nProbe)
     // Search only inside probed cells.
     probes.join(corpus.select(col("label").as("cell"), col("vec_id"), col("embedding")), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -231,8 +297,10 @@ object Similarity {
     * clustering primitive under data curation — cluster-balanced sampling,
     * SemDeDup's operating structure, data maps.
     *
-    * Scale shape per round: the k-row centroid table broadcasts; assignment
-    * is a map-only argmax; the update is ONE (cell, pos) shuffle of exploded
+    * Scale shape per round: the k-row centroid table collects and ships as
+    * a literal array; assignment is a genuinely map-only argmax fold (no
+    * exchange between the corpus scan and the assignment — PlanShapeSpec
+    * pins it); the update is ONE (cell, pos) shuffle of exploded
     * components with map-side partial sums. Rounds are a driver loop of
     * O(iters) such jobs with a `localCheckpoint` cutting lineage per round
     * (the corpusDedup pattern); `iters` stays small — Lloyd's gains are
@@ -249,13 +317,7 @@ object Similarity {
     var centroids = meanCentroids(corpus)
     var assigned: DataFrame = null
     for (round <- 1 to iters) {
-      assigned = corpus.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col("embedding"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"), col("csim"))
+      assigned = assignNearest(corpus, centroids)
       // intermediate rounds checkpoint (lineage cut); the FINAL assignment
       // keeps its plan so consumers compose and plan audits see the shape
       if (round < iters) {
@@ -278,12 +340,7 @@ object Similarity {
     var centroids = meanCentroids(corpus)
     (1 to iters).map { _ =>
       val cur = centroids
-      val assigned = corpus.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cur))
-        .withColumn("csim", cosine(col("embedding"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-        .filter(col("rn") === 1)
+      val assigned = assignNearest(corpus, cur)
         .select(col("vec_id"), col("embedding"), col("cell"))
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -296,13 +353,7 @@ object Similarity {
   }
 
   def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
-    val centroids = meanCentroids(corpus)
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignNearest(corpus, meanCentroids(corpus))
       .select(col("cell"), col("vec_id"), col("embedding"))
     val prior = assigned.select(col("cell"), col("vec_id").as("prior_id"),
       col("embedding").as("pe"))
