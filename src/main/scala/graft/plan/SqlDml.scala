@@ -334,6 +334,15 @@ object SqlDml {
   private val WriteOrderedByRe =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+([\w.`,\s]+?)\s*;?\s*\z""".r
 
+  // Snowflake's schemaless `CREATE [OR REPLACE] ICEBERG TABLE name K='v' ...`
+  // (a catalog link, not a create — see the route). Anchored full match: the
+  // tail must be exclusively K = 'v' pairs, so the column-list create form
+  // (normalized by rewriteSnowflakeCreate before this runs) can never land
+  // here.
+  private val CreateIcebergLinkRe =
+    """(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?ICEBERG\s+TABLE\s+([\w.$`"]+)\s+((?:\w+\s*=\s*'[^']*'\s*,?\s*)+);?\s*\z""".r
+  private val SnowflakePairRe = """(?s)(\w+)\s*=\s*('[^']*')""".r
+
   // Snowflake `ALTER ICEBERG TABLE t REFRESH` (ref snowflake.sql:389): a
   // catalog-linked metadata re-sync. Locally the equivalent is re-reading
   // the snapshot log and re-registering views — anchored full match, like
@@ -592,6 +601,32 @@ object SqlDml {
     }
     catalog.foreach { cat =>
       statement match {
+        // Snowflake's SCHEMALESS iceberg create (ref snowflake.sql:131,141,
+        // 194,223,293): `CREATE [OR REPLACE] ICEBERG TABLE name
+        // EXTERNAL_VOLUME=... CATALOG=... CATALOG_NAMESPACE=...
+        // CATALOG_TABLE_NAME=...` links an EXISTING catalog-managed table
+        // under a local name — no columns, no data. The account-coupled
+        // storage clauses are tolerated; the linkage itself maps to a view
+        // registration over the referenced catalog table (the engine's
+        // register_table analog). A reference to a table the catalog does
+        // not have refuses loudly — Snowflake's own transcript shows the
+        // same create failing when the target is absent.
+        case CreateIcebergLinkRe(localName, pairsStr) =>
+          val pairs = SnowflakePairRe.findAllMatchIn(pairsStr).map(m =>
+            m.group(1).toLowerCase ->
+              m.group(2).stripPrefix("'").stripSuffix("'")).toMap
+          val tn = pairs.getOrElse("catalog_table_name",
+            unsupported("ICEBERG TABLE link without CATALOG_TABLE_NAME"))
+          val ns = pairs.get("catalog_namespace").orElse(defaultNamespace)
+            .getOrElse(unsupported(
+              "ICEBERG TABLE link without CATALOG_NAMESPACE (and no USE namespace)"))
+          require(cat.tableExists(ns, tn),
+            s"CREATE ICEBERG TABLE link: no table $ns.$tn in the catalog " +
+              "(Snowflake refuses the same create when the catalog target is absent)")
+          val viewName = localName.replaceAll("[`\"]", "")
+            .split("\\.").last.toLowerCase
+          register(viewName, cat.loadTable(ns, tn))
+          return Some(StatementResult(statement, Nil, None))
         case WriteOrderedByRe(ident, colsStr) =>
           val parts = ident.replace("`", "").split("\\.")
           if (parts.length != 2) unsupported(s"ALTER TABLE target $ident (need ns.table)")
@@ -1267,70 +1302,109 @@ object SqlDml {
         }
 
       case ct: CreateTable =>
-        val cat = catalog.getOrElse(return None)
-        val (ns, tname) = ct.name match {
-          case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
-            (id.nameParts.head, id.nameParts.last)
-          // unqualified CREATE after USE <ns> (the notebook flow): resolve
-          // against the remembered namespace
-          case id: UnresolvedIdentifier
-              if id.nameParts.size == 1 && defaultNamespace.isDefined =>
-            (defaultNamespace.get, id.nameParts.head)
-          case id: UnresolvedIdentifier =>
-            unsupported(s"CREATE TABLE name ${id.nameParts.mkString(".")} " +
-              "(need ns.table, or USE a namespace first)")
-          case other => unsupported(s"CREATE TABLE target $other")
-        }
-        if (cat.tableExists(ns, tname)) {
-          if (ct.ignoreIfExists) {
-            register(tname, cat.loadTable(ns, tname))
-            return Some(StatementResult(statement, Nil, None))
-          }
-          throw new IllegalStateException(s"table exists: $ns.$tname")
-        }
-        val fields = ct.columns.map(cd =>
-          org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable))
-        var partCols = Vector.empty[String]
-        var transforms = Vector.empty[String]
-        // the concrete transform case classes are private[sql]; the public
-        // Transform interface (name + references) identifies them fine
-        ct.partitioning.foreach { tr =>
-          val src = tr.references.headOption.map(_.fieldNames.mkString("."))
-            .getOrElse(unsupported(s"partition transform ${tr.describe}"))
-          // the numeric argument of bucket(N, col) / truncate(col, N)
-          // (either argument order), via the public v2 Literal interface
-          def numArg: Int = tr.arguments.collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value.toString.toInt
-          }.getOrElse(unsupported(s"${tr.name} transform without a numeric argument"))
-          tr.name match {
-            case "identity" => partCols :+= src
-            case fn @ ("days" | "hours" | "months" | "years") =>
-              val pc = s"${src}_${fn.stripSuffix("s")}"
-              partCols :+= pc
-              transforms :+= s"$fn($src)=$pc"
-            case fn @ ("bucket" | "truncate") =>
-              val pc = s"${src}_${if (fn == "bucket") "bucket" else "trunc"}"
-              partCols :+= pc
-              transforms :+= s"$fn($numArg,$src)=$pc"
-            case other => unsupported(s"partition transform $other($src)")
-          }
-        }
-        val t = cat.createTable(ns, tname,
-          org.apache.spark.sql.types.StructType(fields.toArray), partCols)
-        val props = (ct.tableSpec match {
-          case ts: TableSpec => ts.properties
-          case ts: UnresolvedTableSpec => ts.properties // the parse-time shape
-          case _ => Map.empty[String, String]
-        }) ++ (if (transforms.nonEmpty)
-          Map(GraftTable.PartitionTransformsProp -> transforms.mkString(";"))
-        else Map.empty)
-        if (props.nonEmpty) t.setProperties(props.map { case (k, v) => k -> Some(v) })
-        register(tname, t)
-        Some(StatementResult(statement, Nil, None))
+        routeCreateTable(statement, catalog, register, unregister, tables,
+          defaultNamespace, ct.name, ct.columns, ct.partitioning, ct.tableSpec,
+          ignoreIfExists = ct.ignoreIfExists, orReplace = false)
+
+      // `CREATE OR REPLACE TABLE` (the Snowflake-dialect ICEBERG create
+      // normalizes to this head): drop-if-exists, then the same create
+      case rt: ReplaceTable =>
+        routeCreateTable(statement, catalog, register, unregister, tables,
+          defaultNamespace, rt.name, rt.columns, rt.partitioning, rt.tableSpec,
+          ignoreIfExists = false, orReplace = true)
 
       case _ => None
     }
+  }
+
+  /** Shared CREATE TABLE / CREATE OR REPLACE TABLE route: resolve the
+    * ns.table name (or the USE-namespace default), honor IF NOT EXISTS /
+    * OR REPLACE occupancy, map partition transforms onto the derived-column
+    * matrix, create, record TBLPROPERTIES, register the view.
+    */
+  private def routeCreateTable(statement: String,
+      catalog: Option[graft.catalogsvc.CatalogService],
+      register: (String, GraftTable) => Unit,
+      unregister: String => Unit,
+      tables: Map[String, GraftTable],
+      defaultNamespace: Option[String],
+      name: LogicalPlan,
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition],
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      tableSpec: Any,
+      ignoreIfExists: Boolean,
+      orReplace: Boolean): Option[StatementResult] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    val cat = catalog.getOrElse(return None)
+    val (ns, tname) = name match {
+      case id: UnresolvedIdentifier if id.nameParts.size == 2 =>
+        (id.nameParts.head, id.nameParts.last)
+      // unqualified CREATE after USE <ns> (the notebook flow): resolve
+      // against the remembered namespace
+      case id: UnresolvedIdentifier
+          if id.nameParts.size == 1 && defaultNamespace.isDefined =>
+        (defaultNamespace.get, id.nameParts.head)
+      case id: UnresolvedIdentifier =>
+        unsupported(s"CREATE TABLE name ${id.nameParts.mkString(".")} " +
+          "(need ns.table, or USE a namespace first)")
+      case other => unsupported(s"CREATE TABLE target $other")
+    }
+    if (cat.tableExists(ns, tname)) {
+      if (ignoreIfExists) {
+        register(tname, cat.loadTable(ns, tname))
+        return Some(StatementResult(statement, Nil, None))
+      }
+      if (!orReplace) throw new IllegalStateException(s"table exists: $ns.$tname")
+      // OR REPLACE: drop the occupant first, sweeping every view over its
+      // dir (the DROP TABLE rule — a stale view must not keep serving the
+      // replaced table's last snapshot)
+      val droppedDir = cat.loadTable(ns, tname).tableDir
+      cat.dropTable(ns, tname)
+      unregister(tname.toLowerCase)
+      tables.foreach { case (vn, vt) =>
+        if (vt.tableDir == droppedDir) unregister(vn)
+      }
+    }
+    val fields = columns.map(cd =>
+      org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable))
+    var partCols = Vector.empty[String]
+    var transforms = Vector.empty[String]
+    // the concrete transform case classes are private[sql]; the public
+    // Transform interface (name + references) identifies them fine
+    partitioning.foreach { tr =>
+      val src = tr.references.headOption.map(_.fieldNames.mkString("."))
+        .getOrElse(unsupported(s"partition transform ${tr.describe}"))
+      // the numeric argument of bucket(N, col) / truncate(col, N)
+      // (either argument order), via the public v2 Literal interface
+      def numArg: Int = tr.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(unsupported(s"${tr.name} transform without a numeric argument"))
+      tr.name match {
+        case "identity" => partCols :+= src
+        case fn @ ("days" | "hours" | "months" | "years") =>
+          val pc = s"${src}_${fn.stripSuffix("s")}"
+          partCols :+= pc
+          transforms :+= s"$fn($src)=$pc"
+        case fn @ ("bucket" | "truncate") =>
+          val pc = s"${src}_${if (fn == "bucket") "bucket" else "trunc"}"
+          partCols :+= pc
+          transforms :+= s"$fn($numArg,$src)=$pc"
+        case other => unsupported(s"partition transform $other($src)")
+      }
+    }
+    val t = cat.createTable(ns, tname,
+      org.apache.spark.sql.types.StructType(fields.toArray), partCols)
+    val props = (tableSpec match {
+      case ts: TableSpec => ts.properties
+      case ts: UnresolvedTableSpec => ts.properties // the parse-time shape
+      case _ => Map.empty[String, String]
+    }) ++ (if (transforms.nonEmpty)
+      Map(GraftTable.PartitionTransformsProp -> transforms.mkString(";"))
+    else Map.empty)
+    if (props.nonEmpty) t.setProperties(props.map { case (k, v) => k -> Some(v) })
+    register(tname, t)
+    Some(StatementResult(statement, Nil, None))
   }
 
   /** Metadata-table relation suffixes (the Iceberg `t.snapshots`-style
@@ -1862,7 +1936,118 @@ object SqlDml {
     */
   private val AlterIcebergHeadRe = """(?is)\A(\s*)ALTER\s+ICEBERG\s+TABLE\b""".r
 
-  /** The full Snowflake-dialect pre-parse pass: postfix casts first (so an
+  /** Snowflake `CREATE [OR REPLACE] ICEBERG TABLE name (cols) [PARTITION BY
+    * (...)] [K = 'v' ...]` (ref `iceberg-tests/sql/snowflake/open_catalog/
+    * create_sales_events.sql:5`, `snowflake.sql:96,109`) normalized to the
+    * Spark head the CreateTable/ReplaceTable routes already serve:
+    *
+    *  - `ICEBERG` dropped; `OR REPLACE` kept (→ ReplaceTable → drop+create);
+    *  - `PARTITION BY` expression-form transforms mapped onto Spark's
+    *    transform spellings: `DAY(x)`→`days(x)`, `HOUR/MONTH/YEAR`
+    *    likewise, `BUCKET(n, x)`→`bucket(n, x)`, bare identity unchanged;
+    *  - the account-coupled tail (`TARGET_FILE_SIZE`, `EXTERNAL_VOLUME`,
+    *    `CATALOG`, `BASE_LOCATION`, ...) recorded as inert
+    *    `TBLPROPERTIES ('snowflake.<key>' = ...)` — tolerated and ignored,
+    *    the existing TBLPROPERTIES-passthrough posture.
+    *
+    * The SCHEMALESS form (no column list — a catalog LINK, not a create)
+    * passes through unchanged for `CreateIcebergLinkRe`'s textual route.
+    * Anything this parser cannot fully account for also passes through
+    * unchanged — never mangle a statement half-way.
+    */
+  private val CreateIcebergHeadRe =
+    """(?is)\A\s*CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+TABLE\s+""".r
+
+  private[plan] def rewriteSnowflakeCreate(statement: String): String = {
+    val m = CreateIcebergHeadRe.findFirstMatchIn(statement).getOrElse(return statement)
+    val orReplace = m.group(1) != null
+    val rest0 = statement.substring(m.end).trim match {
+      case s if s.endsWith(";") => s.dropRight(1).trim
+      case s => s
+    }
+    val nameEnd = rest0.indexWhere(c => c == '(' || c.isWhitespace)
+    val (nameRaw, afterName) =
+      if (nameEnd < 0) (rest0, "") else (rest0.substring(0, nameEnd), rest0.substring(nameEnd))
+    val name = nameRaw.replace("\"", "`")
+    var tail = afterName.trim
+    if (!tail.startsWith("(")) return statement // schemaless link form
+    // balanced-paren slice, quote-aware
+    def balanced(s: String): Option[(String, String)] = {
+      var depth = 0; var i = 0; var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some((s.substring(0, i + 1), s.substring(i + 1)))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+    val (colList, rest2) = balanced(tail).getOrElse(return statement)
+    tail = rest2.trim
+    val partClause = """(?is)\Apartition\s+by\s*""".r.findFirstMatchIn(tail).map { pm =>
+      val (p, r) = balanced(tail.substring(pm.end)).getOrElse(return statement)
+      tail = r.trim
+      p
+    }
+    // the remaining tail must be exclusively K = value pairs → TBLPROPERTIES
+    val PairHead = """(?s)\A(\w+)\s*=\s*('[^']*'|[\w.]+)\s*,?\s*""".r
+    var props = Vector.empty[(String, String)]
+    var t2 = tail
+    while (t2.nonEmpty) {
+      PairHead.findFirstMatchIn(t2) match {
+        case Some(pm) =>
+          props :+= (pm.group(1).toLowerCase,
+            pm.group(2).stripPrefix("'").stripSuffix("'"))
+          t2 = t2.substring(pm.end)
+        case None => return statement // unaccounted-for tail: leave intact
+      }
+    }
+    val transforms = partClause.map { p =>
+      val inner = p.substring(1, p.length - 1)
+      val parts = {
+        var depth = 0; val sb = new StringBuilder
+        val out = Vector.newBuilder[String]
+        inner.foreach {
+          case '(' => depth += 1; sb += '('
+          case ')' => depth -= 1; sb += ')'
+          case ',' if depth == 0 => out += sb.toString; sb.clear()
+          case c => sb += c
+        }
+        out += sb.toString
+        out.result().map(_.trim).filter(_.nonEmpty)
+      }
+      val Fn = """(?is)\A(\w+)\s*\((.*)\)\z""".r
+      parts.map {
+        case Fn(fn, args) =>
+          val a = args.trim
+          fn.toLowerCase match {
+            case "day" | "days" => s"days($a)"
+            case "hour" | "hours" => s"hours($a)"
+            case "month" | "months" => s"months($a)"
+            case "year" | "years" => s"years($a)"
+            case other => s"${other.toLowerCase}($a)" // bucket(n, x), truncate
+          }
+        case ident => ident
+      }.mkString(", ")
+    }
+    val propsSql =
+      if (props.isEmpty) ""
+      else "\nTBLPROPERTIES (" + props.map { case (k, v) =>
+        s"'snowflake.$k' = '${v.replace("'", "''")}'"
+      }.mkString(", ") + ")"
+    s"CREATE ${if (orReplace) "OR REPLACE " else ""}TABLE $name $colList USING iceberg" +
+      transforms.map(ts => s"\nPARTITIONED BY ($ts)").getOrElse("") + propsSql
+  }
+
+  /** The full Snowflake-dialect pre-parse pass: the ICEBERG create
+    * normalization first (raw text), then postfix casts (so an
     * `AT(TIMESTAMP => '...'::TIMESTAMP_LTZ)` body is already Spark-legal
     * when the AT clause is lifted), then AT travel clauses, then the
     * `ALTER ICEBERG TABLE` head normalization.
@@ -1870,5 +2055,6 @@ object SqlDml {
   def rewriteSnowflakeDialect(statement: String,
       nowMillis: () => Long = () => System.currentTimeMillis()): String =
     AlterIcebergHeadRe.replaceFirstIn(
-      rewriteAtClauses(rewritePostfixCasts(statement), nowMillis), "$1ALTER TABLE")
+      rewriteAtClauses(rewritePostfixCasts(rewriteSnowflakeCreate(statement)),
+        nowMillis), "$1ALTER TABLE")
 }

@@ -435,6 +435,80 @@ object HarnessQueries {
         .toDF("ts_rows", "ts_qty", "off_rows", "off_qty", "cur_rows", "cur_qty")
     }),
 
+    // The SNOWFLAKE-engine create chain VERBATIM (the reference's rendered
+    // per-engine template `iceberg-tests/sql/snowflake/open_catalog/
+    // create_sales_events.sql:5` + `bulk_insert_sales_events.sql:4-14`, and
+    // snowflake.sql:131's OR REPLACE + schemaless-link forms): `CREATE OR
+    // REPLACE ICEBERG TABLE` with expression-form `PARTITION BY (DAY(ts),
+    // BUCKET(16, tenant_id))` transforms, the postfix-cast INSERT, OR
+    // REPLACE as drop-and-create with the account-coupled tail recorded
+    // inert, and the schemaless form linking an existing catalog table
+    // under a local name.
+    "h_sql_snowflake_create" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_sfcreate"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE SCHEMA IF NOT EXISTS analytics")
+      eng.execute("USE SCHEMA analytics")
+      eng.execute(
+        """CREATE OR REPLACE ICEBERG TABLE sales_events (
+          |  event_id BIGINT,
+          |  tenant_id INT,
+          |  event_ts TIMESTAMP,
+          |  sku STRING,
+          |  qty INT,
+          |  price DECIMAL(18,2),
+          |  country STRING,
+          |  ds DATE
+          |)
+          |PARTITION BY (
+          |  DAY(event_ts),
+          |  BUCKET(16, tenant_id)
+          |);""".stripMargin)
+      eng.execute(
+        """INSERT INTO sales_events VALUES
+          |  (1, 10, '2024-01-01 00:00:00'::TIMESTAMP, 'sku-0001', 3, 19.99, 'US', '2024-01-01'::DATE),
+          |  (2, 11, '2024-01-01 00:05:00'::TIMESTAMP, 'sku-0002', 5, 5.00, 'US', '2024-01-01'::DATE),
+          |  (3, 12, '2024-01-02 09:30:00'::TIMESTAMP, 'sku-0003', 2, 10.00, 'GB', '2024-01-02'::DATE),
+          |  (4, 13, '2024-01-02 10:45:00'::TIMESTAMP, 'sku-0004', 8, 7.50, 'FR', '2024-01-02'::DATE),
+          |  (5, 10, '2024-01-03 12:00:00'::TIMESTAMP, 'sku-0005', 1, 99.99, 'US', '2024-01-03'::DATE),
+          |  (6, 11, '2024-01-03 13:25:00'::TIMESTAMP, 'sku-0002', 10, 5.00, 'US', '2024-01-03'::DATE),
+          |  (7, 12, '2024-01-04 15:55:00'::TIMESTAMP, 'sku-0003', 4, 11.00, 'GB', '2024-01-04'::DATE),
+          |  (8, 13, '2024-01-05 16:10:00'::TIMESTAMP, 'sku-0004', 6, 7.50, 'FR', '2024-01-05'::DATE);""".stripMargin)
+      val rc = eng.execute("SELECT COUNT(*) AS row_count FROM sales_events")
+        .rows.head("row_count").asInstanceOf[Long]
+      val agg = eng.execute(
+        """SELECT CAST(SUM(qty) AS BIGINT) AS sum_qty,
+          |  CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+          |  COUNT(DISTINCT country) AS n_countries FROM sales_events""".stripMargin)
+        .rows.head
+      val partCols = cat.loadTable("analytics", "sales_events")
+        .latest.files.flatMap(_.partitionValues.keySet)
+        .toSet.toSeq.sorted.mkString(",")
+      // OR REPLACE = drop-and-create; the account-coupled tail records inert
+      eng.execute("CREATE OR REPLACE ICEBERG TABLE sales_events (" +
+        "event_id BIGINT, sku STRING) TARGET_FILE_SIZE = '64MB';")
+      val replaced = eng.execute("SELECT COUNT(*) AS n FROM sales_events")
+        .rows.head("n").asInstanceOf[Long]
+      eng.execute("INSERT INTO sales_events VALUES (10, 'a'), (11, 'b'), (12, 'c')")
+      eng.execute(
+        """CREATE OR REPLACE ICEBERG TABLE external_managed_table
+          |  EXTERNAL_VOLUME = 'opensnowflake'
+          |  CATALOG = 'opensnowflake'
+          |  CATALOG_NAMESPACE = 'analytics'
+          |  CATALOG_TABLE_NAME = 'sales_events';""".stripMargin)
+      val linked = eng.execute("SELECT COUNT(*) AS n FROM external_managed_table")
+        .rows.head("n").asInstanceOf[Long]
+      val tfs = cat.loadTable("analytics", "sales_events")
+        .properties.getOrElse("snowflake.target_file_size", "")
+      Seq((rc, agg("sum_qty").asInstanceOf[Long],
+        agg("sum_price").asInstanceOf[Double],
+        agg("n_countries").asInstanceOf[Long], partCols, replaced, linked, tfs))
+        .toDF("row_count", "sum_qty", "sum_price", "n_countries",
+          "part_cols", "replaced_rows", "linked_rows", "target_file_size")
+    }),
+
     // The reference's INFORMATION_SCHEMA metadata section
     // (snowflake.sql:364-378) run VERBATIM: `TABLE(INFORMATION_SCHEMA.
     // ICEBERG_TABLE_FILES(TABLE_NAME => 't', AT => ts))` lists the file
@@ -965,6 +1039,12 @@ object HarnessQueries {
               (SELECT COUNT(*) c,
                  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) q
                FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'R') b""",
+    "h_sql_snowflake_create" ->
+      """SELECT CAST(8 AS BIGINT) AS row_count, CAST(39 AS BIGINT) AS sum_qty,
+           165.98 AS sum_price, CAST(3 AS BIGINT) AS n_countries,
+           'event_ts_day,tenant_id_bucket' AS part_cols,
+           CAST(0 AS BIGINT) AS replaced_rows, CAST(3 AS BIGINT) AS linked_rows,
+           '64MB' AS target_file_size""",
     "h_sql_infoschema" ->
       """SELECT CAST(1 AS BIGINT) AS files_t1, CAST(2 AS BIGINT) AS rows_t1,
            CAST(2 AS BIGINT) AS files_now, CAST(3 AS BIGINT) AS rows_now,

@@ -929,6 +929,74 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("Snowflake CREATE [OR REPLACE] ICEBERG TABLE routes: transforms, replace, link") {
+    val eng = new SparkSqlEngine(spark)
+    val cat = new graft.catalogsvc.CatalogService(spark, scratchDir("sqldml-sfcreate"))
+    eng.registerCatalog(cat)
+    eng.execute("CREATE NAMESPACE analytics")
+    eng.execute("USE SCHEMA analytics")
+    // the reference's rendered snowflake create (create_sales_events.sql:5):
+    // expression-form transforms DAY(ts) + BUCKET(16, tenant_id)
+    eng.execute(
+      """CREATE OR REPLACE ICEBERG TABLE sales_events (
+        |  event_id BIGINT,
+        |  tenant_id INT,
+        |  event_ts TIMESTAMP,
+        |  sku STRING,
+        |  qty INT
+        |)
+        |PARTITION BY (
+        |  DAY(event_ts),
+        |  BUCKET(16, tenant_id)
+        |);""".stripMargin)
+    assert(cat.tableExists("analytics", "sales_events"))
+    eng.execute("INSERT INTO sales_events VALUES " +
+      "(1, 7, TIMESTAMP '2025-05-06 10:00:00', 'sku-1', 3), " +
+      "(2, 9, TIMESTAMP '2025-05-07 11:00:00', 'sku-2', 5)")
+    assert(eng.execute("SELECT COUNT(*) AS n FROM sales_events").rows.head("n") == 2L)
+    // the mapped transforms actually partition the writes
+    val t = cat.loadTable("analytics", "sales_events")
+    val pvals = t.latest.files.flatMap(_.partitionValues.keySet).toSet
+    assert(pvals == Set("event_ts_day", "tenant_id_bucket"),
+      s"transform-derived partition columns missing: $pvals")
+    // OR REPLACE drops and re-creates: the old rows are gone
+    eng.execute(
+      """CREATE OR REPLACE ICEBERG TABLE sales_events (
+        |  event_id BIGINT, sku STRING
+        |) TARGET_FILE_SIZE = '64MB';""".stripMargin)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM sales_events").rows.head("n") == 0L)
+    val t2 = cat.loadTable("analytics", "sales_events")
+    assert(t2.schema.fieldNames.toSeq == Seq("event_id", "sku"))
+    // the account-coupled tail records as an inert property
+    assert(t2.properties.get("snowflake.target_file_size").contains("64MB"))
+    // plain CREATE ICEBERG TABLE (no OR REPLACE) refuses an occupied name
+    intercept[IllegalStateException] {
+      eng.execute("CREATE ICEBERG TABLE sales_events (x INT);")
+    }
+    // the SCHEMALESS form links an existing catalog table under a local name
+    eng.execute("INSERT INTO sales_events VALUES (10, 'a'), (11, 'b')")
+    eng.execute(
+      """CREATE OR REPLACE ICEBERG TABLE external_managed_table
+        |  EXTERNAL_VOLUME = 'opensnowflake'
+        |  CATALOG = 'opensnowflake'
+        |  CATALOG_NAMESPACE = 'analytics'
+        |  CATALOG_TABLE_NAME = 'sales_events';""".stripMargin)
+    assert(eng.execute("SELECT COUNT(*) AS n FROM external_managed_table")
+      .rows.head("n") == 2L)
+    // a link to a table the catalog does not have refuses loudly (the
+    // reference's own transcript records Snowflake failing the same way)
+    val e = intercept[Exception] {
+      eng.execute(
+        """CREATE OR REPLACE ICEBERG TABLE nope
+          |  EXTERNAL_VOLUME = 'v' CATALOG = 'c'
+          |  CATALOG_NAMESPACE = 'analytics' CATALOG_TABLE_NAME = 'absent';""".stripMargin)
+    }
+    assert(e.getMessage.contains("no table analytics.absent"))
+    // a string literal containing the phrase is a plain read, never DDL
+    val lit = eng.execute("SELECT 'CREATE OR REPLACE ICEBERG TABLE x (y INT)' AS s")
+    assert(lit.rows.head("s").toString.contains("ICEBERG"))
+  }
+
   test("changelog view default is full history; expired history refuses the default") {
     import spark.implicits._
     val eng = new SparkSqlEngine(spark)
