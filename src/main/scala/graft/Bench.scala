@@ -73,7 +73,20 @@ object Bench {
       median((1 to 3).map(_ =>
         timeOnce { spark.range(10000000L).selectExpr("sum(id * 3 + 1)").collect() }))
     } catch { case _: Throwable => -1.0 }
-    val calibrationSec = calibrate()
+    // Warm the probe until successive medians agree within 10% (the probe's
+    // own codegen + C2 warm-up spans several seconds — a single discarded
+    // call still read ~1.5x the steady state). An unwarmed first reading
+    // would trip the scale section's load gate below on every run, doubling
+    // the most expensive section for no reason; a warm one makes
+    // calibration_before/after compare like-for-like so the gate only fires
+    // on genuine ambient load.
+    val calibrationSec = {
+      var prev = calibrate(); var cur = calibrate(); var n = 0
+      while (n < 6 && math.abs(cur - prev) > 0.10 * math.max(cur, 1e-9)) {
+        prev = cur; cur = calibrate(); n += 1
+      }
+      cur
+    }
 
     // Every registered query: median of SWEEP_REPS runs (default 2 — the
     // round-4 single-shot sweep produced 5-9x bidirectional swings on
@@ -116,8 +129,15 @@ object Bench {
     // section as disabled rather than emit a divide-by-zero Infinity token
     // that would corrupt the JSON line
     val scaleDir = new java.io.File("/root/repo/target/graft-scratch/bench_txevents_scale")
-    val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
-      val calBefore = calibrationSec // measured just above, nothing ran between
+    // One attempt of the whole scale section, bracketed by its own
+    // calibration pair. Returns (body-json-without-closing-brace, calBefore,
+    // calAfter) so the caller can adjudicate load and stamp the final pair.
+    // calBefore is measured AFTER the small-anchor warm-up write, not at
+    // process start: the probe alone can't warm what a real write warms
+    // (executor pool, memory manager, heap growth), and a cold calBefore
+    // read ~1.5-2.6x the steady state — which would trip the load gate on
+    // every quiet run and double the most expensive section for nothing.
+    def runScaleOnce(): (String, Double, Double) = {
       val dir = scaleDir // single name for the section body; finally uses scaleDir
       if (dir.exists()) rmDir(dir)
       val data = txData(scaleRows, 256)
@@ -140,6 +160,7 @@ object Bench {
       val wSmall = timeOnce {
         tSmall.append(txData(scaleRows / 10, 64), sortWithinPartitionsCols = Seq("ts")) }
       rmDir(dirSmall)
+      val calBefore = calibrate()
       val t = mkTable(dir)
       val w = timeOnce { t.append(data, sortWithinPartitionsCols = Seq("ts")) }
       val wCommit = t.lastCommitNanos / 1e9
@@ -174,7 +195,7 @@ object Bench {
       val e = timeOnce { eng.execute(
         "CALL graft.system.expire_snapshots(table => 'tx_events_scale', retain_last => 2)") }
       val calAfter = calibrate()
-      s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
+      val body = s"""{"rows":$scaleRows,"write_append":$w,"write_commit_sec":$wCommit,""" +
         s""""us_per_row":${w * 1e6 / scaleRows},""" +
         s""""rows_small":${scaleRows / 10},"write_append_small":$wSmall,""" +
         s""""us_per_row_small":${wSmall * 1e6 / (scaleRows / 10)},""" +
@@ -186,7 +207,27 @@ object Bench {
         s""""rewrite_manifests":$m,"expire_snapshots":$e,""" +
         s""""ran_before_sweep":true,""" +
         s""""calibration_before":$calBefore,"calibration_after":$calAfter,""" +
-        s""""write_reps":1,"read_reps":$reps}"""
+        s""""write_reps":1,"read_reps":$reps"""
+      (body, calBefore, calAfter)
+    }
+    // Load adjudication (VERDICT r14 #3): two rounds running, the committed
+    // scale numbers needed out-of-band evidence to be believed because the
+    // section happened to run while the host was loaded. Gate on the
+    // calibration pair itself: if before/after differ by >1.5x the machine's
+    // speed changed mid-section — re-run ONCE (scratch is rebuilt from
+    // scratch, so the retry is a full independent measure). If the retry is
+    // still unbalanced, stamp load_flag:true so the artifact carries its own
+    // outlier disclosure instead of a SURVEY footnote.
+    val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
+      def balanced(b: Double, a: Double): Boolean =
+        b > 0 && a > 0 && math.max(b, a) / math.min(b, a) <= 1.5
+      val (body1, b1, a1) = runScaleOnce()
+      if (balanced(b1, a1)) body1 + ""","retried_under_load":false,"load_flag":false}"""
+      else {
+        val (body2, b2, a2) = runScaleOnce()
+        body2 + s""","retried_under_load":true,"load_flag":${!balanced(b2, a2)},""" +
+          s""""first_attempt_calibration":[$b1,$a1]}"""
+      }
     } catch {
       case ex: Throwable =>
         errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
