@@ -327,7 +327,11 @@ private[sources] class GraftMicroBatchStream(dir: String,
         bad.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ") +
         s" in $dir — an append-only stream cannot represent a retraction")
     val dataRoot = SnapshotLog.dataPath(dir).toString
-    range.filter(s => GraftStreamSource.RowAdding(s.operation)).flatMap { s =>
+    // zero-file appends (a streaming batch whose rows were all rejected
+    // upstream) record no write schema and carry nothing to read — skip
+    // them BEFORE the drift check would look their schema up
+    range.filter(s => GraftStreamSource.RowAdding(s.operation) &&
+        s.schemas.contains(s.snapshotId.toString)).flatMap { s =>
       // refuse schema drift inside the unconsumed range: reading old files
       // under a renamed/evolved schema would silently null columns
       val writeSchema = DataType.fromJson(s.schemas(s.snapshotId.toString))

@@ -143,6 +143,85 @@ object StreamOps {
         "upsert-mor", extraSummary = Map("stream-batch-id" -> batchId.toString))
     }
 
+  /** Exactly-once streaming INCREMENTAL-INGESTION sink — the full
+    * production loop for a training corpus: each micro-batch of documents
+    * is deduplicated against the CURRENT admitted corpus
+    * ([[graft.llm.Dedup.ingestFlags]] admission: a doc is kept iff its
+    * within-batch near-dup component touches no corpus duplicate and it is
+    * the component's min-id representative), and the admitted docs append
+    * to the corpus table. With `indexT` set, the corpus's persisted
+    * MinHash band index drives candidate generation (the scale path — the
+    * corpus is never re-LSH'd; see [[graft.llm.Dedup.incrementalNearDups]])
+    * and the admitted docs' band rows append to the index table so the next
+    * batch probes an up-to-date index. With `exactPairs` the pair sets come
+    * from bounded all-pairs 2-gram Jaccard instead — the DuckDB-checkable
+    * admission twin.
+    *
+    * Exactly-once across TWO tables from one at-least-once callback: the
+    * corpus append commits first with the batch id durable in its summary;
+    * the index append derives its rows from the corpus table's OWN commit
+    * for that id (`readIncremental` over just that snapshot), not from the
+    * callback's arguments — so a crash between the two commits replays
+    * into a pure repair (corpus fence skips, index append reconstructs
+    * exactly the admitted rows), and the pair never diverges.
+    */
+  def dedupIngestBatch(
+      corpusT: graft.table.GraftTable,
+      indexT: Option[graft.table.GraftTable] = None,
+      numPerm: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, shingleSize: Int = 3,
+      exactPairs: Boolean = false)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.llm.Dedup
+    val corpusDone = lastCommittedBatchId(corpusT).exists(_ >= batchId)
+    if (!corpusDone) {
+      val corpus = corpusT.readLatest()
+      val (cross, within) =
+        if (exactPairs) {
+          // corpus x batch and batch x batch only — never corpus x corpus
+          // (those pairs can't affect this batch's admission)
+          def jac(a: Column, b: Column): Column =
+            when(size(array_union(a, b)) === 0, lit(0.0))
+              .otherwise(size(array_intersect(a, b)) /
+                size(array_union(a, b)).cast("double"))
+          val cSh = corpus.select(col("doc_id").as("corpus_doc_id"),
+            Dedup.shingleStrings(col("text")).as("sh_c"))
+          val bSh = batch.select(col("doc_id").as("new_doc_id"),
+            Dedup.shingleStrings(col("text")).as("sh_b"))
+          (cSh.crossJoin(bSh)
+            .filter(jac(col("sh_c"), col("sh_b")) >= threshold)
+            .select("corpus_doc_id", "new_doc_id"),
+            bSh.crossJoin(bSh.select(col("new_doc_id").as("doc_b"),
+              col("sh_b").as("sh_b2")))
+            .filter(col("new_doc_id") < col("doc_b") &&
+              jac(col("sh_b"), col("sh_b2")) >= threshold)
+            .select(col("new_doc_id").as("doc_a"), col("doc_b")))
+        } else {
+          val index = indexT.map(_.readLatest()).getOrElse(
+            Dedup.minHashBandRows(corpus, numPerm, bands, shingleSize))
+          (Dedup.incrementalNearDups(batch, index, corpus,
+            numPerm, bands, threshold, shingleSize),
+            Dedup.minHashNearDups(batch, numPerm, bands, threshold, shingleSize))
+        }
+      val kept = batch.join(
+        Dedup.ingestFlags(batch, cross, within).filter(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      corpusT.append(kept,
+        extraSummary = Map("stream-batch-id" -> batchId.toString))
+    }
+    indexT.foreach { it =>
+      if (!lastCommittedBatchId(it).exists(_ >= batchId)) {
+        corpusT.snapshotsList
+          .find(_.summary.get("stream-batch-id").contains(batchId.toString))
+          .foreach { s =>
+            val admitted =
+              corpusT.readIncremental(s.parentId.getOrElse(0L), s.snapshotId)
+            it.append(Dedup.minHashBandRows(admitted, numPerm, bands, shingleSize),
+              extraSummary = Map("stream-batch-id" -> batchId.toString))
+          }
+      }
+    }
+  }
+
   /** Exactly-once streaming ingest INTO a WAP branch: each micro-batch
     * stages on `branch` (invisible to main readers) with its batch id
     * durable under the BRANCH-SCOPED key `staged-stream-batch-id:<branch>`
@@ -489,6 +568,52 @@ object StreamOps {
         .withColumn("n_upsert_commits", lit(upsertCommits.toLong))
     }),
 
+    // Streaming incremental corpus ingestion, fully oracle-checked: a seed
+    // corpus (doc_id < 200) plus four arriving document batches of 30,
+    // deduplicated batch-by-batch with the exactPairs admission twin
+    // (bounded all-pairs 2-gram Jaccard — the same declared oracle shape as
+    // dedup_incremental_exact; the LSH+index scale path of the SAME sink is
+    // exercised with crash-repair in StreamIncrementalIngestSpec). A second
+    // fresh-checkpoint run replays all four batches and must skip them all
+    // (n_stream_commits stays 4) — the exactly-once proof rides in the
+    // output.
+    "stream_incremental_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = "/root/repo/target/graft-scratch/stream_incr_ingest"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = graft.queries.Tables.documents(s, dir)
+        .select("doc_id", "text").filter(col("doc_id") < 320)
+      val seed = docs.filter(col("doc_id") < 200)
+      val t = graft.table.GraftTable.create(s, s"$root/corpus", docs.schema)
+      t.append(seed)
+      // one file per arrival batch, written sequentially so the file
+      // stream's mtime order IS the ingestion order
+      Seq((200, 230), (230, 260), (260, 290), (290, 320)).foreach { case (a, b) =>
+        docs.filter(col("doc_id") >= a && col("doc_id") < b)
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+      }
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream
+          .foreachBatch(dedupIngestBatch(t, threshold = 0.1, exactPairs = true) _)
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> all batches skipped
+      val streamCommits = t.snapshotsList.count(_.summary.contains("stream-batch-id"))
+      t.readLatest().select(col("doc_id"))
+        .withColumn("n_stream_commits", lit(streamCommits.toLong))
+        .orderBy("doc_id")
+    }),
+
     "stream_user_totals" -> ((s, dir) => {
       import s.implicits._
       runAvailableNow(s, dir, "stream_user_totals",
@@ -518,6 +643,61 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Sequential admission replayed batch-by-batch (the four arrival
+    // batches unrolled, like the kmeans/pagerank round-unrolled oracles):
+    // per batch k — exact 2-gram-Jaccard pairs, corpus_dup vs the admitted
+    // set so far, within-batch closure via a recursive CTE, component-level
+    // rejection + min-id keeper, then the admitted set grows
+    "stream_incremental_ingest" -> {
+      val blocks = Seq((1, 200, 230), (2, 230, 260), (3, 260, 290), (4, 290, 320))
+        .map { case (k, lo, hi) =>
+          s"""b$k AS (SELECT doc_id FROM sh WHERE doc_id >= $lo AND doc_id < $hi),
+             x$k AS (SELECT DISTINCT p.doc_b AS doc_id FROM p
+                     JOIN a${k - 1} ON p.doc_a = a${k - 1}.doc_id
+                     JOIN b$k ON p.doc_b = b$k.doc_id),
+             w$k AS (SELECT p.doc_a, p.doc_b FROM p
+                     JOIN b$k x ON p.doc_a = x.doc_id
+                     JOIN b$k y ON p.doc_b = y.doc_id),
+             e$k AS (SELECT doc_a AS src, doc_b AS dst FROM w$k
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM w$k),
+             reach$k(id, label) AS (
+               SELECT doc_id, doc_id FROM b$k
+               UNION
+               SELECT e.src, r.label FROM e$k e JOIN reach$k r ON e.dst = r.id),
+             comp$k AS (SELECT id AS doc_id, MIN(label) AS component
+                        FROM reach$k GROUP BY id),
+             flg$k AS (SELECT b.doc_id, (x.doc_id IS NOT NULL) AS cd, c.component
+                       FROM b$k b JOIN comp$k c USING (doc_id)
+                       LEFT JOIN x$k x ON b.doc_id = x.doc_id),
+             cs$k AS (SELECT component, BOOL_OR(cd) AS bad, MIN(doc_id) AS rep
+                      FROM flg$k GROUP BY component),
+             a$k AS (SELECT doc_id FROM a${k - 1}
+                     UNION ALL
+                     SELECT f.doc_id FROM flg$k f JOIN cs$k USING (component)
+                     WHERE (NOT cs$k.bad) AND f.doc_id = cs$k.rep)"""
+        }.mkString(",\n")
+      raw"""WITH RECURSIVE tk AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                 w -> w <> '') AS toks
+             FROM documents WHERE doc_id < 320),
+           sh AS (
+             SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) END) AS sh
+             FROM tk),
+           p AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) END) >= 0.1),
+           a0 AS (SELECT doc_id FROM sh WHERE doc_id < 200),
+           $blocks
+         SELECT doc_id, CAST(4 AS BIGINT) AS n_stream_commits
+         FROM a4 ORDER BY doc_id"""
+    },
     "stream_windowed_counts" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
               event_type, COUNT(*) AS cnt

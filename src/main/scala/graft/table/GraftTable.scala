@@ -822,8 +822,12 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // remain on disk and in their commit's doc until expiry)
     val appended = range.filter(s => appendIds(s.snapshotId))
       .flatMap(s => s.files.filter(_.writtenAt == s.snapshotId))
+    // flatMap, not apply: a zero-file append (e.g. a streaming batch whose
+    // rows were all rejected upstream) records no write schema for its own
+    // id — and contributes no files to read under one either
     val schemas = range.filter(s => appendIds(s.snapshotId))
-      .map(s => s.snapshotId.toString -> s.schemas(s.snapshotId.toString)).toMap
+      .flatMap(s => s.schemas.get(s.snapshotId.toString)
+        .map(s.snapshotId.toString -> _)).toMap
     // deletes cannot apply: in-range MOR commits raise above, and any delete
     // with appliedAt ≤ fromId only touches files written before it
     readSnapshot(to.copy(files = appended.toList, schemas = schemas, deletes = Nil))
