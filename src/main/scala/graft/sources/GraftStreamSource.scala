@@ -7,9 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, LessThan => SLt, LessThanOrEqual => SLte}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -74,11 +76,46 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Batch WRITE through the connector (`df.write.format("graft")
+    * .mode("append"|"overwrite").save(dir)`) — the V1 write bridge
+    * delegating to the table's OWN append/overwrite: the write stays fully
+    * distributed (the table API's hash-distributed partitioned write, file
+    * targeting, footer-stats harvest) and every table semantic rides free —
+    * partition transforms, CAS commit retry, schema-shape refusal,
+    * WRITE ORDERED BY properties, MOR delete retention on append. A
+    * native DSv2 DataWriter would have to re-implement exactly those
+    * driver-coordinated semantics executor-side for no added parallelism
+    * (the underlying write already fans out). Streaming writes go through
+    * the `StreamOps` foreachBatch sinks, which add the batch-id
+    * exactly-once fence no blind epoch commit could.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val t = graft.table.GraftTable.load(data.sparkSession, dir)
+              // align to the table's column order so the data files keep
+              // one layout; the append's own shape check still refuses
+              // genuine mismatches (missing columns fail the select here)
+              val aligned = data.select(
+                tableSchema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+              if (replace || overwrite) t.overwrite(aligned) else t.append(aligned)
+            }
+          }
+      }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     tableSchema.fields.foreach { f =>
       require(GraftStreamSource.readable(f.dataType),

@@ -331,6 +331,65 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(out.filter(col("ds") === java.sql.Date.valueOf("2024-06-01")).count() == 10)
   }
 
+  test("batch write through the connector: append and overwrite modes") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"u${i % 5}", i * 1.5)).toDF("id", "user", "v")
+    val dir = scratchDir("conn-write") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema)
+    df.filter(col("id") <= 20).write.format("graft").mode("append").save(dir)
+    // shuffled column order still lands in table layout
+    df.filter(col("id") > 20).select("v", "id", "user")
+      .write.format("graft").mode("append").save(dir)
+    assert(t.readLatest().count() == 40)
+    assert(t.readLatest().agg(sum("id")).head.getLong(0) == 40L * 41 / 2)
+    assert(t.snapshotsList.count(_.operation == "append") == 2)
+    // connector read-after-write round trip
+    assert(spark.read.format("graft").load(dir).orderBy("id").collect().toSeq ==
+      t.readLatest().orderBy("id").collect().toSeq)
+    // overwrite replaces all content in one snapshot
+    df.filter(col("id") <= 5).write.format("graft").mode("overwrite").save(dir)
+    assert(t.readLatest().count() == 5)
+    assert(t.latest.operation == "overwrite")
+    // schema mismatch refuses before any data lands
+    val snaps = t.snapshotsList.size
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "user").write.format("graft").mode("append").save(dir)
+    }
+    assert(t.snapshotsList.size == snaps)
+  }
+
+  test("connector write into a transform-partitioned table prunes like a table write") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"2024-06-0${i % 3 + 1}", i * 2.0))
+      .toDF("id", "ds", "v")
+    val dir = scratchDir("conn-write-part") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema, partitionCols = Seq("ds"))
+    df.write.format("graft").mode("append").save(dir)
+    // files landed hive-partitioned with partition values recorded
+    assert(t.latest.files.nonEmpty)
+    assert(t.latest.files.forall(_.partitionValues.contains("ds")))
+    // partition equality prunes files at connector planning
+    val pruned = spark.read.format("graft").load(dir).filter(col("ds") === "2024-06-02")
+    assert(pruned.count() == 20)
+    assert(pruned.rdd.getNumPartitions < t.latest.files.size)
+  }
+
+  test("connector append onto a MOR-deleted table keeps the deletes live") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, s"u${i % 5}", i * 1.0)).toDF("id", "user", "v")
+    val dir = scratchDir("conn-write-mor") + "/t"
+    val t = GraftTable.create(spark, dir, df.schema)
+    t.append(df)
+    t.commitMorDelta(Seq(3L, 9L).toDF("id"), None, "delete-mor")
+    Seq((31L, "u1", 31.0)).toDF("id", "user", "v")
+      .write.format("graft").mode("append").save(dir)
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 29) // 30 - 2 deleted + 1 appended
+    assert(got.filter(col("id").isin(3L, 9L)).count() == 0)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.readLatest().orderBy("id").collect().toSeq)
+  }
+
   private def runStreamPart(dir: String, queryName: String): Unit = {
     val q = spark.readStream.format("graft").load(dir)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
