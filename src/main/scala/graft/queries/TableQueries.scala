@@ -388,6 +388,34 @@ object TableQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // The DSv2 connector's batch WRITE face (df.write.format("graft")
+    // .mode(...).save(dir)): path-based appends — one with shuffled column
+    // order, which the connector aligns to the table layout — then an
+    // overwrite on a second table replacing all content in one snapshot;
+    // both read back through the connector and hash-match the source rows.
+    "t_connector_write" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 400)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val t = GraftTable.create(s, scratch("connector_write"), base.schema)
+      base.filter(col("o_orderkey") < 200)
+        .write.format("graft").mode("append").save(t.tableDir)
+      base.filter(col("o_orderkey") >= 200)
+        .select("o_totalprice", "o_orderkey", "o_orderstatus")
+        .write.format("graft").mode("append").save(t.tableDir)
+      val t2 = GraftTable.create(s, scratch("connector_write_ow"), base.schema)
+      base.write.format("graft").mode("append").save(t2.tableDir)
+      base.filter(col("o_orderkey") < 100)
+        .write.format("graft").mode("overwrite").save(t2.tableDir)
+      val owRows = s.read.format("graft").load(t2.tableDir).count()
+      s.read.format("graft").load(t.tableDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("o_totalprice")))).as("total"))
+        .withColumn("ow_rows", lit(owRows))
+        .withColumn("ow_replaced", lit(t2.latest.operation == "overwrite"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Linear sort rewrite via the VERBATIM CALL route (Iceberg's
     // rewrite_data_files(strategy => 'sort', sort_order => ...)): a table
     // appended in shuffled order re-clusters on event_id, so leading-column
@@ -1137,6 +1165,13 @@ object TableQueries {
     "t_connector_batch" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey < 400
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "t_connector_write" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100) AS ow_rows,
+           true AS ow_replaced
          FROM orders WHERE o_orderkey < 400
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "t_sort_rewrite" ->

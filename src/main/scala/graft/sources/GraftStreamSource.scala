@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, InsertableRelation}
 import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, LessThan => SLt, LessThanOrEqual => SLte}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -53,9 +53,48 @@ import graft.table.SnapshotLog
   * materialization as the fallback for empty projections and refused
   * encodings — see [[GraftPartitionReader]].
   */
-class GraftStreamSource extends TableProvider with DataSourceRegister {
+class GraftStreamSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** Path-based batch write (`df.write.format("graft").mode(...).save(dir)`).
+    *
+    * `DataFrameWriter.save` only takes the native DSv2 write path when the
+    * table advertises `BATCH_WRITE`; a `V1_BATCH_WRITE` table drops to
+    * Spark's V1 source command (`DataSource.planForWriting`), which requires
+    * the provider to implement THIS interface — the `V1Write` →
+    * `InsertableRelation` hook below only serves catalog-table INSERTs. Both
+    * routes share one body ([[GraftStreamSource.writeInto]]): align columns
+    * to the table layout, then the table API's own distributed
+    * append/overwrite (partition transforms, CAS commit retry, schema-shape
+    * refusal, WRITE ORDERED BY all ride free).
+    */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft batch write needs a path (the table directory)"))
+    val exists = SnapshotLog.load(new Configuration(), dir).nonEmpty
+    require(exists, s"no graft table at $dir — create it first " +
+      "(GraftTable.create or CREATE TABLE); the connector writes into " +
+      "existing tables, it does not infer table layout from a DataFrame")
+    mode match {
+      case SaveMode.Append => GraftStreamSource.writeInto(dir, data, overwrite = false)
+      case SaveMode.Overwrite => GraftStreamSource.writeInto(dir, data, overwrite = true)
+      case SaveMode.ErrorIfExists => throw new IllegalStateException(
+        s"graft table at $dir already exists (mode ErrorIfExists)")
+      case SaveMode.Ignore => () // table exists: by contract, no-op
+    }
+    val written = GraftStreamSource.tableSchema(dir)
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = written
+    }
+  }
 
   private def dirOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse(
@@ -104,15 +143,8 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                overwrite: Boolean): Unit = {
-              val t = graft.table.GraftTable.load(data.sparkSession, dir)
-              // align to the table's column order so the data files keep
-              // one layout; the append's own shape check still refuses
-              // genuine mismatches (missing columns fail the select here)
-              val aligned = data.select(
-                tableSchema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-              if (replace || overwrite) t.overwrite(aligned) else t.append(aligned)
-            }
+                overwrite: Boolean): Unit =
+              GraftStreamSource.writeInto(dir, data, replace || overwrite)
           }
       }
     }
@@ -663,6 +695,26 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
 }
 
 object GraftStreamSource {
+
+  private[sources] def tableSchema(dir: String): StructType = {
+    val snaps = SnapshotLog.load(new Configuration(), dir)
+    require(snaps.nonEmpty, s"no graft table at $dir")
+    DataType.fromJson(snaps.last.schemaJson).asInstanceOf[StructType]
+  }
+
+  /** One write body for both connector write routes (path-based `save` and
+    * catalog INSERT): align to the table's column order so the data files
+    * keep one layout — the append's own shape check still refuses genuine
+    * mismatches (missing columns fail the select here) — then the table
+    * API's distributed append/overwrite.
+    */
+  private[sources] def writeInto(dir: String,
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    val t = graft.table.GraftTable.load(data.sparkSession, dir)
+    val aligned = data.select(tableSchema(dir).fieldNames
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    if (overwrite) t.overwrite(aligned) else t.append(aligned)
+  }
 
   /** A filter participates in file-level pruning when it is a comparison on
     * a NUMERIC column (footer bounds for strings may be writer-truncated —
