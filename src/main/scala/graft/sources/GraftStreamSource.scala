@@ -446,6 +446,83 @@ private[sources] case class GraftInputPartition(
     deletes: List[GraftDeleteSpec] = Nil,
     keySchemaJson: String = "") extends InputPartition
 
+/** Executor-level parse-once cache for equality-delete files. Delete files
+  * are immutable once committed (content-addressed paths under the data dir
+  * are never rewritten in place), so (path, keyCols, bound spec) fully
+  * identifies the parsed tuple→bound map; without this, a scan re-reads
+  * every applicable delete file per input partition — O(data files × delete
+  * files) read amplification on a heavily-deleted table (Iceberg caches the
+  * parsed delete sets the same way). Bounded LRU caps executor memory;
+  * `parses` counts actual file parses (cache misses) for tests.
+  */
+private[sources] object GraftDeleteCache {
+  private val MaxEntries = 64
+  private type Key = (String, List[String], Boolean, Long)
+  private val cache =
+    new java.util.LinkedHashMap[Key, java.util.HashMap[List[Any], java.lang.Long]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: JMap.Entry[Key, java.util.HashMap[List[Any], java.lang.Long]]): Boolean =
+        size() > MaxEntries
+    }
+  val parses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // parse happens INSIDE the lock: concurrent tasks hitting the same delete
+  // file single-flight (exactly one parse, the rest wait for the map) —
+  // delete files are small, and serializing the rare parse beats 32 tasks
+  // re-reading the same file
+  def get(d: GraftDeleteSpec,
+      keySchema: StructType): java.util.HashMap[List[Any], java.lang.Long] =
+    synchronized {
+      val key = (d.path, d.keyCols, d.perRowAppliedAt, d.appliedAt)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val m = parse(d, keySchema)
+        cache.put(key, m)
+        m
+      }
+    }
+
+  private def parse(d: GraftDeleteSpec,
+      keySchema: StructType): java.util.HashMap[List[Any], java.lang.Long] = {
+    parses.incrementAndGet()
+    val m = new java.util.HashMap[List[Any], java.lang.Long]()
+    val path = new org.apache.hadoop.fs.Path(d.path)
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+      .withConf(new Configuration()).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val fields = g.getType.getFields
+        def idxOf(n: String): Int = {
+          var i = 0
+          while (i < fields.size() && fields.get(i).getName != n) i += 1
+          if (i < fields.size()) i else -1
+        }
+        val tuple = d.keyCols.map { k =>
+          val i = idxOf(k)
+          val dt = keySchema(keySchema.fieldIndex(k)).dataType
+          if (i < 0 || g.getFieldRepetitionCount(i) == 0) null
+          else GraftStreamSource.readValue(g, i, dt)
+        }
+        val bound: Long =
+          if (d.perRowAppliedAt) {
+            val i = idxOf("_gf_applied_at")
+            require(i >= 0 && g.getFieldRepetitionCount(i) > 0,
+              s"consolidated delete file ${d.path} lacks _gf_applied_at")
+            g.getLong(i, 0)
+          } else d.appliedAt
+        val prev = m.get(tuple)
+        if (prev == null || bound > prev) m.put(tuple, bound)
+        g = r.read()
+      }
+    } finally r.close()
+    m
+  }
+}
+
 private[sources] class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
@@ -484,11 +561,14 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     if (p.keySchemaJson.isEmpty) new StructType()
     else DataType.fromJson(p.keySchemaJson).asInstanceOf[StructType]
   // delete key columns ride the parquet projection even when the scan
-  // pruned them; `schema.length` stays the emitted width
+  // pruned them; `schema.length` stays the emitted width. Partition-valued
+  // key columns stay in too — both backends serve them as constants from
+  // partitionValues, and dropping them would leave the tuple check with no
+  // position to read (commitMorDelta allows any column, including partition
+  // columns, as a delete key).
   private val extraKeyFields = keySchema.fields.filter(f =>
     p.deletes.exists(_.keyCols.contains(f.name)) &&
-      !schema.fieldNames.contains(f.name) &&
-      !p.partitionValues.contains(f.name))
+      !schema.fieldNames.contains(f.name))
   private val readFields: Array[StructField] = schema.fields ++ extraKeyFields
   private val dataFields = readFields
     .filterNot(f => p.partitionValues.contains(f.name)).map(_.name)
@@ -499,44 +579,20 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     else -1L
   private var emitted = 0L
 
-  // (key columns) → (tuple → latest applied-at bound); built once at open
+  // (key columns) → (tuple → latest applied-at bound). Per-FILE parses come
+  // from the JVM-wide [[GraftDeleteCache]], so a scan over many data files
+  // opens each delete file once per executor, not once per input partition;
+  // single-spec groups share the cached map directly (read-only after parse).
   private lazy val deleteMaps: Seq[(List[String], java.util.HashMap[List[Any], java.lang.Long])] =
     p.deletes.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(",")).map {
+      case (keyCols, Seq(d)) => keyCols -> GraftDeleteCache.get(d, keySchema)
       case (keyCols, specs) =>
         val m = new java.util.HashMap[List[Any], java.lang.Long]()
         specs.foreach { d =>
-          val conf = new Configuration()
-          val path = new org.apache.hadoop.fs.Path(d.path)
-          val r = org.apache.parquet.hadoop.ParquetReader
-            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
-            .withConf(conf).build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              val fields = g.getType.getFields
-              def idxOf(n: String): Int = {
-                var i = 0
-                while (i < fields.size() && fields.get(i).getName != n) i += 1
-                if (i < fields.size()) i else -1
-              }
-              val tuple = keyCols.map { k =>
-                val i = idxOf(k)
-                val dt = keySchema(keySchema.fieldIndex(k)).dataType
-                if (i < 0 || g.getFieldRepetitionCount(i) == 0) null
-                else GraftStreamSource.readValue(g, i, dt)
-              }
-              val bound: Long =
-                if (d.perRowAppliedAt) {
-                  val i = idxOf("_gf_applied_at")
-                  require(i >= 0 && g.getFieldRepetitionCount(i) > 0,
-                    s"consolidated delete file ${d.path} lacks _gf_applied_at")
-                  g.getLong(i, 0)
-                } else d.appliedAt
-              val prev = m.get(tuple)
-              if (prev == null || bound > prev) m.put(tuple, bound)
-              g = r.read()
-            }
-          } finally r.close()
+          GraftDeleteCache.get(d, keySchema).forEach { (tuple, bound) =>
+            val prev = m.get(tuple)
+            if (prev == null || bound > prev) m.put(tuple, bound)
+          }
         }
         keyCols -> m
     }
@@ -580,10 +636,19 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
           batchPos(i), f.dataType, f.nullable)
       })
     private var row: InternalRow = _
-    override def advance(): Boolean =
+    // The vectorized reader refuses unsupported encodings (e.g.
+    // DELTA_BYTE_ARRAY in imported parquet) LAZILY, in the first batch read —
+    // backend selection probes the first advance so such files fall back to
+    // the record-materialized path instead of failing the scan.
+    private var primed = false
+    private var primedResult = false
+    def primeFirst(): Unit = { primedResult = doAdvance(); primed = true }
+    private def doAdvance(): Boolean =
       if (reader.nextKeyValue()) {
         row = reader.getCurrentValue.asInstanceOf[InternalRow]; true
       } else false
+    override def advance(): Boolean =
+      if (primed) { primed = false; primedResult } else doAdvance()
     override def valueAt(pos: Int): Any = {
       val i = batchPos(pos)
       if (row.isNullAt(i)) null else row.get(i, readFields(pos).dataType)
@@ -653,8 +718,14 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
 
   private lazy val backend: Backend =
     if (dataFields.isEmpty) new GroupBackend
-    else try new VectorizedBackend catch {
-      case _: UnsupportedOperationException => new GroupBackend
+    else {
+      val vectorized =
+        try {
+          val vb = new VectorizedBackend
+          try { vb.primeFirst(); Some(vb) }
+          catch { case scala.util.control.NonFatal(_) => vb.close(); None }
+        } catch { case _: UnsupportedOperationException => None }
+      vectorized.getOrElse(new GroupBackend)
     }
 
   // key-column positions resolved once per map, not per row
