@@ -175,6 +175,7 @@ object StreamOps {
     val corpusDone = lastCommittedBatchId(corpusT).exists(_ >= batchId)
     if (!corpusDone) {
       val corpus = corpusT.readLatest()
+      var persisted: Option[DataFrame] = None
       val (cross, within) =
         if (exactPairs) {
           // corpus x batch and batch x batch only — never corpus x corpus
@@ -198,26 +199,47 @@ object StreamOps {
         } else {
           val index = indexT.map(_.readLatest()).getOrElse(
             Dedup.minHashBandRows(corpus, numPerm, bands, shingleSize))
-          (Dedup.incrementalNearDups(batch, index, corpus,
-            numPerm, bands, threshold, shingleSize),
-            Dedup.minHashNearDups(batch, numPerm, bands, threshold, shingleSize))
+          // the batch signs ONCE: the persisted band rows feed both the
+          // index probe and the within-batch self-join (without the persist
+          // each consumer would recompute shingles + signatures)
+          val batchBands = Dedup.minHashBandRows(batch, numPerm, bands, shingleSize)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted = Some(batchBands)
+          (Dedup.incrementalNearDupsFromBands(batch, batchBands, index, corpus,
+            threshold, shingleSize),
+            Dedup.minHashNearDupsFromBands(batch, batchBands, threshold, shingleSize))
         }
       val kept = batch.join(
         Dedup.ingestFlags(batch, cross, within).filter(col("kept")).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      corpusT.append(kept,
+      try corpusT.append(kept,
         extraSummary = Map("stream-batch-id" -> batchId.toString))
+      finally persisted.foreach(_.unpersist())
     }
     indexT.foreach { it =>
       if (!lastCommittedBatchId(it).exists(_ >= batchId)) {
         corpusT.snapshotsList
-          .find(_.summary.get("stream-batch-id").contains(batchId.toString))
-          .foreach { s =>
+          .find(_.summary.get("stream-batch-id").contains(batchId.toString)) match {
+          case Some(s) =>
             val admitted =
               corpusT.readIncremental(s.parentId.getOrElse(0L), s.snapshotId)
             it.append(Dedup.minHashBandRows(admitted, numPerm, bands, shingleSize),
               extraSummary = Map("stream-batch-id" -> batchId.toString))
-          }
+          case None =>
+            // The corpus fence says this batch committed (possibly via a
+            // carried fence surviving snapshot expiry) but no retained
+            // snapshot carries the raw id — the admitted docs' band rows can
+            // no longer be reconstructed incrementally, and silently
+            // skipping would leave a permanent hole in the index (silent
+            // near-dup misses downstream). Refuse loudly; the operator
+            // rebuilds the index (minHashBandRows over the corpus) or
+            // expires snapshots only after the index has caught up.
+            require(!lastCommittedBatchId(corpusT).exists(_ >= batchId),
+              s"index repair for stream batch $batchId: the corpus commit " +
+                s"was expired before its band rows reached the index table — " +
+                "rebuild the index from the corpus (Dedup.minHashBandRows) " +
+                "or re-run expiry only after index catch-up")
+        }
       }
     }
   }
