@@ -210,24 +210,37 @@ object Bench {
         s""""write_reps":1,"read_reps":$reps"""
       (body, calBefore, calAfter)
     }
-    // Load adjudication (VERDICT r14 #3): two rounds running, the committed
-    // scale numbers needed out-of-band evidence to be believed because the
-    // section happened to run while the host was loaded. Gate on the
-    // calibration pair itself: if before/after differ by >1.5x the machine's
-    // speed changed mid-section — re-run ONCE (scratch is rebuilt from
-    // scratch, so the retry is a full independent measure). If the retry is
-    // still unbalanced, stamp load_flag:true so the artifact carries its own
-    // outlier disclosure instead of a SURVEY footnote.
+    // Load adjudication (VERDICT r14 #3, tightened r15 #2: a single retry
+    // that itself lands under load still commits dirty numbers). A scale
+    // attempt is CLEAN iff its calibration pair is balanced (before/after
+    // within 1.5x — the machine didn't change speed mid-section) AND neither
+    // side exceeds 1.5x the QUIETEST calibration this process has observed
+    // (the in-run quiet anchor — a pair that is balanced-but-slow is load,
+    // not machine speed). Retry up to SPARK_GRAFT_SCALE_ATTEMPTS times
+    // (default 3, 30s apart so transient load can pass); if no attempt is
+    // clean, the LAST attempt's numbers ship with load_flag:true and every
+    // attempt's calibration pair, so the artifact carries its own outlier
+    // disclosure instead of a SURVEY footnote.
     val scaleJson: String = if (only.isDefined || scaleRows < 10) "null" else try {
-      def balanced(b: Double, a: Double): Boolean =
-        b > 0 && a > 0 && math.max(b, a) / math.min(b, a) <= 1.5
-      val (body1, b1, a1) = runScaleOnce()
-      if (balanced(b1, a1)) body1 + ""","retried_under_load":false,"load_flag":false}"""
-      else {
-        val (body2, b2, a2) = runScaleOnce()
-        body2 + s""","retried_under_load":true,"load_flag":${!balanced(b2, a2)},""" +
-          s""""first_attempt_calibration":[$b1,$a1]}"""
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_ATTEMPTS", "3").toInt
+      var quiet = if (calibrationSec > 0) calibrationSec else Double.MaxValue
+      def clean(b: Double, a: Double): Boolean =
+        b > 0 && a > 0 && math.max(b, a) / math.min(b, a) <= 1.5 &&
+          math.max(b, a) <= 1.5 * quiet
+      val pairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      var last: (String, Double, Double) = null
+      var cleanBody: Option[String] = None
+      while (cleanBody.isEmpty && pairs.size < maxAttempts) {
+        if (pairs.nonEmpty) Thread.sleep(30000)
+        last = runScaleOnce()
+        pairs += ((last._2, last._3))
+        Seq(last._2, last._3).filter(_ > 0).foreach(v => quiet = math.min(quiet, v))
+        if (clean(last._2, last._3)) cleanBody = Some(last._1)
       }
+      val pairsJson = pairs.map { case (b, a) => s"[$b,$a]" }.mkString("[", ",", "]")
+      cleanBody.getOrElse(last._1) +
+        s""","retried_under_load":${pairs.size > 1},"load_flag":${cleanBody.isEmpty},""" +
+        s""""attempts":${pairs.size},"attempt_calibrations":$pairsJson}"""
     } catch {
       case ex: Throwable =>
         errors += "scale_phase" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
@@ -362,7 +375,17 @@ object Bench {
     // run — the start/end PAIR distinguishes "the machine got busy mid-run"
     // from "a phase regressed" without any cross-round reasoning.
     val calibrationEndSec = calibrate()
-    println(s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"calibration_end_sec":$calibrationEndSec,"unit":"sec","value":$total}""")
+    val line = s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"calibration_end_sec":$calibrationEndSec,"unit":"sec","value":$total}"""
+    // The committed full-results artifact (VERDICT r15 #8): the stdout line
+    // below is the driver contract, but the harness stores only the output
+    // TAIL, and a 200+-entry sweep truncates mid-line — so the complete line
+    // also lands in a git-tracked file where per-entry timings survive.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
