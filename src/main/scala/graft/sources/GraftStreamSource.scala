@@ -120,7 +120,8 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** Batch WRITE through the connector (`df.write.format("graft")
     * .mode("append"|"overwrite").save(dir)`) — the V1 write bridge
@@ -146,6 +147,18 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
                 overwrite: Boolean): Unit =
               GraftStreamSource.writeInto(dir, data, replace || overwrite)
           }
+        // `df.writeStream.format("graft").start(dir)` — the native DSv2
+        // streaming sink (exactly-once through the table's stream-batch-id
+        // fence; see [[GraftStreamingWrite]])
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!replace,
+            "graft streaming sink is append-only: use outputMode('append')")
+          val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
+          require(shape(info.schema()) == shape(tableSchema),
+            s"graft streaming sink: stream schema ${info.schema().simpleString} " +
+              s"does not match table $dir ${tableSchema.simpleString}")
+          new GraftStreamingWrite(dir, info.schema(), info.queryId())
+        }
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -424,6 +437,127 @@ private[sources] class GraftMicroBatchStream(dir: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory
+}
+
+/** The DSv2 STREAMING SINK (`df.writeStream.format("graft").start(dir)`) —
+  * the native-connector half of the streaming write story (the foreachBatch
+  * `StreamOps` sinks remain the route for upsert/WAP/dedup semantics).
+  *
+  * Shape: each epoch's tasks stage parquet part files (logical rows, the
+  * table's column types) under `data/_streaming/<queryId>/<epochId>/` —
+  * underscore-prefixed, so table scans' partition discovery never sees
+  * them; a crashed query's leftovers age out through orphan cleanup. The
+  * driver's `commit(epochId)` then publishes the epoch through
+  * [[graft.table.GraftTable.commitStreamingEpoch]], which fences on the
+  * `stream-batch-id` summary key durable in the SAME snapshot as the data —
+  * Spark's at-least-once epoch replay after restart upgrades to
+  * exactly-once, identical to the foreachBatch ingest contract.
+  *
+  * Scale: staging is one parquet write per task (no shuffle); unpartitioned
+  * tables publish by RENAME + footer harvest (zero data rewrite);
+  * partitioned tables re-enter the table's distributed append so transforms
+  * and hash distribution apply. Task-attempt isolation rides on Spark's
+  * output commit coordinator: only the winning attempt's `commit` keeps its
+  * staged file — `abort` deletes.
+  */
+private[sources] class GraftStreamingWrite(dir: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stagingRoot: String =
+    s"${SnapshotLog.dataPath(dir)}/_streaming/$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(stagingRoot, schema.json)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = graft.table.GraftTable.load(spark, dir)
+    t.commitStreamingEpoch(s"$stagingRoot/$epochId", epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stagingRoot/$epochId")
+    scala.util.Try(p.getFileSystem(new Configuration()).delete(p, true))
+  }
+}
+
+private[sources] case class GraftStreamingWriterFactory(stagingRoot: String,
+    schemaJson: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStreamingDataWriter(
+      s"$stagingRoot/$epochId/part-$partitionId-$taskId.parquet", schemaJson)
+}
+
+private[sources] case class GraftStagedFile(path: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** One staged parquet file per task attempt, written with the parquet Group
+  * API under the table's physical conventions (TIMESTAMP_MICROS int64, date
+  * int32, UTF8 binary) so published files are indistinguishable from
+  * batch-append output to every reader and to the footer-stats harvest.
+  */
+private[sources] class GraftStreamingDataWriter(filePath: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  schema.fields.foreach { f =>
+    require(GraftStreamSource.readable(f.dataType),
+      s"graft streaming sink: column ${f.name} has unsupported type " +
+        s"${f.dataType.simpleString} (primitive columns only)")
+  }
+  private val path = new org.apache.hadoop.fs.Path(filePath)
+  private val msgType = GraftStreamSource.toMessageType(schema)
+  private val writer = {
+    val conf = new Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, conf)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(path)
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private var rows = 0L
+
+  override def write(r: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!r.isNullAt(i)) schema(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType => g.add(i, r.getLong(i))
+        case IntegerType | DateType => g.add(i, r.getInt(i))
+        case DoubleType => g.add(i, r.getDouble(i))
+        case FloatType => g.add(i, r.getFloat(i))
+        case BooleanType => g.add(i, r.getBoolean(i))
+        case StringType => g.add(i,
+          org.apache.parquet.io.api.Binary.fromString(r.getUTF8String(i).toString))
+        case other => throw new IllegalStateException(s"unwritable type $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) // empty attempt: nothing to publish
+      scala.util.Try(path.getFileSystem(new Configuration()).delete(path, false))
+    GraftStagedFile(filePath, rows)
+  }
+
+  override def abort(): Unit = {
+    scala.util.Try(writer.close())
+    scala.util.Try(path.getFileSystem(new Configuration()).delete(path, false))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** One applicable equality-delete file for a batch-read data file:
@@ -860,6 +994,36 @@ object GraftStreamSource {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
+  }
+
+  /** Parquet message type for the streaming sink's staged files — the same
+    * physical conventions the table's batch writes pin (TIMESTAMP_MICROS
+    * int64, date int32, UTF8 binary), so stats harvest and every reader
+    * treat published stream files exactly like append output.
+    */
+  private[sources] def toMessageType(s: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    s.fields.foreach { f =>
+      val fb = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY).as(LTA.stringType())
+        case TimestampType =>
+          Types.optional(INT64).as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
+        case TimestampNTZType =>
+          Types.optional(INT64).as(LTA.timestampType(false, LTA.TimeUnit.MICROS))
+        case DateType => Types.optional(INT32).as(LTA.dateType())
+        case other => throw new IllegalArgumentException(
+          s"graft streaming sink: column ${f.name} type $other unsupported")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named("spark_schema")
   }
 
   private[sources] def readValue(g: org.apache.parquet.example.data.Group,

@@ -458,6 +458,41 @@ object StreamOps {
         .withColumn("n_stream_commits", lit(streamCommits.toLong))
     }),
 
+    // The DSv2 STREAMING SINK (df.writeStream.format("graft").start(dir) —
+    // no foreachBatch): 4 micro-batches land as 4 exactly-once epoch
+    // commits through graft.sources.GraftStreamingWrite, then a SECOND run
+    // from a fresh checkpoint replays every epoch and the stream-batch-id
+    // fence skips them all — row counts equal one copy of events and
+    // n_stream_commits stays 4 (DuckDB-checked).
+    "stream_connector_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/root/repo/target/graft-scratch/stream_connector_sink"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+      val events = graft.queries.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      events.repartition(4).write.parquet(s"$root/src")
+      val t = graft.table.GraftTable.create(s, s"$root/table", events.schema)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src")
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$root/$checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start(t.tableDir)
+        q.awaitTermination()
+      }
+      runOnce("cp1")
+      runOnce("cp2") // fresh checkpoint -> full replay -> all epochs skipped
+      val streamCommits = t.snapshotsList.count(_.summary.contains("stream-batch-id"))
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+        sum(col("event_id")).as("id_sum"))
+        .withColumn("n_stream_commits", lit(streamCommits.toLong))
+    }),
+
     // Streaming ingest with inline auto-compaction: 4 micro-batches into
     // the table sink with maxFiles=2 — file count stays bounded while the
     // row content equals one copy of events, compaction commits appear,
@@ -750,6 +785,10 @@ object StreamOps {
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_table_sink" ->
+      """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              CAST(4 AS BIGINT) AS n_stream_commits
+         FROM events""",
+    "stream_connector_sink" ->
       """SELECT COUNT(*) AS row_count, CAST(SUM(event_id) AS BIGINT) AS id_sum,
               CAST(4 AS BIGINT) AS n_stream_commits
          FROM events""",

@@ -1421,6 +1421,97 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     commitData(df, "append", parentFiles = true, sortWithinPartitionsCols,
       extraSummary, basedOn)
 
+  /** Publish one DSv2 STREAMING epoch's staged part files as an exactly-once
+    * append — the driver half of `df.writeStream.format("graft")`
+    * (graft.sources.GraftStreamingWrite): executors stage parquet under
+    * `data/_streaming/<query>/<epoch>/`, and this commit fences on the same
+    * `stream-batch-id` summary key as the foreachBatch sinks
+    * (StreamOps.ingestBatch), so Spark's at-least-once epoch replay after a
+    * restart upgrades to exactly-once. Returns None when the epoch was
+    * already committed (staging is discarded).
+    *
+    * Two publication shapes:
+    *  - UNPARTITIONED table: staged files are already final form — rename
+    *    into the shared data layout + footer-stats harvest, zero data
+    *    rewrite (the Iceberg streaming-append shape). The fence re-checks
+    *    INSIDE the CAS retry so two racing replays cannot both land.
+    *  - PARTITIONED table (identity or transform): the staged logical rows
+    *    re-enter [[append]] as a distributed read — hash distribution,
+    *    derived transform columns, per-partition file targeting and WRITE
+    *    ORDERED BY all apply exactly as for a batch append, at the cost of
+    *    one extra materialization of the epoch (not the table).
+    */
+  def commitStreamingEpoch(stagingDir: String, epochId: Long): Option[Snapshot] = {
+    val staging = new org.apache.hadoop.fs.Path(stagingDir)
+    def fence: Option[Long] = snapshotsList.flatMap(s =>
+      s.summary.get("stream-batch-id") ++
+        s.summary.get(GraftTable.CarriedFencePrefix + "stream-batch-id"))
+      .map(_.toLong).maxOption
+    def cleanup(): Unit = scala.util.Try(hfs.delete(staging, true))
+    if (fence.exists(_ >= epochId)) { cleanup(); return None }
+    val parentSnap = latest
+    val staged = if (hfs.exists(staging)) listParquetFiles(staging) else Nil
+    if (parentSnap.partitionCols.nonEmpty && staged.nonEmpty) {
+      val df = spark.read.parquet(stagingDir)
+      val aligned = df.select(DataType.fromJson(parentSnap.schemaJson)
+        .asInstanceOf[StructType].fieldNames.filter(df.columns.contains)
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val snap = append(aligned,
+        extraSummary = Map("stream-batch-id" -> epochId.toString))
+      cleanup()
+      return Some(snap)
+    }
+    // direct publish: harvest footers at the staging site (a corrupt file
+    // refuses before any move), drop provably-empty part files
+    val withMeta = staged.map { f =>
+      val (rows, st) = footerMeta(f)
+      require(rows >= 0,
+        s"streaming epoch $epochId: unreadable parquet footer for $f")
+      (f, rows, st)
+    }.filter(_._2 != 0L)
+    val dataRoot = SnapshotLog.dataPath(tableDir)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val moved = withMeta.zipWithIndex.map { case ((f, rows, st), i) =>
+      val name = f"stream-$epochId%08d-$token-$i-${f.getName}"
+      val dest = new org.apache.hadoop.fs.Path(dataRoot, name)
+      require(hfs.rename(f, dest), s"could not publish $f to $dest")
+      hfs.setTimes(dest, System.currentTimeMillis(), -1)
+      FileEntry(name, Map.empty, rows, hfs.getFileStatus(dest).getLen, 0L, st)
+    }
+    final case class EpochDone() extends RuntimeException
+    try {
+      val snap = commitWithRetry { p0 =>
+        val p = p0.getOrElse(throw new IllegalStateException(
+          s"streaming write into $tableDir: table has no snapshots"))
+        if (fence.exists(_ >= epochId)) throw EpochDone()
+        if (shapeOf(DataType.fromJson(p.schemaJson).asInstanceOf[StructType]) !=
+            shapeOf(DataType.fromJson(parentSnap.schemaJson).asInstanceOf[StructType]))
+          throw new java.util.ConcurrentModificationException(
+            s"schema of $tableDir evolved concurrently with the streaming epoch")
+        val id = p.snapshotId + 1
+        val files = (p.files ++ moved.map(_.copy(writtenAt = id))).toList
+        // a zero-file epoch still advances the fence (no write schema
+        // recorded — the streaming source skips it like any empty append)
+        val schemas =
+          if (moved.isEmpty) schemasFor(files, p.schemas)
+          else schemasFor(files, p.schemas + (id.toString -> p.schemaJson))
+        Snapshot(id, Some(p.snapshotId), clock(), "append", p.schemaJson,
+          p.partitionCols, files,
+          Map("stream-batch-id" -> epochId.toString,
+            "added-files" -> moved.size.toString),
+          Nil, schemas, p.chain, p.deletes)
+      }
+      cleanup()
+      Some(snap)
+    } catch {
+      case _: EpochDone =>
+        moved.foreach(e => scala.util.Try(
+          hfs.delete(new org.apache.hadoop.fs.Path(dataRoot, e.path), false)))
+        cleanup()
+        None
+    }
+  }
+
   /** Zero-copy import of existing parquet files — the Iceberg
     * `add_files`/`migrate` procedure family (onboard data another engine
     * wrote without rewriting a byte). Files are RENAMED into the table's
