@@ -320,7 +320,9 @@ object Dml {
     * reads. A duplicated source key raises (the MERGE cardinality guard:
     * two versions of the same key in one batch have no defined winner).
     */
-  def upsertMor(t: GraftTable, source: DataFrame, keyCols: Seq[String]): Snapshot = {
+  def upsertMor(t: GraftTable, source: DataFrame, keyCols: Seq[String],
+      operation: String = "upsert-mor",
+      basedOn: Option[Snapshot] = None): Snapshot = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val guarded = source.withColumn("_src_cnt", count(lit(1)).over(w))
@@ -333,7 +335,95 @@ object Dml {
             col(c).cast("string")))).as(c)
         else col(c)
       }.toSeq: _*)
-    t.commitMorDelta(guarded.select(keyCols.map(col): _*), Some(guarded), "upsert-mor")
+    t.commitMorDelta(guarded.select(keyCols.map(col): _*), Some(guarded), operation,
+      basedOn = basedOn)
+  }
+
+  /** Merge-on-read `UPDATE t SET ... WHERE pred` (Iceberg's
+    * `write.update.mode=merge-on-read`): ONE equality-delete + append commit
+    * replacing the matched rows with their updated versions — the matched
+    * scan is metadata-pruned and read-only, and ZERO data files rewrite (at
+    * 100 TB a predicate UPDATE that rewrites files when a delete+append
+    * would do is the expensive plan). `keyCols` are the table's declared
+    * identifier columns and are TRUSTED unique (the identifier-field
+    * contract, same trust as CDC upsert): a non-matched live row sharing a
+    * matched row's key tuple would be deleted without replacement.
+    * Duplicate tuples inside the matched set itself raise via the upsert
+    * cardinality guard.
+    */
+  def updateMor(t: GraftTable, pred: Column, assignments: Map[String, Column],
+      keyCols: Seq[String]): Snapshot = {
+    val (matched, _, planned) = planFiles(t, pred)
+    if (matched.isEmpty) return t.latest
+    val updated = assignments.foldLeft(
+      t.readFiles(matched, planned).filter(pred)) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }
+    upsertMor(t, updated, keyCols, "update-mor", basedOn = Some(planned))
+  }
+
+  /** Merge-on-read MERGE (Iceberg's `write.merge.mode=merge-on-read`): the
+    * same matched/not-matched semantics as [[merge]] committed as ONE
+    * equality-delete + append — matched keys delete, updated versions and
+    * not-matched inserts append, ZERO data files rewrite. Safe without an
+    * identifier-column declaration: the delete key IS the merge key, and
+    * every live row holding a matched key is by definition matched (joined),
+    * so delete-by-key is exactly "delete the matched rows". The matched scan
+    * is an inner join of live rows to the source — read-only, O(matched)
+    * moved rows. The COW cardinality guard carries over (a duplicated source
+    * key raises, including when all duplicates are delete-marked).
+    */
+  def mergeMor(t: GraftTable, source: DataFrame, key: String,
+      updateSet: Map[String, Column], insertNotMatched: Boolean,
+      deleteWhen: Option[Column] = None): Snapshot = {
+    val planned = t.latest
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val src = source.withColumn("_src_cnt", count(lit(1)).over(w)).alias("src")
+    val tgt = t.readSnapshot(planned).alias("tgt")
+    val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "inner")
+    val cardinalityOk = col("src._src_cnt") <= 1
+    val cardErr = raise_error(concat(
+      lit("MERGE cardinality violation: source has multiple rows for key "),
+      col(s"src.$key").cast("string")))
+    // guard INSIDE the delete filter, like merge: dup-key sources whose
+    // duplicates are all delete-marked must raise, not silently delete
+    val survivors = deleteWhen match {
+      case Some(d) => joined.filter(
+        when(!cardinalityOk, cardErr.cast("boolean"))
+          .otherwise(!coalesce(d, lit(false))))
+      case None => joined
+    }
+    // explicit cast to the table field type: the COW path's
+    // when(hasMatch, e).otherwise(tgt.c) coerces source-typed expressions
+    // implicitly (e.g. a VALUES INT source into a BIGINT column); without
+    // the otherwise-branch the cast must be spelled
+    val updatedCols = t.schema.fields.map { f =>
+      val base = updateSet.get(f.name) match {
+        case Some(e) => e.cast(f.dataType)
+        case None => col(s"tgt.${f.name}")
+      }
+      if (f.name == key) when(cardinalityOk, base).otherwise(cardErr).as(f.name)
+      else base.as(f.name)
+    }
+    val updated = survivors.select(updatedCols.toSeq: _*)
+    // every matched key equality-deletes (updated AND delete-marked rows);
+    // matchedKeys is also exactly "source keys present in the target", so
+    // the insert anti-join probes this small set, not the table
+    val matchedKeys = joined.select(col(s"tgt.$key").as(key)).distinct()
+    val appended =
+      if (!insertNotMatched) updated
+      else {
+        val srcInsertable = deleteWhen match {
+          case Some(d) => src.filter(!coalesce(d, lit(false)))
+          case None => src
+        }
+        val inserts = srcInsertable.join(matchedKeys, Seq(key), "left_anti")
+          .select(t.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        updated.unionByName(inserts)
+      }
+    t.commitMorDelta(matchedKeys, Some(appended), "merge-mor",
+      basedOn = Some(planned))
   }
 
   /** D3/J1/J2 — `MERGE INTO t USING source ON t.key = source.key`

@@ -49,7 +49,21 @@ object SqlDml {
             k -> strip(a.value)
           }.toMap
           val pred = u.condition.map(strip).getOrElse(lit(true))
-          Dml.update(t, pred, assigns)
+          // Iceberg's write.update.mode: merge-on-read replaces the matched
+          // rows via ONE equality-delete + append on the declared identifier
+          // columns — zero data files rewrite (the same property pattern as
+          // write.delete.mode below)
+          if (t.properties.get(graft.table.GraftTable.UpdateModeProp)
+              .map(_.toLowerCase).contains("merge-on-read")) {
+            val keyCols = t.properties
+              .get(graft.table.GraftTable.IdentifierColumnsProp)
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .filter(_.nonEmpty)
+              .getOrElse(throw new IllegalArgumentException(
+                s"${graft.table.GraftTable.UpdateModeProp}=merge-on-read needs " +
+                  s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir}"))
+            Dml.updateMor(t, pred, assigns, keyCols)
+          } else Dml.update(t, pred, assigns)
           StatementResult(statement, Nil, None)
         }
 
@@ -248,8 +262,17 @@ object SqlDml {
       case other => unsupported(s"MERGE action ${other.getClass.getSimpleName}")
     }
 
-    Dml.merge(t, reshaped, tgtKey, updateSet,
-      insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
+    // Iceberg's write.merge.mode: merge-on-read commits matched-key
+    // equality-deletes + the updated/inserted rows instead of rewriting
+    // matched data files (no identifier columns needed — the delete key IS
+    // the merge key; see Dml.mergeMor)
+    if (t.properties.get(graft.table.GraftTable.MergeModeProp)
+        .map(_.toLowerCase).contains("merge-on-read"))
+      Dml.mergeMor(t, reshaped, tgtKey, updateSet,
+        insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
+    else
+      Dml.merge(t, reshaped, tgtKey, updateSet,
+        insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
     StatementResult(statement, Nil, None)
   }
 

@@ -728,6 +728,69 @@ object HarnessQueries {
         .toDF("row_count", "total_qty", "files_rewritten", "n_delete_files")
     }),
 
+    // Merge-on-read UPDATE via SQL (Iceberg's write.update.mode): the
+    // predicate UPDATE commits ONE equality-delete + append on the declared
+    // identifier columns — files_rewritten pins ZERO data files rewritten,
+    // the expensive plan a 100 TB predicate UPDATE must avoid.
+    "h_sql_mor_update" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_mor_update"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5), (3, 2), (4, 8), (5, 1)")
+      eng.execute("""ALTER TABLE ops.ev SET TBLPROPERTIES (
+        'write.update.mode' = 'merge-on-read',
+        'write.identifier-columns' = 'event_id')""")
+      val t = cat.loadTable("ops", "ev")
+      val filesBefore = t.latest.files.map(_.path).toSet
+      eng.execute("UPDATE ev SET qty = qty + 10 WHERE qty >= 5")
+      val rewritten = (filesBefore -- t.latest.files.map(_.path).toSet).size.toLong
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM ev").rows.head
+      Seq((agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long], rewritten,
+        t.latest.deletes.size.toLong,
+        t.snapshotsList.exists(_.operation == "update-mor")))
+        .toDF("row_count", "total_qty", "files_rewritten", "n_delete_files",
+          "op_update_mor")
+    }),
+
+    // Merge-on-read MERGE via SQL (Iceberg's write.merge.mode): matched
+    // update + conditional delete + not-matched insert land as ONE
+    // equality-delete + append commit — zero data files rewritten, and the
+    // delete key is the merge key (no identifier columns needed).
+    "h_sql_mor_merge" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_mor_merge"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5), (3, 2), (4, 8), (5, 1)")
+      eng.execute(
+        "ALTER TABLE ops.ev SET TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")
+      val t = cat.loadTable("ops", "ev")
+      val filesBefore = t.latest.files.map(_.path).toSet
+      eng.execute(
+        """MERGE INTO ev AS tgt
+           USING (SELECT col1 AS event_id, col2 AS qty
+                  FROM VALUES (2, 100), (4, -1), (6, 50)) AS src
+           ON tgt.event_id = src.event_id
+           WHEN MATCHED AND src.qty < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET qty = src.qty
+           WHEN NOT MATCHED THEN INSERT (event_id, qty)
+             VALUES (src.event_id, src.qty)""")
+      val rewritten = (filesBefore -- t.latest.files.map(_.path).toSet).size.toLong
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM ev").rows.head
+      Seq((agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long], rewritten,
+        t.latest.deletes.size.toLong,
+        t.snapshotsList.exists(_.operation == "merge-mor")))
+        .toDF("row_count", "total_qty", "files_rewritten", "n_delete_files",
+          "op_merge_mor")
+    }),
+
     // SHOW CREATE TABLE + the metadata_log_entries relation as VERBATIM
     // SQL: the reconstructed DDL carries columns, partitioning, and live
     // properties; the metadata-log relation exposes the physical log docs.
@@ -1103,6 +1166,14 @@ object HarnessQueries {
     "h_sql_mor_delete" ->
       """SELECT CAST(3 AS BIGINT) AS row_count, CAST(6 AS BIGINT) AS total_qty,
            CAST(0 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS n_delete_files""",
+    "h_sql_mor_update" ->
+      """SELECT CAST(5 AS BIGINT) AS row_count, CAST(39 AS BIGINT) AS total_qty,
+           CAST(0 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS n_delete_files,
+           TRUE AS op_update_mor""",
+    "h_sql_mor_merge" ->
+      """SELECT CAST(5 AS BIGINT) AS row_count, CAST(156 AS BIGINT) AS total_qty,
+           CAST(0 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS n_delete_files,
+           TRUE AS op_merge_mor""",
     "h_sql_register" ->
       """SELECT CAST(3 AS BIGINT) AS reg_rows, CAST(1 AS BIGINT) AS reg_files,
            CAST(3 AS BIGINT) AS row_count, CAST(15 AS BIGINT) AS total_qty,

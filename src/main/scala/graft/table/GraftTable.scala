@@ -892,7 +892,10 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     */
   def readChangelog(fromId: Long, toId: Long): DataFrame = {
     val (to, range) = changeRange(fromId, toId)
-    val rowLevel = Set("delete-mor", "upsert-mor") ++ RowAddingOps
+    // update-mor / merge-mor are structurally upsert-mor commits (one
+    // equality-delete + append), so changelog reconstruction is identical
+    val rowLevel = Set("delete-mor", "upsert-mor", "update-mor", "merge-mor") ++
+      RowAddingOps
     val bad = range.filterNot(s => rowLevel(s.operation) || contentPreserving(s.operation))
     require(bad.isEmpty,
       s"changelog over ($fromId, $toId] crosses commit(s) without row-level change " +
@@ -2310,6 +2313,8 @@ object GraftTable {
     * the table's declared identifier columns.
     */
   val DeleteModeProp = "write.delete.mode"
+  val UpdateModeProp = "write.update.mode"
+  val MergeModeProp = "write.merge.mode"
 
   /** Comma-separated identifier columns (the Iceberg identifier-field
     * analog) — the equality-delete key tuple for merge-on-read DML.

@@ -86,6 +86,94 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, 5.0), (2L, 106.0), (8L, 8.0))) // 4 deleted, 2 updated
   }
 
+  test("UPDATE honors write.update.mode=merge-on-read: zero files rewritten") {
+    val (eng, t) = mkTable("sqldml-upd-mor")
+    t.setProperties(Map(
+      GraftTable.UpdateModeProp -> Some("merge-on-read"),
+      GraftTable.IdentifierColumnsProp -> Some("event_id")))
+    val filesBefore = t.latest.files.map(_.path).toSet
+    val fromId = t.latest.snapshotId
+    eng.execute("UPDATE sales SET price = price * 2 WHERE channel = 'app'")
+    assert(t.latest.operation == "update-mor")
+    // zero data files rewritten, one equality-delete file committed
+    assert(t.latest.files.map(_.path).toSet.intersect(filesBefore) == filesBefore)
+    assert(t.latest.deletes.nonEmpty)
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 6.0), (4L, 14.0), (8L, 8.0)))
+    // the changelog reconstructs the update as delete half + insert half
+    val ch = t.readChangelog(fromId, t.latest.snapshotId)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("insert" -> 2L, "delete" -> 2L))
+    // a matched-nothing update commits nothing
+    val snaps = t.snapshotsList.size
+    eng.execute("UPDATE sales SET price = 0 WHERE channel = 'nope'")
+    assert(t.snapshotsList.size == snaps)
+  }
+
+  test("merge-on-read UPDATE without identifier columns refuses loudly") {
+    val (eng, t) = mkTable("sqldml-upd-mor-noid")
+    t.setProperties(Map(GraftTable.UpdateModeProp -> Some("merge-on-read")))
+    val ex = intercept[IllegalArgumentException] {
+      eng.execute("UPDATE sales SET price = 0 WHERE event_id = 1")
+    }
+    assert(ex.getMessage.contains(GraftTable.IdentifierColumnsProp))
+    assert(t.readLatest().filter(col("price") === 0).count() == 0) // untouched
+  }
+
+  test("MERGE honors write.merge.mode=merge-on-read: one delta commit") {
+    val (eng, t) = mkTable("sqldml-merge-mor")
+    t.setProperties(Map(GraftTable.MergeModeProp -> Some("merge-on-read")))
+    val filesBefore = t.latest.files.map(_.path).toSet
+    eng.execute("""
+      MERGE INTO sales AS tgt
+      USING (
+        SELECT * FROM VALUES (2, 99, 50.0, 'kiosk'), (4, 0, 0.0, 'kill'),
+          (9, 14, 15.0, 'store')
+          AS updates(event_id, tenant_id, price, channel)
+      ) AS src
+      ON tgt.event_id = src.event_id
+      WHEN MATCHED AND src.channel = 'kill' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price = src.price, channel = src.channel
+      WHEN NOT MATCHED THEN INSERT (event_id, tenant_id, price, channel)
+        VALUES (src.event_id, src.tenant_id, src.price, src.channel)""")
+    assert(t.latest.operation == "merge-mor")
+    assert(t.latest.files.map(_.path).toSet.intersect(filesBefore) == filesBefore)
+    assert(t.latest.deletes.nonEmpty)
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "tenant_id", "price", "channel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(rows == Seq(
+      (1L, 10L, 5.0, "app"),
+      (2L, 11L, 50.0, "kiosk"), // updated; tenant untouched
+      (8L, 13L, 8.0, "store"), // 4 deleted
+      (9L, 14L, 15.0, "store"))) // inserted
+    // the MERGE cardinality guard carries over to the MOR path
+    intercept[Exception] {
+      eng.execute("""
+        MERGE INTO sales AS tgt
+        USING (SELECT * FROM VALUES (2, 1.0), (2, 2.0) AS d(event_id, price)) AS src
+        ON tgt.event_id = src.event_id
+        WHEN MATCHED THEN UPDATE SET price = src.price""")
+    }
+  }
+
+  test("merge-on-read UPDATE composes with rename evolution") {
+    val (eng, t) = mkTable("sqldml-upd-mor-evo")
+    t.setProperties(Map(
+      GraftTable.UpdateModeProp -> Some("merge-on-read"),
+      GraftTable.IdentifierColumnsProp -> Some("event_id")))
+    eng.execute("ALTER TABLE sales RENAME COLUMN price TO amount")
+    eng.execute("UPDATE sales SET amount = amount + 1 WHERE event_id = 2")
+    assert(t.latest.operation == "update-mor")
+    val rows = t.readLatest().orderBy("event_id")
+      .select("event_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 5.0), (2L, 7.0), (4L, 7.0), (8L, 8.0)))
+  }
+
   test("whole-table COUNT(*) answers from snapshot metadata, no scan") {
     import org.apache.spark.sql.functions.col
     val (eng, t) = mkTable("sqldml-count")
