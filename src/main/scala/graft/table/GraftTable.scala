@@ -2159,7 +2159,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           new java.util.concurrent.ForkJoinPool(16))
         try {
           par.map { staged =>
-            val rel = hfs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
+            val rel = GraftTable.uniqueLeafName(
+              hfs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/"),
+              snapshotId)
             val dest = new org.apache.hadoop.fs.Path(dataRoot, rel)
             hfs.mkdirs(dest.getParent)
             require(hfs.rename(staged, dest), s"could not publish $staged to $dest")
@@ -2637,6 +2639,23 @@ object GraftTable {
     * under task retry: a rename that fails because a previous attempt
     * already published (staged gone, dest present) is success.
     */
+  /** Published leaf names must be GLOBALLY unique across partition dirs:
+    * Spark's dynamic-partition write emits the SAME `part-<task>-<jobUuid>`
+    * basename into every partition dir a task touches, and merge-on-read
+    * delete applicability keys rows to their file by BASENAME
+    * (`input_file_name()` is URI-escaped, so full paths don't join
+    * reliably against partition dirs holding escaped characters). Prefix
+    * the leaf with the commit id and a short hash of the commit-relative
+    * path — deterministic on the task publish path, unique within a commit
+    * (relative paths are), while the job uuid keeps names unique across
+    * commits. Same rule `addFiles` already applies to imports.
+    */
+  private[table] def uniqueLeafName(rel: String, snapshotId: Long): String = {
+    val segs = rel.split('/')
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(rel))
+    (segs.dropRight(1) :+ f"c$snapshotId%x-$h-${segs.last}").mkString("/")
+  }
+
   private[table] def publishAndStat(confEntries: Array[(String, String)],
       dataRoot: String, commitDir: String, stagedPath: String,
       snapshotId: Long): FileEntry = {
@@ -2646,7 +2665,9 @@ object GraftTable {
     val fs = root.getFileSystem(conf)
     val staged = new org.apache.hadoop.fs.Path(stagedPath)
     val commitStr = fs.makeQualified(new org.apache.hadoop.fs.Path(commitDir)).toString
-    val rel = fs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/")
+    val rel = uniqueLeafName(
+      fs.makeQualified(staged).toString.stripPrefix(commitStr).stripPrefix("/"),
+      snapshotId)
     val dest = new org.apache.hadoop.fs.Path(root, rel)
     fs.mkdirs(dest.getParent)
     if (!fs.rename(staged, dest))

@@ -160,6 +160,31 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read DML on a hive-partitioned table reads back") {
+    import spark.implicits._
+    // one write job spans 3 partition values, so dynamic-partition tasks
+    // used to emit colliding part basenames across the hive dirs and every
+    // MOR read refused; unique published leaf names make this layout work
+    val df = (1 to 60).map(i => (i.toLong, s"d${i % 3}", i * 1.0)).toDF("id", "ds", "v")
+    val t = GraftTable.create(spark, scratchDir("sqldml-mor-part"), df.schema,
+      partitionCols = Seq("ds"))
+    t.append(df)
+    t.setProperties(Map(
+      GraftTable.DeleteModeProp -> Some("merge-on-read"),
+      GraftTable.UpdateModeProp -> Some("merge-on-read"),
+      GraftTable.IdentifierColumnsProp -> Some("id")))
+    val eng = new SparkSqlEngine(spark)
+    eng.registerGraftTable("pev", t)
+    eng.execute("DELETE FROM pev WHERE id <= 6")
+    assert(t.latest.operation == "delete-mor")
+    eng.execute("UPDATE pev SET v = v + 1000 WHERE id = 60")
+    assert(t.latest.operation == "update-mor")
+    assert(t.readLatest().count() == 54)
+    val res = eng.execute("SELECT CAST(SUM(id) AS BIGINT) AS s FROM pev").rows.head
+    assert(res("s") == (7L to 60L).sum)
+    assert(t.readLatest().filter(col("id") === 60).head.getDouble(2) == 1060.0)
+  }
+
   test("merge-on-read UPDATE composes with rename evolution") {
     val (eng, t) = mkTable("sqldml-upd-mor-evo")
     t.setProperties(Map(
