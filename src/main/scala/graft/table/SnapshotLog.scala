@@ -141,7 +141,7 @@ object SnapshotLog {
     * not be smaller (e.g. full overwrites), and in consolidated manifests —
     * so `load()` always reconstructs from one full doc plus newer deltas.
     */
-  private case class SnapDoc(
+  private[table] case class SnapDoc(
       snapshotId: Long,
       parentId: Option[Long],
       committedAt: Long,
@@ -159,7 +159,7 @@ object SnapshotLog {
       addedDeletes: Option[List[DeleteEntry]] = None,
       removedDeletePaths: Option[List[String]] = None)
 
-  private def toDoc(snap: Snapshot, parent: Option[Snapshot]): SnapDoc = {
+  private[table] def toDoc(snap: Snapshot, parent: Option[Snapshot]): SnapDoc = {
     val base = SnapDoc(snap.snapshotId, snap.parentId, snap.committedAt, snap.operation,
       snap.schemaJson, snap.partitionCols, snap.summary, snap.evolution,
       snap.schemas, snap.chain)
@@ -316,7 +316,9 @@ object SnapshotLog {
     val dir = logPath(tableDir)
     f.mkdirs(dir)
     val finalPath = new Path(dir, snapFileName(snap.snapshotId))
-    publishAtomic(f, finalPath, Serialization.write(toDoc(snap, parent)))
+    val ok = publishAtomic(f, finalPath, Serialization.write(toDoc(snap, parent)))
+    if (ok) invalidate(tableDir)
+    ok
   }
 
   /** All live snapshots, ascending by id: newest consolidated manifest (full
@@ -347,11 +349,38 @@ object SnapshotLog {
   /** One listing-consistent load attempt; None = a listed doc vanished
     * mid-read (concurrent consolidation) — re-list and try again.
     */
+  /** Listing-signature load cache: parsed snapshot lists keyed by the log
+    * dir's full (name, length, mtime) listing. Log docs are immutable once
+    * fully written (the only in-place content change is an in-flight doc
+    * completing, which changes its length), so an identical signature means
+    * an identical parse — repeat loads, which every table operation issues
+    * several of, pay ONE listStatus instead of re-reading and re-parsing
+    * every doc. Same-JVM commits invalidate eagerly (belt to the signature's
+    * suspenders — a scratch dir removed and recreated within one mtime tick
+    * could otherwise alias); external writers are caught by the signature.
+    * In-flight (truncated) views are never cached.
+    */
+  private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (IndexedSeq[(String, Long, Long)], Seq[Snapshot])]()
+
+  private[table] def invalidate(tableDir: String): Unit = loadCache.remove(tableDir)
+
+  /** Uncached full log parses since JVM start — the cache's observable:
+    * specs assert repeat loads stop paying it. Not a public metric.
+    */
+  private[table] val uncachedParses = new java.util.concurrent.atomic.AtomicLong
+
   private def loadOnce(conf: Configuration, tableDir: String): Option[Seq[Snapshot]] = {
     val f = fs(conf, tableDir)
     val dir = logPath(tableDir)
     if (!f.exists(dir)) return Some(Seq.empty)
-    val names = f.listStatus(dir).map(_.getPath.getName)
+    val statuses = f.listStatus(dir)
+    val sig = statuses.map(s =>
+      (s.getPath.getName, s.getLen, s.getModificationTime)).sortBy(_._1).toIndexedSeq
+    val cached = loadCache.get(tableDir)
+    if (cached != null && cached._1 == sig) return Some(cached._2)
+    uncachedParses.incrementAndGet()
+    val names = statuses.map(_.getPath.getName)
     val manifestKeys = names.collect { case ManifestRe(m, s) => (m.toLong, s.toLong) }
     val base: Seq[Snapshot] =
       if (manifestKeys.isEmpty) Seq.empty
@@ -382,7 +411,14 @@ object SnapshotLog {
         case SnapVanished => vanished = true; acc
       }
     }
-    if (vanished) None else Some(resolved)
+    if (vanished) None
+    else {
+      if (!inFlight) {
+        if (loadCache.size > 64) loadCache.clear()
+        loadCache.put(tableDir, (sig, resolved))
+      }
+      Some(resolved)
+    }
   }
 
   private sealed trait SnapRead
@@ -457,7 +493,9 @@ object SnapshotLog {
   def rewriteManifests(conf: Configuration, tableDir: String): Int = {
     val snaps = load(conf, tableDir)
     if (snaps.isEmpty) return 0
-    if (publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)) snaps.size else 0
+    if (publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)) {
+      invalidate(tableDir); snaps.size
+    } else 0
   }
 
   /** Replace the whole log with `snaps` (used by expireSnapshots). Publishes
@@ -466,6 +504,8 @@ object SnapshotLog {
     */
   def replaceAll(conf: Configuration, tableDir: String, snaps: Seq[Snapshot]): Boolean = {
     if (snaps.isEmpty) return false
-    publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)
+    val ok = publishManifest(fs(conf, tableDir), logPath(tableDir), snaps)
+    if (ok) invalidate(tableDir)
+    ok
   }
 }
