@@ -52,12 +52,31 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     */
   val lastPrune = scala.collection.mutable.Map[String, (Int, Int)]()
 
+  /** The snapshot each registered view is currently bound to. A re-register
+    * whose table head is UNCHANGED skips the temp-view rebuild (DataFrame
+    * construction is ~25 ms — it dominated ms-scale metadata statements and
+    * was the long-carried "statement-routing constant"): the existing view
+    * already reads exactly this snapshot. Pruned registrations bind a
+    * file-SHRUNK view of the same snapshot id, so they must clear the entry
+    * (pruneGraftViews does) — head equality alone must never skip past one.
+    * Equality is eq-then-== : the snapshot-log load cache returns the same
+    * parsed instance for an unchanged log, so the hot path is a pointer
+    * compare.
+    */
+  private val boundSnapshots =
+    scala.collection.mutable.Map[String, graft.table.Snapshot]()
+
   /** Register `t` as temp view `viewName` with pruned SQL reads. The view is
     * re-resolved to the table's LATEST snapshot before every statement.
     */
   def registerGraftTable(viewName: String, t: graft.table.GraftTable): Unit = {
-    graftViews(viewName.toLowerCase) = t
-    t.readLatest().createOrReplaceTempView(viewName)
+    val vn = viewName.toLowerCase
+    graftViews(vn) = t
+    val cur = t.latest
+    if (!boundSnapshots.get(vn).exists(b => (b eq cur) || b == cur)) {
+      t.readSnapshot(cur).createOrReplaceTempView(viewName)
+      boundSnapshots(vn) = cur
+    }
   }
 
   private var catalogOpt: Option[graft.catalogsvc.CatalogService] = None
@@ -103,6 +122,7 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     SqlDml.tryDdl(spark, statement, catalogOpt, registerGraftTable,
         graftViews.toMap, vn => {
           graftViews.remove(vn)
+          boundSnapshots.remove(vn)
           spark.catalog.dropTempView(vn)
         }, () => refreshGraftViews(),
         defaultNamespace = currentNamespace,
@@ -124,9 +144,11 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
       .getOrElse(capture(spark.sql(statement)))
   }
 
-  /** Reset every registered view to its table's latest full snapshot. */
+  /** Reset every registered view to its table's latest full snapshot
+    * (no-op per view when the bound head is already current).
+    */
   private def refreshGraftViews(): Unit =
-    graftViews.foreach { case (n, t) => t.readLatest().createOrReplaceTempView(n) }
+    graftViews.foreach { case (n, t) => registerGraftTable(n, t) }
 
   /** Parse (never execute) `statement`; for each Filter sitting on a
     * registered view, intersect the per-column range bounds into a pruned
@@ -162,8 +184,12 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
             }
           }
           lastPrune(viewName) = (files.size, snap.files.size)
-          if (files.size < snap.files.size)
+          if (files.size < snap.files.size) {
             t.readSnapshot(snap.copy(files = files.toList)).createOrReplaceTempView(viewName)
+            // the view now reads a file-SHRUNK copy of this snapshot: head
+            // equality must not let the next refresh skip the full rebind
+            boundSnapshots.remove(viewName)
+          }
         }
       case _ =>
     }
