@@ -353,6 +353,36 @@ object Bench {
         "null"
     }
 
+    // Delete-representation probe (round 16): the SAME selectivity-scattered
+    // predicate (≈0.1% of rows, present in EVERY file — the shape where a
+    // 100 TB predicate DELETE hurts most) as copy-on-write vs a positional
+    // delete vector, back-to-back on the surviving 10M bench table. COW pays
+    // O(matched files) rewrite (here: all of them); the vector pays one
+    // read-only planning scan plus an O(matched rows) vector write. The file
+    // counts land beside the timings so the artifact shows the asymmetry is
+    // structural, not machine noise.
+    val dvProbeJson: String = if (only.isDefined) "null" else try {
+      import org.apache.spark.sql.functions.col
+      val t = graft.table.GraftTable.load(spark,
+        "/root/repo/target/graft-scratch/bench_txevents")
+      val filesBefore = t.latest.files.map(_.path).toSet
+      val cow = timeOnce {
+        graft.dml.Dml.delete(t, col("user_id") % 1000 === 0) }
+      val afterCow = t.latest.files.map(_.path).toSet
+      val cowRewritten = (filesBefore -- afterCow).size
+      val dv = timeOnce {
+        graft.dml.Dml.deleteMorPositional(t, col("user_id") % 1000 === 1) }
+      val dvRewritten = (afterCow -- t.latest.files.map(_.path).toSet).size
+      val dvTuples = t.latest.deletes.filter(_.positional).map(_.rowCount).sum
+      s"""{"delete_cow":$cow,"delete_dv":$dv,""" +
+        s""""cow_files_rewritten":$cowRewritten,"dv_files_rewritten":$dvRewritten,""" +
+        s""""dv_tuples":$dvTuples}"""
+    } catch {
+      case ex: Throwable =>
+        errors += "dv_probe" -> s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}"
+        "null"
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ph = phaseJson(phases)
     val rp = phaseJson(refPhases)
@@ -375,7 +405,7 @@ object Bench {
     // run — the start/end PAIR distinguishes "the machine got busy mid-run"
     // from "a phase regressed" without any cross-round reasoning.
     val calibrationEndSec = calibrate()
-    val line = s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"calibration_end_sec":$calibrationEndSec,"unit":"sec","value":$total}"""
+    val line = s"""{"metric":"total","queries":$qs,"errors":$er,"phases":$ph,"ref_phases":$rp,"ref_phases_cal":$rpCal,"maintenance_overhead":$overheadJson,"dv_probe":$dvProbeJson,"scale":$scaleJson,"reps":$reps,"write_rows":$writeRows,"n_errors":${errors.size},"sf":"$sfDir","calibration_sec":$calibrationSec,"calibration_end_sec":$calibrationEndSec,"unit":"sec","value":$total}"""
     // The committed full-results artifact (VERDICT r15 #8): the stdout line
     // below is the driver contract, but the harness stores only the output
     // TAIL, and a 200+-entry sweep truncates mid-line — so the complete line

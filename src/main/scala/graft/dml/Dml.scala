@@ -312,6 +312,59 @@ object Dml {
     t.commitMorDelta(keys, None, "delete-mor", basedOn = Some(planned))
   }
 
+  /** Positional merge-on-read `DELETE FROM t WHERE pred` (the Iceberg v3
+    * deletion-vector shape, and what Iceberg-Spark itself writes for MOR
+    * DML): ONE metadata-pruned, read-only scan of candidate files addresses
+    * the matched rows as (part-file name, row position) tuples, committed as
+    * a delete VECTOR — zero data files rewritten, no identifier columns
+    * trusted, and a non-unique key can never over-delete: the vector names
+    * exactly the rows the predicate matched. Reads reconcile with a single
+    * broadcast anti-join on the row address (cheaper than equality: no
+    * per-group key comparison, no applicability bound).
+    */
+  def deleteMorPositional(t: GraftTable, pred: Column): Snapshot = {
+    val planned = t.latest
+    val (candidates, _) = planningCandidates(t, planned, pred)
+    if (candidates.isEmpty) return planned
+    val dv = t.readSnapshotTagged(planned.copy(files = candidates.toList),
+        "_gf_uri", GraftTable.PosCol)
+      .filter(pred)
+      .select(element_at(split(col("_gf_uri"), "/"), -1).as(GraftTable.WrittenAtCol),
+        col(GraftTable.PosCol))
+    if (dv.limit(1).isEmpty) return planned
+    t.commitDvDelta(dv, None, "delete-dv", basedOn = Some(planned))
+  }
+
+  /** Positional merge-on-read `UPDATE t SET ... WHERE pred`: ONE delete
+    * vector + append commit — the matched rows' addresses delete, their
+    * updated versions append, ZERO data files rewrite. Unlike [[updateMor]]
+    * this needs NO identifier-column declaration and cannot over-delete on a
+    * non-unique key: positions name exactly the matched rows.
+    */
+  def updateMorPositional(t: GraftTable, pred: Column,
+      assignments: Map[String, Column]): Snapshot = {
+    val planned = t.latest
+    val (candidates, _) = planningCandidates(t, planned, pred)
+    if (candidates.isEmpty) return planned
+    val tagged = t.readSnapshotTagged(planned.copy(files = candidates.toList),
+      "_gf_uri", GraftTable.PosCol).filter(pred)
+    val dv = tagged
+      .select(element_at(split(col("_gf_uri"), "/"), -1).as(GraftTable.WrittenAtCol),
+        col(GraftTable.PosCol))
+    if (dv.limit(1).isEmpty) return planned
+    val updated0 = assignments.foldLeft(
+      tagged.drop("_gf_uri", GraftTable.PosCol)) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }
+    // assigned expressions cast to the column's declared type (the same
+    // explicit coercion the COW path gets implicitly from when/otherwise)
+    val updated = updated0.select(t.schema.fields.map { f =>
+      if (assignments.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+    t.commitDvDelta(dv, Some(updated), "update-dv", basedOn = Some(planned))
+  }
+
   /** Merge-on-read UPSERT (the Flink-CDC / Iceberg upsert-mode write): ONE
     * commit that equality-deletes `source`'s key tuples and appends
     * `source`'s rows. Existing rows with a source key disappear (their files
@@ -424,6 +477,63 @@ object Dml {
       }
     t.commitMorDelta(matchedKeys, Some(appended), "merge-mor",
       basedOn = Some(planned))
+  }
+
+  /** Positional merge-on-read MERGE: the same matched/not-matched semantics
+    * as [[mergeMor]] committed as ONE delete VECTOR + append — every matched
+    * target row's (file, position) address deletes (updated and delete-
+    * marked alike), updated versions and not-matched inserts append, ZERO
+    * data files rewrite. Unlike the equality path this also composes with
+    * live rows that merely SHARE a matched key value in pathological data:
+    * the vector names the joined rows themselves. The COW cardinality guard
+    * rides the vector's file column, so a duplicated source key raises
+    * before anything commits.
+    */
+  def mergeMorPositional(t: GraftTable, source: DataFrame, key: String,
+      updateSet: Map[String, Column], insertNotMatched: Boolean,
+      deleteWhen: Option[Column] = None): Snapshot = {
+    val planned = t.latest
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val src = source.withColumn("_src_cnt", count(lit(1)).over(w)).alias("src")
+    val tgt = t.readSnapshotTagged(planned, "_gf_uri", GraftTable.PosCol).alias("tgt")
+    val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "inner")
+    val cardinalityOk = col("src._src_cnt") <= 1
+    val cardErr = raise_error(concat(
+      lit("MERGE cardinality violation: source has multiple rows for key "),
+      col(s"src.$key").cast("string")))
+    val dv = joined.select(
+      when(cardinalityOk, element_at(split(col("tgt._gf_uri"), "/"), -1))
+        .otherwise(cardErr).as(GraftTable.WrittenAtCol),
+      col(s"tgt.${GraftTable.PosCol}").as(GraftTable.PosCol))
+    val survivors = deleteWhen match {
+      case Some(d) => joined.filter(
+        when(!cardinalityOk, cardErr.cast("boolean"))
+          .otherwise(!coalesce(d, lit(false))))
+      case None => joined
+    }
+    val updatedCols = t.schema.fields.map { f =>
+      val base = updateSet.get(f.name) match {
+        case Some(e) => e.cast(f.dataType)
+        case None => col(s"tgt.${f.name}")
+      }
+      if (f.name == key) when(cardinalityOk, base).otherwise(cardErr).as(f.name)
+      else base.as(f.name)
+    }
+    val updated = survivors.select(updatedCols.toSeq: _*)
+    val matchedKeys = joined.select(col(s"tgt.$key").as(key)).distinct()
+    val appended =
+      if (!insertNotMatched) updated
+      else {
+        val srcInsertable = deleteWhen match {
+          case Some(d) => src.filter(!coalesce(d, lit(false)))
+          case None => src
+        }
+        val inserts = srcInsertable.join(matchedKeys, Seq(key), "left_anti")
+          .select(t.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        updated.unionByName(inserts)
+      }
+    t.commitDvDelta(dv, Some(appended), "merge-dv", basedOn = Some(planned))
   }
 
   /** D3/J1/J2 — `MERGE INTO t USING source ON t.key = source.key`

@@ -55,14 +55,23 @@ object SqlDml {
           // write.delete.mode below)
           if (t.properties.get(graft.table.GraftTable.UpdateModeProp)
               .map(_.toLowerCase).contains("merge-on-read")) {
-            val keyCols = t.properties
-              .get(graft.table.GraftTable.IdentifierColumnsProp)
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .filter(_.nonEmpty)
-              .getOrElse(throw new IllegalArgumentException(
-                s"${graft.table.GraftTable.UpdateModeProp}=merge-on-read needs " +
-                  s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir}"))
-            Dml.updateMor(t, pred, assigns, keyCols)
+            // write.delete.representation=positional: a delete VECTOR +
+            // append names the matched rows by (file, position) — no
+            // identifier columns needed, nothing over-deleted on a
+            // non-unique key
+            if (positionalRepresentation(t))
+              Dml.updateMorPositional(t, pred, assigns)
+            else {
+              val keyCols = t.properties
+                .get(graft.table.GraftTable.IdentifierColumnsProp)
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .filter(_.nonEmpty)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"${graft.table.GraftTable.UpdateModeProp}=merge-on-read needs " +
+                    s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir} " +
+                    s"(or ${graft.table.GraftTable.DeleteRepresentationProp}=positional)"))
+              Dml.updateMor(t, pred, assigns, keyCols)
+            }
           } else Dml.update(t, pred, assigns)
           StatementResult(statement, Nil, None)
         }
@@ -78,13 +87,18 @@ object SqlDml {
           // analog — equality deletes are undefined without one).
           if (props.get(graft.table.GraftTable.DeleteModeProp)
               .map(_.toLowerCase).contains("merge-on-read")) {
-            val keyCols = props.get(graft.table.GraftTable.IdentifierColumnsProp)
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .filter(_.nonEmpty)
-              .getOrElse(throw new IllegalArgumentException(
-                s"${graft.table.GraftTable.DeleteModeProp}=merge-on-read needs " +
-                  s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir}"))
-            Dml.deleteMor(t, pred, keyCols)
+            if (positionalRepresentation(t))
+              Dml.deleteMorPositional(t, pred)
+            else {
+              val keyCols = props.get(graft.table.GraftTable.IdentifierColumnsProp)
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .filter(_.nonEmpty)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"${graft.table.GraftTable.DeleteModeProp}=merge-on-read needs " +
+                    s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir} " +
+                    s"(or ${graft.table.GraftTable.DeleteRepresentationProp}=positional)"))
+              Dml.deleteMor(t, pred, keyCols)
+            }
           } else Dml.delete(t, pred)
           StatementResult(statement, Nil, None)
         }
@@ -267,10 +281,14 @@ object SqlDml {
     // matched data files (no identifier columns needed — the delete key IS
     // the merge key; see Dml.mergeMor)
     if (t.properties.get(graft.table.GraftTable.MergeModeProp)
-        .map(_.toLowerCase).contains("merge-on-read"))
-      Dml.mergeMor(t, reshaped, tgtKey, updateSet,
-        insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
-    else
+        .map(_.toLowerCase).contains("merge-on-read")) {
+      if (positionalRepresentation(t))
+        Dml.mergeMorPositional(t, reshaped, tgtKey, updateSet,
+          insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
+      else
+        Dml.mergeMor(t, reshaped, tgtKey, updateSet,
+          insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
+    } else
       Dml.merge(t, reshaped, tgtKey, updateSet,
         insertNotMatched = insertMapping.isDefined, deleteWhen = deleteWhen)
     StatementResult(statement, Nil, None)
@@ -1723,6 +1741,21 @@ object SqlDml {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"SQL DML shape not supported by the table layer: $what")
+
+  /** `write.delete.representation` routing for merge-on-read DML: `equality`
+    * (default) keys on identifier columns, `positional` writes delete
+    * vectors. Any other value is refused loudly — a typo silently falling
+    * back to equality would change DML semantics on a non-unique key.
+    */
+  private def positionalRepresentation(t: GraftTable): Boolean =
+    t.properties.get(graft.table.GraftTable.DeleteRepresentationProp)
+      .map(_.toLowerCase) match {
+      case Some("positional") => true
+      case Some("equality") | None => false
+      case Some(other) => unsupported(
+        s"${graft.table.GraftTable.DeleteRepresentationProp}='$other' " +
+          "(equality or positional)")
+    }
 
   /** Split a predicate string on word-boundary `AND` OUTSIDE single-quoted
     * literals, so a partition value containing the word (e.g.

@@ -791,6 +791,49 @@ object HarnessQueries {
           "op_merge_mor")
     }),
 
+    // Positional merge-on-read DML via SQL (write.delete.representation =
+    // positional, the Iceberg v3 deletion-vector shape): DELETE and UPDATE
+    // each commit a delete VECTOR — zero data files rewritten, NO identifier
+    // columns declared, and a duplicated event_id cannot over-delete (the
+    // vector names exactly the matched row; an equality key on event_id
+    // would have killed both copies).
+    "h_sql_mor_dv" -> ((s, _) => {
+      import s.implicits._
+      val eng = new SparkSqlEngine(s)
+      val cat = new CatalogService(s, scratch("sql_mor_dv"))
+      eng.registerCatalog(cat)
+      eng.execute("CREATE NAMESPACE ops")
+      eng.execute("CREATE TABLE ops.ev (event_id BIGINT, qty BIGINT) USING iceberg")
+      eng.execute("INSERT INTO ev VALUES (1, 3), (2, 5), (2, 7), (3, 2), (4, 8)")
+      eng.execute("""ALTER TABLE ops.ev SET TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read',
+        'write.delete.representation' = 'positional')""")
+      val t = cat.loadTable("ops", "ev")
+      val filesBefore = t.latest.files.map(_.path).toSet
+      eng.execute("DELETE FROM ev WHERE event_id = 2 AND qty = 5")
+      eng.execute("UPDATE ev SET qty = qty + 10 WHERE qty >= 7")
+      eng.execute(
+        """MERGE INTO ev AS tgt
+           USING (SELECT col1 AS event_id, col2 AS qty
+                  FROM VALUES (3, 100), (6, 60)) AS src
+           ON tgt.event_id = src.event_id
+           WHEN MATCHED THEN UPDATE SET qty = src.qty
+           WHEN NOT MATCHED THEN INSERT (event_id, qty)
+             VALUES (src.event_id, src.qty)""")
+      val rewritten = (filesBefore -- t.latest.files.map(_.path).toSet).size.toLong
+      val agg = eng.execute(
+        "SELECT COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS q FROM ev").rows.head
+      Seq((agg("n").asInstanceOf[Long], agg("q").asInstanceOf[Long], rewritten,
+        t.latest.deletes.count(_.positional).toLong,
+        t.snapshotsList.exists(_.operation == "delete-dv"),
+        t.snapshotsList.exists(_.operation == "update-dv"),
+        t.snapshotsList.exists(_.operation == "merge-dv")))
+        .toDF("row_count", "total_qty", "files_rewritten", "n_delete_vectors",
+          "op_delete_dv", "op_update_dv", "op_merge_dv")
+    }),
+
     // SHOW CREATE TABLE + the metadata_log_entries relation as VERBATIM
     // SQL: the reconstructed DDL carries columns, partitioning, and live
     // properties; the metadata-log relation exposes the physical log docs.
@@ -1174,6 +1217,10 @@ object HarnessQueries {
       """SELECT CAST(5 AS BIGINT) AS row_count, CAST(156 AS BIGINT) AS total_qty,
            CAST(0 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS n_delete_files,
            TRUE AS op_merge_mor""",
+    "h_sql_mor_dv" ->
+      """SELECT CAST(5 AS BIGINT) AS row_count, CAST(198 AS BIGINT) AS total_qty,
+           CAST(0 AS BIGINT) AS files_rewritten, CAST(3 AS BIGINT) AS n_delete_vectors,
+           TRUE AS op_delete_dv, TRUE AS op_update_dv, TRUE AS op_merge_dv""",
     "h_sql_register" ->
       """SELECT CAST(3 AS BIGINT) AS reg_rows, CAST(1 AS BIGINT) AS reg_files,
            CAST(3 AS BIGINT) AS row_count, CAST(15 AS BIGINT) AS total_qty,

@@ -480,6 +480,30 @@ object TableQueries {
         .withColumn("n_commits", lit(t.snapshotsList.size.toLong))
     }),
 
+    // Positional merge-on-read DML (the Iceberg v3 deletion-vector shape):
+    // predicate DELETE then predicate UPDATE each commit a delete VECTOR of
+    // (part-file name, row position) tuples — data_files_rewritten pins zero
+    // data files rewritten across BOTH, no identifier columns are declared
+    // (positions name rows, not key values), and the read reconciles with
+    // one broadcast anti-join on the row address.
+    "t_mor_dv" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 200)
+      val t = GraftTable.create(s, scratch("mor_dv"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 70))
+      t.append(base.filter(col("o_orderkey") >= 70 && col("o_orderkey") < 140))
+      t.append(base.filter(col("o_orderkey") >= 140))
+      val filesBefore = t.latest.files.map(_.path).toSet
+      Dml.deleteMorPositional(t, col("o_orderkey") % 7 === 0)
+      Dml.updateMorPositional(t, col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      val rewritten = (filesBefore -- t.latest.files.map(_.path).toSet).size.toLong
+      t.readLatest().agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("data_files_rewritten", lit(rewritten))
+        .withColumn("n_delete_vectors",
+          lit(t.latest.deletes.count(_.positional).toLong))
+    }),
+
     // Delete materialization: fold merge-on-read deletes back into data
     // files; content is unchanged (same oracle as the pre-materialize state)
     // and the delete list drains to zero.
@@ -1197,6 +1221,12 @@ object TableQueries {
            CAST(CAST(SUM(CAST(CASE WHEN o_orderkey >= 50 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            CAST(3 AS BIGINT) AS n_commits
          FROM orders WHERE o_orderkey < 150""",
+    "t_mor_dv" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(0 AS BIGINT) AS data_files_rewritten,
+           CAST(2 AS BIGINT) AS n_delete_vectors
+         FROM orders WHERE o_orderkey < 200 AND o_orderkey % 7 <> 0""",
     "t_mor_materialize" ->
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,

@@ -282,7 +282,7 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
         val applicable = head.deletes.filter(d =>
           d.perRowAppliedAt || d.appliedAt > e.writtenAt).map(d =>
           GraftDeleteSpec(s"$dataRoot/${d.path}", d.keyCols, d.appliedAt,
-            d.perRowAppliedAt))
+            d.perRowAppliedAt, d.positional))
         GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
           schema.json, e.rowCount, e.writtenAt, applicable, keySchemaJson)
       }.toArray[InputPartition]
@@ -569,7 +569,8 @@ private[sources] case class GraftDeleteSpec(
     path: String,
     keyCols: List[String],
     appliedAt: Long,
-    perRowAppliedAt: Boolean)
+    perRowAppliedAt: Boolean,
+    positional: Boolean = false)
 
 private[sources] case class GraftInputPartition(
     filePath: String,
@@ -617,6 +618,58 @@ private[sources] object GraftDeleteCache {
         m
       }
     }
+
+  // Positional delete-vector half: (dv path) → per-file-name position sets.
+  // One parse serves every data-file partition the vector touches.
+  private val posCache =
+    new java.util.LinkedHashMap[String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: JMap.Entry[String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]): Boolean =
+        size() > MaxEntries
+    }
+
+  def getPositional(d: GraftDeleteSpec)
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    synchronized {
+      val hit = posCache.get(d.path)
+      if (hit != null) hit
+      else {
+        val m = parsePositional(d)
+        posCache.put(d.path, m)
+        m
+      }
+    }
+
+  private def parsePositional(d: GraftDeleteSpec)
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    parses.incrementAndGet()
+    val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+    val path = new org.apache.hadoop.fs.Path(d.path)
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+      .withConf(new Configuration()).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val fields = g.getType.getFields
+        var fileIdx = -1; var posIdx = -1; var i = 0
+        while (i < fields.size()) {
+          if (fields.get(i).getName == "_gf_file") fileIdx = i
+          if (fields.get(i).getName == "_gf_pos") posIdx = i
+          i += 1
+        }
+        require(fileIdx >= 0 && posIdx >= 0,
+          s"delete vector ${d.path} lacks (_gf_file, _gf_pos)")
+        val name = g.getString(fileIdx, 0)
+        var set = m.get(name)
+        if (set == null) { set = new java.util.HashSet[java.lang.Long](); m.put(name, set) }
+        set.add(g.getLong(posIdx, 0))
+        g = r.read()
+      }
+    } finally r.close()
+    m
+  }
 
   private def parse(d: GraftDeleteSpec,
       keySchema: StructType): java.util.HashMap[List[Any], java.lang.Long] = {
@@ -718,7 +771,8 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
   // opens each delete file once per executor, not once per input partition;
   // single-spec groups share the cached map directly (read-only after parse).
   private lazy val deleteMaps: Seq[(List[String], java.util.HashMap[List[Any], java.lang.Long])] =
-    p.deletes.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(",")).map {
+    p.deletes.filterNot(_.positional)
+      .groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(",")).map {
       case (keyCols, Seq(d)) => keyCols -> GraftDeleteCache.get(d, keySchema)
       case (keyCols, specs) =>
         val m = new java.util.HashMap[List[Any], java.lang.Long]()
@@ -867,18 +921,41 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     (keyCols.map(k => readFields.indexWhere(_.name == k)), m)
   }
 
-  private def deleted: Boolean = deleteMapPos.exists { case (positions, m) =>
-    val tuple = positions.map(backend.valueAt)
-    val bound = m.get(tuple)
-    bound != null && p.writtenAt < bound
+  // Positional delete vectors addressing THIS file: the union of every
+  // applicable vector's position set under this file's part name. The reader
+  // reads the whole file in physical order (no row-group skipping), so a
+  // running row counter reproduces parquet's row_index exactly.
+  private lazy val deletedPositions: java.util.HashSet[java.lang.Long] = {
+    val name = p.filePath.substring(p.filePath.lastIndexOf('/') + 1)
+    val s = new java.util.HashSet[java.lang.Long]()
+    p.deletes.filter(_.positional).foreach { d =>
+      val set = GraftDeleteCache.getPositional(d).get(name)
+      if (set != null) s.addAll(set)
+    }
+    s
+  }
+  private var rowPos = -1L
+
+  private def deleted: Boolean =
+    (!deletedPositions.isEmpty && deletedPositions.contains(rowPos)) ||
+      deleteMapPos.exists { case (positions, m) =>
+        val tuple = positions.map(backend.valueAt)
+        val bound = m.get(tuple)
+        bound != null && p.writtenAt < bound
+      }
+
+  private def advanceCounted(): Boolean = {
+    val more = backend.advance()
+    if (more) rowPos += 1
+    more
   }
 
   override def next(): Boolean =
     if (metadataRows >= 0) { emitted += 1; emitted <= metadataRows }
     else {
-      var more = backend.advance()
+      var more = advanceCounted()
       while (more && p.deletes.nonEmpty && deleted)
-        more = backend.advance()
+        more = advanceCounted()
       more
     }
 

@@ -227,14 +227,27 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * uses this instead.
     */
   private[graft] def readSnapshotTagged(snap: Snapshot, fileCol: String): DataFrame =
-    readSnapshotImpl(snap, Some(fileCol))
+    readSnapshotImpl(snap, Some(fileCol), None)
 
-  private def readSnapshotImpl(snap: Snapshot, fileCol: Option[String]): DataFrame = {
+  /** Tagged read that ALSO attaches each row's position within its part file
+    * (parquet `_metadata.row_index`, captured at the scan) — the planning
+    * read for positional merge-on-read DML: `fileCol` names the file,
+    * `posCol` the row inside it, together a stable row address (files are
+    * immutable). Existing deletes are reconciled first, so already-deleted
+    * rows can never be re-addressed.
+    */
+  private[graft] def readSnapshotTagged(snap: Snapshot, fileCol: String,
+      posCol: String): DataFrame =
+    readSnapshotImpl(snap, Some(fileCol), Some(posCol))
+
+  private def readSnapshotImpl(snap: Snapshot, fileCol: Option[String],
+      posCol: Option[String] = None): DataFrame = {
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-      return fileCol.fold(empty)(c => empty.withColumn(c, lit(null).cast("string")))
+      val withF = fileCol.fold(empty)(c => empty.withColumn(c, lit(null).cast("string")))
+      return posCol.fold(withF)(c => withF.withColumn(c, lit(null).cast("long")))
     }
     // Self-contained-format guard: every live writtenAt must have its
     // write-time schema in the snapshot's own schemas map. A doc written by
@@ -256,6 +269,10 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // sidesteps URI-escaping mismatches between `input_file_name()` and
     // filesystem-qualified paths. Zero cost when no deletes exist.
     val needWrittenAt = snap.deletes.nonEmpty
+    // row positions ride the scan when a caller asks for them (positional
+    // DML planning) or when positional delete vectors must reconcile
+    val posName = posCol.getOrElse(PosCol)
+    val needPos = posCol.isDefined || snap.deletes.exists(_.positional)
     if (needWrittenAt) {
       val names = snap.files.map(_.path.split('/').last)
       require(names.distinct.size == names.size,
@@ -274,10 +291,15 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         .schema(physSchema)
         .parquet(paths: _*)
       val raw1 = fileCol.fold(raw0)(c => raw0.withColumn(c, input_file_name()))
-      val raw = if (needWrittenAt)
+      val raw2 = if (needWrittenAt)
         raw1.withColumn(WrittenAtCol,
           element_at(split(input_file_name(), "/"), -1))
       else raw1
+      // captured AT the scan: after a union/evolution the metadata column is
+      // no longer addressable, and the index is only meaningful per file
+      val raw = if (needPos)
+        raw2.withColumn(posName, col("_metadata.row_index"))
+      else raw2
       // Replay evolution committed after this epoch — from the snapshot's own
       // carried chain, never other (expirable) docs. No chain step lies in
       // (epoch, writtenAt] by the definition of epoch, so filtering from the
@@ -288,9 +310,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       ops.foldLeft(raw)(applyEvolution)
     }
     val unified = parts.reduce(_.unionByName(_))
-    val live = if (needWrittenAt) applyDeletes(snap, unified) else unified
+    val live = if (needWrittenAt) applyDeletes(snap, unified, posName) else unified
     // Present columns in the target snapshot's declared order.
-    live.select((logical.fieldNames.toSeq ++ fileCol).map(col): _*)
+    live.select((logical.fieldNames.toSeq ++ fileCol ++ posCol).map(col): _*)
   }
 
   /** Filter out rows matched by the snapshot's equality-delete files (the
@@ -309,8 +331,27 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * column (already evolved by replay) is compared against the delete tuple
     * cast to its current type (type widening).
     */
-  private def applyDeletes(snap: Snapshot, data: DataFrame): DataFrame = {
+  private def applyDeletes(snap: Snapshot, data: DataFrame,
+      posName: String = GraftTable.PosCol): DataFrame = {
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val dvRoot = SnapshotLog.dataPath(tableDir).toString
+    val (dvs, eqs) = snap.deletes.partition(_.positional)
+    // Positional delete vectors: ONE broadcast anti-join on (part-file name,
+    // row position) for ALL vectors. No applicability bound and no key
+    // resolution: a position addresses one immutable file's row forever, a
+    // row (re-)inserted after the delete lives in a file no vector can
+    // reference, and renames/widenings never touch a position. Vector rows
+    // naming files this snapshot no longer has simply match nothing.
+    val afterDv = if (dvs.isEmpty) data else {
+      val dvDf = dvs.map(d => spark.read.parquet(s"$dvRoot/${d.path}")
+          .select(col(WrittenAtCol), col(GraftTable.PosCol)))
+        .reduce(_.unionByName(_))
+      data.alias("_gf_data").join(broadcast(dvDf).alias("_gf_dv"),
+        col(s"_gf_data.$WrittenAtCol") === col(s"_gf_dv.$WrittenAtCol") &&
+          col(s"_gf_data.$posName") === col(s"_gf_dv.${GraftTable.PosCol}"),
+        "left_anti")
+    }
+    if (eqs.isEmpty) return afterDv
     val writtenAtByName = snap.files
       .map(f => (f.path.split('/').last, f.writtenAt)).toMap
     // filename → writtenAt via a small literal map; O(files-in-snapshot)
@@ -319,7 +360,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     // map literal in the plan is too big, so: broadcast join below.
     import spark.implicits._
     val fileMap = writtenAtByName.toSeq.toDF(WrittenAtCol, "_gf_written_at")
-    val withW = data
+    val withW = afterDv
       .join(broadcast(fileMap), Seq(WrittenAtCol), "left")
       // a filename that fails to resolve would silently mis-apply deletes;
       // fail loudly instead (cannot happen unless the layout contract broke)
@@ -329,7 +370,7 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
             col(WrittenAtCol))).cast("long"))
           .otherwise(col("_gf_written_at")))
     val dataRoot = SnapshotLog.dataPath(tableDir).toString
-    val byKeys = snap.deletes.groupBy(_.keyCols)
+    val byKeys = eqs.groupBy(_.keyCols)
     val filtered = byKeys.toSeq.sortBy(_._1.mkString(","))
       .foldLeft(withW) { case (df, (keyCols, entries)) =>
         val delSide = entries.map { d =>
@@ -894,7 +935,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val (to, range) = changeRange(fromId, toId)
     // update-mor / merge-mor are structurally upsert-mor commits (one
     // equality-delete + append), so changelog reconstruction is identical
-    val rowLevel = Set("delete-mor", "upsert-mor", "update-mor", "merge-mor") ++
+    val rowLevel = Set("delete-mor", "upsert-mor", "update-mor", "merge-mor",
+      "delete-dv", "update-dv", "merge-dv") ++
       RowAddingOps
     val bad = range.filterNot(s => rowLevel(s.operation) || contentPreserving(s.operation))
     require(bad.isEmpty,
@@ -928,7 +970,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           val parent = bySnap(s.parentId.getOrElse(
             throw new IllegalStateException(s"MOR commit ${s.snapshotId} has no parent")))
           val pre = readAtTarget(parent.files, parent.schemas, parent.deletes)
-          val matched = added.map { d =>
+          val (dvAdded, eqAdded) = added.partition(_.positional)
+          val eqMatched = eqAdded.map { d =>
             val del = spark.read.parquet(s"$dataRoot/${d.path}")
             val cond = d.keyCols.map { k =>
               val cur = GraftTable.currentName(to, k, d.appliedAt)
@@ -938,7 +981,24 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
               col(s"_gf_pre.$cur") <=> col(s"_gf_del.$k").cast(curType)
             }.reduce(_ && _)
             pre.alias("_gf_pre").join(del.alias("_gf_del"), cond, "left_semi")
-          }.reduce(_.unionByName(_)).distinct()
+          }
+          // positional: the vector NAMES the deleted rows — semi-join the
+          // file/pos-tagged pre-commit state on the row address
+          val dvMatched = if (dvAdded.isEmpty) Nil else {
+            val preTagged = readSnapshotTagged(
+              to.copy(files = parent.files, schemas = parent.schemas,
+                deletes = parent.deletes), "_gf_cl_uri", "_gf_cl_pos")
+              .withColumn("_gf_cl_name",
+                element_at(split(col("_gf_cl_uri"), "/"), -1))
+            val dv = dvAdded.map(d =>
+              spark.read.parquet(s"$dataRoot/${d.path}")).reduce(_.unionByName(_))
+            Seq(preTagged.alias("_gf_pre").join(dv.alias("_gf_del"),
+              col("_gf_pre._gf_cl_name") === col(s"_gf_del.$WrittenAtCol") &&
+                col("_gf_pre._gf_cl_pos") === col(s"_gf_del.$PosCol"),
+              "left_semi")
+              .drop("_gf_cl_uri", "_gf_cl_pos", "_gf_cl_name"))
+          }
+          val matched = (eqMatched ++ dvMatched).reduce(_.unionByName(_)).distinct()
           Some(matched
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
@@ -1796,6 +1856,54 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     }
   }
 
+  /** Positional merge-on-read commit primitive (the Iceberg v3
+    * deletion-vector shape): ONE commit that adds a delete VECTOR —
+    * (part-file name, row position) tuples addressing exactly the rows to
+    * drop — and, when `appendDf` is given, appends its rows as new data
+    * files. Same O(batch) cost shape as [[commitMorDelta]], but no
+    * identifier columns are trusted and a non-unique key can never
+    * over-delete: the vector names rows, not values. `dv` must have exactly
+    * the columns (`_gf_file` string, `_gf_pos` long) as produced by
+    * [[readSnapshotTagged]]'s file/pos tagging.
+    */
+  def commitDvDelta(dv: DataFrame, appendDf: Option[DataFrame], operation: String,
+      basedOn: Option[Snapshot] = None,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val dvCols = dv.schema.fieldNames.toSeq
+    require(dvCols == Seq(GraftTable.WrittenAtCol, GraftTable.PosCol),
+      s"delete vector must have columns (${GraftTable.WrittenAtCol}, " +
+        s"${GraftTable.PosCol}); got ${dvCols.mkString(", ")}")
+    val cur = schema
+    appendDf.foreach { df =>
+      require(shapeOf(df.schema) == shapeOf(cur),
+        s"$operation append schema does not match table $tableDir")
+    }
+    // Serializable by construction: positions address the PLANNED file set,
+    // and a commit (compaction, COW DML) landing in between could move the
+    // addressed rows into files the vector cannot name — so unlike the
+    // compose-with-appends equality path, a DV commit always aborts when the
+    // table advanced past its plan.
+    val planned = basedOn.getOrElse(latest)
+    val delWritten = writeDeleteFile(dv)
+    val dataWritten = appendDf.map(writeDataFiles(_, planned.snapshotId + 1)).getOrElse(Nil)
+    commitWithRetry { parent =>
+      val p = parent.getOrElse(throw new IllegalStateException("DV delta on empty table"))
+      if (p.snapshotId != planned.snapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table advanced to ${p.snapshotId} since positional delete planned at ${planned.snapshotId}")
+      val id = p.snapshotId + 1
+      val files = (p.files ++ dataWritten.map(_.copy(writtenAt = id))).toList
+      val delEntries = delWritten.map(_.copy(appliedAt = id, positional = true))
+      Snapshot(id, Some(p.snapshotId), clock(), operation, p.schemaJson,
+        p.partitionCols, files,
+        extraSummary ++ Map("added-delete-files" -> delEntries.size.toString,
+          "added-files" -> dataWritten.size.toString,
+          "delete-representation" -> "positional"), Nil,
+        schemasFor(files, p.schemas + (id.toString -> p.schemaJson)),
+        p.chain, (p.deletes ++ delEntries).toList)
+    }
+  }
+
   /** Write `keys` as parquet under `data/_deletes/` (the underscore keeps
     * data-scan partition discovery blind to it) and return entries with
     * placeholder keyCols/appliedAt (the commit loop fills them in).
@@ -1847,8 +1955,14 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
   def rewriteDeleteFiles(consolidate: Boolean = true): Option[Snapshot] = {
     val planned = latest
     if (planned.deletes.isEmpty) return None
-    val (live, dangling) = planned.deletes.partition(d =>
+    // The writtenAt-based liveness test is SOUND for positional vectors too
+    // (every file a vector references satisfies writtenAt < appliedAt, so
+    // "no such file remains" implies every referenced file is gone), just
+    // conservative — exact per-tuple pruning happens in the consolidation
+    // merge below, which drops tuples naming dead files.
+    val (live0, dangling) = planned.deletes.partition(d =>
       planned.files.exists(_.writtenAt < d.appliedAt))
+    val (dvLive, live) = live0.partition(_.positional)
     // group by RESOLVED current key names (order-sensitive): entries whose
     // delete-time names differ but resolve identically merge; diverged
     // resolutions stay separate, exactly as they are separate read joins
@@ -1857,8 +1971,23 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val (toMerge, singles) =
       if (consolidate) groups.partition(_._2.size > 1)
       else (Map.empty[List[String], List[DeleteEntry]], groups)
-    if (dangling.isEmpty && toMerge.isEmpty) return None
+    val mergeDv = consolidate && dvLive.size > 1
+    if (dangling.isEmpty && toMerge.isEmpty && !mergeDv) return None
     val dataRoot = SnapshotLog.dataPath(tableDir).toString
+    // all positional vectors collapse to ONE distinct-tuple vector, keeping
+    // only tuples that still name a live file
+    val dvWritten: Seq[DeleteEntry] = if (!mergeDv) dvLive else {
+      val liveNames = planned.files.map(_.path.split('/').last)
+      import spark.implicits._
+      val liveNamesDf = liveNames.toDF(GraftTable.WrittenAtCol)
+      val merged = dvLive.map(d => spark.read.parquet(s"$dataRoot/${d.path}"))
+        .reduce(_.unionByName(_)).distinct()
+        .join(broadcast(liveNamesDf), Seq(GraftTable.WrittenAtCol), "left_semi")
+        .select(col(GraftTable.WrittenAtCol), col(GraftTable.PosCol))
+      val canon = dvLive.maxBy(_.appliedAt)
+      writeDeleteFile(merged).map(_.copy(
+        appliedAt = canon.appliedAt, positional = true))
+    }
     val written = toMerge.toSeq.sortBy(_._1.mkString(",")).flatMap { case (_, entries) =>
       val canon = entries.maxBy(_.appliedAt)
       val union = entries.map { d =>
@@ -1875,7 +2004,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       writeDeleteFile(collapsed).map(_.copy(
         keyCols = canon.keyCols, appliedAt = canon.appliedAt, perRowAppliedAt = true))
     }
-    val newDeletes = (singles.values.flatten ++ written).toList.sortBy(_.path)
+    val newDeletes =
+      (singles.values.flatten ++ written ++ dvWritten).toList.sortBy(_.path)
     Some(commitWithRetry { parent =>
       val p = parent.getOrElse(
         throw new IllegalStateException("delete rewrite on empty table"))
@@ -1884,8 +2014,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
           s"table advanced to ${p.snapshotId} since delete rewrite planned at ${planned.snapshotId}")
       Snapshot(p.snapshotId + 1, Some(p.snapshotId), clock(), "rewrite-delete-files",
         p.schemaJson, p.partitionCols, p.files,
-        Map("rewritten-delete-files" -> toMerge.values.map(_.size).sum.toString,
-          "added-delete-files" -> written.size.toString,
+        Map("rewritten-delete-files" ->
+          (toMerge.values.map(_.size).sum + (if (mergeDv) dvLive.size else 0)).toString,
+          "added-delete-files" -> (written.size + (if (mergeDv) dvWritten.size else 0)).toString,
           "dangling-delete-files" -> dangling.size.toString),
         Nil, p.schemas, p.chain, newDeletes)
     })
@@ -2280,7 +2411,14 @@ object GraftTable {
   /** Helper-column name carrying each row's part-file name during a
     * merge-on-read read (dropped before the result surfaces).
     */
-  private[table] val WrittenAtCol = "_gf_file"
+  private[graft] val WrittenAtCol = "_gf_file"
+
+  /** Helper-column name carrying each row's position within its part file
+    * (parquet `_metadata.row_index`) during a positional merge-on-read read.
+    * Also the position column INSIDE a delete-vector file, whose schema is
+    * exactly (`_gf_file` string part-file name, `_gf_pos` long row index).
+    */
+  private[graft] val PosCol = "_gf_pos"
 
   /** Directory under `data/` holding equality-delete files. */
   private[table] val DeletesDir = "_deletes"
@@ -2322,6 +2460,18 @@ object GraftTable {
     * analog) — the equality-delete key tuple for merge-on-read DML.
     */
   val IdentifierColumnsProp = "write.identifier-columns"
+
+  /** How merge-on-read DML records its deletes: `equality` (default — key
+    * tuples on the identifier columns, the Flink-CDC shape) or `positional`
+    * (delete VECTORS of (part-file name, row position) tuples, the Iceberg
+    * v3 deletion-vector shape). Positional needs no identifier columns and
+    * never over-deletes on a non-unique key: it names exactly the matched
+    * rows, and a position can never match a later file (files are
+    * immutable, re-inserts land in new files), so reads skip the
+    * applicability bound entirely — one broadcast anti-join on
+    * (file, pos).
+    */
+  val DeleteRepresentationProp = "write.delete.representation"
 
   /** ANALYZE output (`analyzeColumns`): table-level row count / snapshot id
     * plus per-column `stats.col.<name>.{ndv,nulls,min,max}`.

@@ -61,7 +61,8 @@ case class DeleteEntry(
     rowCount: Long,
     sizeBytes: Long,
     appliedAt: Long,
-    perRowAppliedAt: Boolean = false)
+    perRowAppliedAt: Boolean = false,
+    positional: Boolean = false)
 
 /** One schema-evolution commit's ops, carried forward in every descendant
   * snapshot so evolution replay never needs another snapshot doc.
