@@ -416,6 +416,70 @@ object TableQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Metadata-only aggregate pushdown through the connector
+    // (SupportsPushDownAggregates): ungrouped COUNT(*)/MIN/MAX/COUNT(col)
+    // answer from snapshot file counts + footer stats — `agg_pushed` pins
+    // that the plan carries the PushedAggregation scan (no data file is
+    // opened), the decisive shape for a 100 TB full-table COUNT.
+    "t_connector_agg" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val t = GraftTable.create(s, scratch("connector_agg"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 250))
+      t.append(base.filter(col("o_orderkey") >= 250))
+      val agg = s.read.format("graft").load(t.tableDir)
+        .agg(count(lit(1)).as("row_count"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          count(col("o_custkey")).as("n_cust"))
+      val pushed = agg.queryExecution.executedPlan.toString
+        .contains("PushedAggregation")
+      agg.withColumn("agg_pushed", lit(pushed))
+    }),
+
+    // Batch time travel through the connector (the Iceberg read-option
+    // analog): snapshot-id pins the first append's snapshot, and the
+    // metadata aggregate composes with it — `agg_pushed` pins that the
+    // historical COUNT/MIN/MAX still answered from metadata alone.
+    "t_connector_travel" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 600)
+        .select("o_orderkey", "o_custkey")
+      val t = GraftTable.create(s, scratch("connector_travel"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 300))
+      val snap1 = t.latest
+      t.append(base.filter(col("o_orderkey") >= 300))
+      val at = s.read.format("graft")
+        .option("snapshot-id", snap1.snapshotId.toString).load(t.tableDir)
+        .agg(count(lit(1)).as("row_count"), max(col("o_orderkey")).as("max_key"))
+      val pushed = at.queryExecution.executedPlan.toString
+        .contains("PushedAggregation")
+      val headRows = s.read.format("graft").load(t.tableDir).count()
+      at.withColumn("agg_pushed", lit(pushed))
+        .withColumn("head_rows", lit(headRows))
+    }),
+
+    // Dynamic partition pruning through the connector
+    // (SupportsRuntimeFiltering): a priority-partitioned fact joined to a
+    // two-row dim — Spark re-plans the graft scan at runtime with the dim's
+    // actual join keys as an In filter, so only the matching partitions'
+    // files are read (plan-shape pinned in ConnectorPushdownSpec; values
+    // here prove the pruning never drops a matching row).
+    "t_connector_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = GraftTable.create(s, scratch("connector_dpp"), base.schema,
+        partitionCols = Seq("o_orderpriority"))
+      t.append(base)
+      val fact = s.read.format("graft").load(t.tableDir)
+      val dim = Seq("1-URGENT", "3-MEDIUM").toDF("o_orderpriority")
+      fact.join(broadcast(dim), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Linear sort rewrite via the VERBATIM CALL route (Iceberg's
     // rewrite_data_files(strategy => 'sort', sort_order => ...)): a table
     // appended in shuffled order re-clusters on event_id, so leading-column
@@ -1198,6 +1262,23 @@ object TableQueries {
            true AS ow_replaced
          FROM orders WHERE o_orderkey < 400
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "t_connector_agg" ->
+      """SELECT COUNT(*) AS row_count, MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key, CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+           true AS agg_pushed
+         FROM orders WHERE o_orderkey < 500""",
+    "t_connector_travel" ->
+      """SELECT COUNT(*) AS row_count, MAX(o_orderkey) AS max_key,
+           true AS agg_pushed,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 600) AS head_rows
+         FROM orders WHERE o_orderkey < 300""",
+    "t_connector_dpp" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderkey < 1000
+           AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "t_sort_rewrite" ->
       """SELECT COUNT(*) AS row_count,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,

@@ -8,11 +8,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, InsertableRelation}
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, LessThan => SLt, LessThanOrEqual => SLte}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGte, In => SIn, LessThan => SLt, LessThanOrEqual => SLte}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -106,7 +107,12 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
     val dir = dirOf(options)
     val snaps = SnapshotLog.load(new Configuration(), dir)
     require(snaps.nonEmpty, s"no graft table at $dir")
-    DataType.fromJson(snaps.last.schemaJson).asInstanceOf[StructType]
+    // a time-travel read surfaces the TARGET snapshot's schema, so a scan
+    // before a column rename/widen reads the shape that was live then
+    val snap = GraftStreamSource.resolveSnapshot(snaps, dir,
+      Option(options.get("snapshot-id")).map(_.toLong),
+      Option(options.get("as-of-timestamp")).map(_.toLong)).get
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -169,6 +175,13 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
     }
     val maxCommits = Option(options.get("max-commits-per-trigger")).map(_.toInt)
     val streamFrom = Option(options.get("stream-from"))
+    // batch time travel (the Iceberg read-option analog): pin the scan to a
+    // retained snapshot by id or to the last snapshot committed at or
+    // before a wall-clock millisecond timestamp
+    val asOfSnapshot = Option(options.get("snapshot-id")).map(_.toLong)
+    val asOfTimestamp = Option(options.get("as-of-timestamp")).map(_.toLong)
+    require(asOfSnapshot.isEmpty || asOfTimestamp.isEmpty,
+      "set either snapshot-id or as-of-timestamp, not both")
     // Column pruning: Catalyst hands the projection down and the per-file
     // readers project at the PARQUET level (the footer's filtered message
     // type rides ReadSupport.PARQUET_READ_SCHEMA), so unprojected columns
@@ -178,10 +191,21 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
     // filter is also returned as residual, so Spark re-evaluates row-level —
     // pruning can only ever drop files proven out of range, never change
     // results.
+    // Aggregate pushdown: ungrouped COUNT(*)/COUNT(col)/MIN/MAX answer from
+    // SNAPSHOT METADATA alone (file row counts + footer stats harvested at
+    // write time) when no row can escape the stats' view — no deletes, no
+    // residual filters (Spark only attempts the pushdown when the scan has
+    // no post-scan filters, and this scan keeps every filter residual).
+    // The 100 TB shape: a full-table COUNT(*) is a driver-side metadata
+    // fold instead of a 100 TB scan — the same contract as Iceberg's
+    // aggregate pushdown over manifest stats.
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters with SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var required: StructType = tableSchema
       private var pushed: Array[SFilter] = Array.empty
+      private var agg: Option[(StructType, Array[Any], String)] = None
+      private var limit: Option[Int] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         // keep the table's field order; Spark's requiredSchema is already a
         // subset of the logical schema
@@ -192,8 +216,30 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
         filters // all residual: file-skipping only, rows re-checked above
       }
       override def pushedFilters(): Array[SFilter] = pushed
-      override def build(): Scan =
-        new GraftScan(dir, tableSchema, required, maxCommits, pushed, streamFrom)
+      override def supportCompletePushDown(a: Aggregation): Boolean =
+        pushed.isEmpty && GraftStreamSource.planAggregation(
+          dir, tableSchema, a, asOfSnapshot, asOfTimestamp).isDefined
+      override def pushAggregation(a: Aggregation): Boolean = {
+        // complete pushdown only: a partial (per-task) metadata aggregate
+        // has no cheaper form than the complete one, so never accept the
+        // partial contract
+        if (pushed.nonEmpty) return false
+        agg = GraftStreamSource.planAggregation(
+          dir, tableSchema, a, asOfSnapshot, asOfTimestamp)
+        agg.isDefined
+      }
+      // Partial limit pushdown: Spark keeps its own Limit on top, so the
+      // scan may over-deliver but must never under-deliver — planInput
+      // Partitions keeps a file PREFIX only when exact metadata row counts
+      // prove it carries >= limit live rows (no deletes, no filters). A
+      // `LIMIT 10` on a million-file table then opens one file.
+      override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+      override def build(): Scan = agg match {
+        case Some((aggSchema, row, desc)) => new GraftAggScan(dir, aggSchema, row, desc)
+        case None =>
+          new GraftScan(dir, tableSchema, required, maxCommits, pushed,
+            streamFrom, asOfSnapshot, asOfTimestamp, limit)
+      }
     }
   }
 }
@@ -201,9 +247,46 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
 private[sources] class GraftScan(dir: String, fullSchema: StructType,
     schema: StructType, maxCommitsPerTrigger: Option[Int],
     pushedFilters: Array[SFilter] = Array.empty,
-    streamFrom: Option[String] = None) extends Scan
-    with SupportsReportStatistics {
+    streamFrom: Option[String] = None,
+    asOfSnapshot: Option[Long] = None,
+    asOfTimestamp: Option[Long] = None,
+    pushedLimit: Option[Int] = None) extends Scan
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
+
+  /** The snapshot this batch scan reads: the head, or the time-travel
+    * target when `snapshot-id` / `as-of-timestamp` was set. */
+  private def resolve(snaps: Seq[graft.table.Snapshot]): Option[graft.table.Snapshot] =
+    GraftStreamSource.resolveSnapshot(snaps, dir, asOfSnapshot, asOfTimestamp)
+
+  /** Dynamic partition pruning / runtime filtering (the DSv2
+    * `SupportsRuntimeFiltering` contract): when this scan is the fact side
+    * of a join, Spark re-plans it at RUNTIME with the build side's actual
+    * join-key values as an `In` filter — whole files drop on partition
+    * values and footer bounds before any task launches, the decisive plan
+    * at 100 TB where a dimension filter touches a handful of partitions.
+    * Purely an optimization: files that survive still re-check rows in the
+    * join itself, so over-approximation never changes results.
+    */
+  @volatile private var runtimeFilters: Array[SFilter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] = {
+    // columns runtime values can actually prune on: partition columns
+    // (exact value match) and numeric columns (footer [min,max] bounds) —
+    // restricted to the PRUNED read schema, because Spark resolves these
+    // names against the scan's output (a pruning join's key is always in
+    // the output, so nothing is lost)
+    val snaps = SnapshotLog.load(new Configuration(), dir)
+    val partCols = snaps.lastOption.toSeq.flatMap(_.files)
+      .flatMap(_.partitionValues.keys).distinct
+    val boundCols = fullSchema.fields
+      .filter(f => GraftStreamSource.numericCol(f.name, fullSchema)).map(_.name)
+    (partCols ++ boundCols).distinct
+      .filter(c => schema.exists(_.name == c))
+      .map(Expressions.column).toArray
+  }
+  override def filter(filters: Array[SFilter]): Unit =
+    runtimeFilters = filters.filter(GraftStreamSource.prunable(_, fullSchema))
+  private def effectiveFilters: Array[SFilter] = pushedFilters ++ runtimeFilters
 
   /** Exact table statistics from the snapshot's file inventory, AFTER the
     * pushed filters' file pruning — so Catalyst's join planning sees the
@@ -213,8 +296,8 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     */
   override def estimateStatistics(): Statistics = {
     val snaps = SnapshotLog.load(new Configuration(), dir)
-    val files = snaps.lastOption.map(_.files).getOrElse(Nil)
-      .filter(e => GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters))
+    val files = resolve(snaps).map(_.files).getOrElse(Nil)
+      .filter(e => GraftStreamSource.fileMayMatch(e, fullSchema, effectiveFilters))
     val bytes = files.map(_.sizeBytes).sum
     val rows = if (files.exists(_.rowCount < 0)) java.util.OptionalLong.empty()
       else java.util.OptionalLong.of(files.map(_.rowCount).sum)
@@ -226,9 +309,13 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
   }
   override def description(): String =
     s"GraftScan($dir, pushed=[${pushedFilters.mkString(", ")}])"
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOfSnapshot.isEmpty && asOfTimestamp.isEmpty,
+      "snapshot-id/as-of-timestamp are batch read options; a stream anchors " +
+        "its START with stream-from instead")
     new GraftMicroBatchStream(dir, fullSchema, schema, maxCommitsPerTrigger,
       pushedFilters, streamFrom)
+  }
 
   /** Batch read of the LATEST snapshot through the same per-file readers.
     * Merge-on-read deletes RECONCILE inside each reader (the Iceberg
@@ -245,7 +332,7 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val snaps = SnapshotLog.load(new Configuration(), dir)
       require(snaps.nonEmpty, s"no graft table at $dir")
-      val head = snaps.last
+      val head = resolve(snaps).get
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
       val dataRoot = SnapshotLog.dataPath(dir).toString
       // MOR reconciliation preconditions: every delete key column must still
@@ -265,8 +352,19 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
       }
       val keySchemaJson =
         if (keyColTypes.isEmpty) "" else StructType(keyColTypes).json
-      head.files.filter(e =>
-        GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters)).map { e =>
+      val surviving = head.files.filter(e =>
+        GraftStreamSource.fileMayMatch(e, fullSchema, effectiveFilters))
+      // pushed LIMIT: read the smallest file prefix whose exact metadata
+      // row counts already cover it — only when no delete can shrink a
+      // file's live count below its metadata count (Spark re-applies the
+      // limit on top, so over-delivery is fine; under-delivery never is)
+      val chosen = pushedLimit match {
+        case Some(n) if head.deletes.isEmpty && surviving.forall(_.rowCount >= 0) =>
+          var acc = 0L
+          surviving.takeWhile { e => val need = acc < n; acc += e.rowCount; need }
+        case _ => surviving
+      }
+      chosen.map { e =>
         // drift detection runs against the FULL logical schema — the pruned
         // read schema is a projection, not the table's shape
         val writeSchema = DataType.fromJson(head.schemas(e.writtenAt.toString))
@@ -289,6 +387,39 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
   }
+}
+
+/** The scan a COMPLETELY pushed-down aggregation builds: one input
+  * partition carrying the result row COMPUTED ON THE DRIVER from snapshot
+  * metadata (file row counts, footer bounds, null counts) — no data file is
+  * ever opened. `description()` carries the pushed aggregate list so
+  * `explain` shows `PushedAggregation` and a plan audit can pin the
+  * metadata-only path.
+  */
+private[sources] class GraftAggScan(dir: String, aggSchema: StructType,
+    row: Array[Any], pushedAggs: String) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftAggScan($dir, PushedAggregation: [$pushedAggs])"
+  override def toBatch(): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggPartition(row))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftAggReaderFactory
+  }
+}
+
+private[sources] case class GraftAggPartition(row: Array[Any]) extends InputPartition
+
+private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.asInstanceOf[GraftAggPartition].row.clone())
+      override def close(): Unit = ()
+    }
 }
 
 /** Offset = highest consumed snapshot id. */
@@ -1010,10 +1141,17 @@ object GraftStreamSource {
     case SGte(c, v) => v != null && numericCol(c, schema)
     case SLt(c, v) => v != null && numericCol(c, schema)
     case SLte(c, v) => v != null && numericCol(c, schema)
+    // IN-lists: static IN(...) pushdown and the shape Spark's dynamic
+    // partition pruning hands to SupportsRuntimeFiltering.filter — a file
+    // survives iff SOME value could live in it. `IN (NULL)` / an empty
+    // value list can never match a row (three-valued logic), so such a
+    // filter prunes EVERY file — the correct plan when the build side of a
+    // pruning join came up empty.
+    case SIn(c, vs) => vs != null && comparableCol(c, schema)
     case _ => false
   }
 
-  private def numericCol(c: String, schema: StructType): Boolean =
+  private[sources] def numericCol(c: String, schema: StructType): Boolean =
     schema.find(_.name == c).exists(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
       case _ => false
@@ -1041,6 +1179,10 @@ object GraftStreamSource {
     case SGte(c, v) => boundsAllow(e, schema, c, v, lowIncl = true, null, highIncl = true)
     case SLt(c, v) => boundsAllow(e, schema, c, null, lowIncl = true, v, highIncl = false)
     case SLte(c, v) => boundsAllow(e, schema, c, null, lowIncl = true, v, highIncl = true)
+    case SIn(c, vs) if e.partitionValues.contains(c) =>
+      vs.exists(v => v != null && e.partitionValues(c) == v.toString)
+    case SIn(c, vs) => vs.exists(v => v != null &&
+      boundsAllow(e, schema, c, v, lowIncl = true, v, highIncl = true))
     case _ => true // unknown filter: never prune on it
   }
 
@@ -1059,6 +1201,140 @@ object GraftStreamSource {
     val hiOk = hi == null || dec(hi).forall(h =>
       if (highIncl) mn.compareTo(h) <= 0 else mn.compareTo(h) < 0)
     loOk && hiOk
+  }
+
+  /** Plan an ungrouped aggregation against snapshot metadata alone, or None
+    * when any condition makes metadata untrustworthy. Returns (result
+    * schema, the single result row's values, a plan-visible description).
+    *
+    * Soundness ledger (each `None` is a case where metadata could lie):
+    *  - any delete file: deleted rows still count in footer stats;
+    *  - grouping: per-group stats aren't tracked (Iceberg refuses too);
+    *  - COUNT: any file with an unreadable footer (rowCount < 0);
+    *  - COUNT(col): a file missing the column's null count (all-null files
+    *    carry `[nulls]`, stat-bearing files `[min,max,nulls]`);
+    *  - MIN/MAX(col): non-numeric col (parquet footers may truncate binary
+    *    bounds), or a non-empty file with neither exact bounds nor proof
+    *    it is all-null (`nulls == rowCount`); partition columns take the
+    *    exact partition value instead. Floats with NaN never get footer
+    *    bounds (parquet-mr drops them), so NaN can't corrupt a bound.
+    */
+  /** Batch time-travel resolution shared by the scan, the metadata
+    * aggregate, and schema inference: by retained snapshot id, by the last
+    * snapshot at or before a millisecond timestamp, else the head. Unknown
+    * targets raise — a typo'd snapshot id must never silently read head. */
+  private[sources] def resolveSnapshot(snaps: Seq[graft.table.Snapshot],
+      dir: String, id: Option[Long], ts: Option[Long]): Option[graft.table.Snapshot] =
+    (id, ts) match {
+      case (Some(i), _) =>
+        val s = snaps.find(_.snapshotId == i)
+        require(s.isDefined,
+          s"snapshot-id $i is not retained in $dir (see the snapshots metadata table)")
+        s
+      case (_, Some(t)) =>
+        val s = snaps.filter(_.committedAt <= t).lastOption
+        require(s.isDefined,
+          s"as-of-timestamp $t predates every retained snapshot of $dir")
+        s
+      case _ => snaps.lastOption
+    }
+
+  private[sources] def planAggregation(dir: String, schema: StructType,
+      agg: Aggregation, asOfSnapshot: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None): Option[(StructType, Array[Any], String)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val head = resolveSnapshot(SnapshotLog.load(new Configuration(), dir),
+      dir, asOfSnapshot, asOfTimestamp).getOrElse(return None)
+    if (head.deletes.nonEmpty) return None
+    val files = head.files
+    if (files.exists(_.rowCount < 0)) return None
+    val totalRows = files.map(_.rowCount).sum
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0)).filter(c => schema.exists(_.name == c))
+        case _ => None
+      }
+    def nullsOf(f: graft.table.FileEntry, c: String): Option[Long] =
+      f.stats.get(c) match {
+        case Some(st) if st.size == 3 => st(2).toLongOption
+        case Some(st) if st.size == 1 => st(0).toLongOption
+        case None if f.rowCount == 0 => Some(0L)
+        case _ => None // bounds without null count, or untracked column
+      }
+    def parse(dt: DataType, s: String): Option[Any] = scala.util.Try[Any](dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+    }).toOption
+    def ord(dt: DataType): Ordering[Any] = (dt match {
+      case ByteType => Ordering.Byte
+      case ShortType => Ordering.Short
+      case IntegerType => Ordering.Int
+      case LongType => Ordering.Long
+      case FloatType => Ordering.Float.TotalOrdering
+      case DoubleType => Ordering.Double.TotalOrdering
+    }).asInstanceOf[Ordering[Any]]
+
+    /** Per-file contribution to MIN/MAX: Some(None) = provably nothing
+      * (empty or all-null file), Some(Some(v)) = exact bound, None = the
+      * file's bound is unknowable → refuse the pushdown. */
+    def bound(f: graft.table.FileEntry, c: String, dt: DataType,
+        wantMin: Boolean): Option[Option[Any]] =
+      if (f.rowCount == 0) Some(None)
+      else if (f.partitionValues.contains(c))
+        parse(dt, f.partitionValues(c)).map(Some(_))
+      else f.stats.get(c) match {
+        case Some(st) if st.size >= 2 =>
+          parse(dt, if (wantMin) st(0) else st(1)).map(Some(_))
+        case _ if nullsOf(f, c).contains(f.rowCount) => Some(None) // all-null
+        case _ => None
+      }
+
+    def minMax(c: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      val dt = schema(schema.fieldIndex(c)).dataType
+      if (!numericCol(c, schema) && !files.forall(_.partitionValues.contains(c)))
+        return None
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => ()
+        case _ => return None
+      }
+      val perFile = files.map(bound(_, c, dt, wantMin))
+      if (perFile.exists(_.isEmpty)) return None
+      val vs = perFile.flatten.flatten
+      val v: Any =
+        if (vs.isEmpty) null
+        else if (wantMin) vs.min(ord(dt)) else vs.max(ord(dt))
+      Some((dt, v))
+    }
+
+    val planned = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (LongType: DataType, totalRows: Any, "COUNT(*)")
+      case cnt: Count if !cnt.isDistinct =>
+        val c = colOf(cnt.column).getOrElse(return None)
+        val perFile = files.map(nullsOf(_, c))
+        if (perFile.exists(_.isEmpty)) return None
+        (LongType: DataType, (totalRows - perFile.flatten.sum): Any, s"COUNT($c)")
+      case m: Min =>
+        val c = colOf(m.column).getOrElse(return None)
+        val (dt, v) = minMax(c, wantMin = true).getOrElse(return None)
+        (dt, v, s"MIN($c)")
+      case m: Max =>
+        val c = colOf(m.column).getOrElse(return None)
+        val (dt, v) = minMax(c, wantMin = false).getOrElse(return None)
+        (dt, v, s"MAX($c)")
+      case _ => return None // SUM/AVG/distinct: not derivable from metadata
+    }
+    val fields = planned.zipWithIndex.map { case ((dt, _, d), i) =>
+      StructField(s"agg_$i", dt, nullable = !d.startsWith("COUNT"))
+    }
+    Some((StructType(fields), planned.map(_._2).toArray,
+      planned.map(_._3).mkString(", ")))
   }
 
   /** Same classification as the table's incremental readers. */
