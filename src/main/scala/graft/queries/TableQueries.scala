@@ -437,6 +437,25 @@ object TableQueries {
       agg.withColumn("agg_pushed", lit(pushed))
     }),
 
+    // GROUPED metadata aggregate through the connector (beyond Iceberg,
+    // which refuses any grouping): GROUP BY an identity-partition column
+    // answers one row per partition from per-group file metadata —
+    // `agg_pushed` pins that no data file was opened.
+    "t_connector_agg_group" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 800)
+        .select("o_orderkey", "o_orderstatus")
+      val t = GraftTable.create(s, scratch("connector_agg_group"), base.schema,
+        partitionCols = Seq("o_orderstatus"))
+      t.append(base)
+      val g = s.read.format("graft").load(t.tableDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val pushed = g.queryExecution.executedPlan.toString
+        .contains("PushedAggregation")
+      g.withColumn("agg_pushed", lit(pushed)).orderBy("o_orderstatus")
+    }),
+
     // Batch time travel through the connector (the Iceberg read-option
     // analog): snapshot-id pins the first append's snapshot, and the
     // metadata aggregate composes with it — `agg_pushed` pins that the
@@ -1267,6 +1286,11 @@ object TableQueries {
            MAX(o_orderkey) AS max_key, CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
            true AS agg_pushed
          FROM orders WHERE o_orderkey < 500""",
+    "t_connector_agg_group" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key, true AS agg_pushed
+         FROM orders WHERE o_orderkey < 800
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "t_connector_travel" ->
       """SELECT COUNT(*) AS row_count, MAX(o_orderkey) AS max_key,
            true AS agg_pushed,

@@ -91,15 +91,31 @@ class ConnectorPushdownSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == 50)
   }
 
-  test("SUM and grouped aggregates refuse (not derivable from metadata)") {
+  test("SUM and non-partition grouping refuse (not derivable from metadata)") {
     val (dir, _) = mkPartitioned("agg-sum")
     val s = spark.read.format("graft").load(dir).agg(sum("id").as("s"))
     assert(!plan(s).contains("PushedAggregation"))
     assert(s.collect().head.getLong(0) == 5050L)
     val g = spark.read.format("graft").load(dir)
-      .groupBy("cat").agg(count(lit(1)).as("n"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
     assert(!plan(g).contains("PushedAggregation"))
     assert(g.collect().map(_.getLong(1)).sum == 100)
+  }
+
+  test("GROUP BY a partition column pushes: one metadata row per partition") {
+    val (dir, _) = mkPartitioned("agg-group")
+    val g = spark.read.format("graft").load(dir)
+      .groupBy("cat").agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"))
+    val p = plan(g)
+    assert(p.contains("PushedAggregation"), s"expected grouped metadata agg in:\n$p")
+    val rows = g.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("a", "b", "c", "d"))
+    // cat 'a' = i % 4 == 0 → ids 4..100 step 4; 'b' = i % 4 == 1 → 1..97
+    assert(rows("a") == ((25L, 4L, 100L)))
+    assert(rows("b") == ((25L, 1L, 97L)))
+    assert(rows.values.map(_._1).sum == 100L)
   }
 
   test("runtime In-filter prunes files on partition values and bounds") {
