@@ -437,6 +437,72 @@ object TableQueries {
       agg.withColumn("agg_pushed", lit(pushed))
     }),
 
+    // Incremental batch read through the connector (the Iceberg
+    // incremental-scan analog): (start, end] returns exactly the range's
+    // appends — O(range) metadata planning, a later compaction doesn't
+    // double the rows (files come from each commit's own doc).
+    "t_connector_incremental" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 900)
+        .select("o_orderkey", "o_totalprice")
+      val t = GraftTable.create(s, scratch("connector_incr"), base.schema)
+      t.append(base.filter(col("o_orderkey") < 300))
+      val s1 = t.latest.snapshotId
+      t.append(base.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600))
+      val s2 = t.latest.snapshotId
+      t.append(base.filter(col("o_orderkey") >= 600))
+      graft.maintenance.Maintenance.rewriteDataFiles(t, minInputFiles = 2)
+      s.read.format("graft")
+        .option("start-snapshot-id", s1.toString)
+        .option("end-snapshot-id", s2.toString).load(t.tableDir)
+        .agg(count(lit(1)).as("row_count"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // Storage-partitioned join through the connector
+    // (SupportsReportPartitioning + HasPartitionKey): two graft tables
+    // co-partitioned on the join key join with NO Exchange on either side —
+    // `no_shuffle` pins the executed plan, values prove no row was lost to
+    // the group alignment. The shape that keeps a 100 TB fact-fact join
+    // from moving the data twice.
+    "t_connector_spj" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      val tA = GraftTable.create(s, scratch("spj_fact"),
+        base.schema, partitionCols = Seq("o_orderstatus"))
+      tA.append(base.filter(col("o_orderkey") < 600))
+      val bSide = base.filter(col("o_orderkey") >= 600 && col("o_orderkey") < 900)
+        .select(col("o_orderkey").as("b_key"), col("o_orderstatus"))
+      val tB = GraftTable.create(s, scratch("spj_build"),
+        bSide.schema, partitionCols = Seq("o_orderstatus"))
+      tB.append(bSide)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // no ORDER BY here: a global sort legitimately range-shuffles, and
+        // the pin is about the JOIN+AGG needing no Exchange; rows are
+        // sorted driver-side below
+        val j = s.read.format("graft").load(tA.tableDir)
+          .join(s.read.format("graft").load(tB.tableDir), Seq("o_orderstatus"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_a"),
+            sum(col("b_key")).as("sum_b"))
+        val rows = j.collect()
+        val noShuffle = !j.queryExecution.executedPlan.toString.contains("Exchange")
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sortBy(_._1).toDF("o_orderstatus", "n", "sum_a", "sum_b")
+          .withColumn("no_shuffle", lit(noShuffle))
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // GROUPED metadata aggregate through the connector (beyond Iceberg,
     // which refuses any grouping): GROUP BY an identity-partition column
     // answers one row per partition from per-group file metadata —
@@ -1286,6 +1352,22 @@ object TableQueries {
            MAX(o_orderkey) AS max_key, CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
            true AS agg_pushed
          FROM orders WHERE o_orderkey < 500""",
+    "t_connector_incremental" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600""",
+    "t_connector_spj" ->
+      """SELECT a.o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(a.o_orderkey) AS BIGINT) AS sum_a,
+           CAST(SUM(b.b_key) AS BIGINT) AS sum_b,
+           true AS no_shuffle
+         FROM (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey < 600) a
+         JOIN (SELECT o_orderkey AS b_key, o_orderstatus FROM orders
+               WHERE o_orderkey >= 600 AND o_orderkey < 900) b
+           USING (o_orderstatus)
+         GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""",
     "t_connector_agg_group" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key, true AS agg_pushed

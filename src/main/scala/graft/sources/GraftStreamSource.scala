@@ -182,6 +182,16 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
     val asOfTimestamp = Option(options.get("as-of-timestamp")).map(_.toLong)
     require(asOfSnapshot.isEmpty || asOfTimestamp.isEmpty,
       "set either snapshot-id or as-of-timestamp, not both")
+    // incremental batch read over (start, end]: the appends committed in
+    // the range (the Iceberg incremental-scan analog; the batch face of the
+    // streaming source's commit-range planning)
+    val incrementalFrom = Option(options.get("start-snapshot-id")).map(_.toLong)
+    val incrementalTo = Option(options.get("end-snapshot-id")).map(_.toLong)
+    require(incrementalTo.isEmpty || incrementalFrom.isDefined,
+      "end-snapshot-id needs start-snapshot-id")
+    require(incrementalFrom.isEmpty ||
+        (asOfSnapshot.isEmpty && asOfTimestamp.isEmpty),
+      "an incremental range and a time-travel target cannot combine")
     // Column pruning: Catalyst hands the projection down and the per-file
     // readers project at the PARQUET level (the footer's filtered message
     // type rides ReadSupport.PARQUET_READ_SCHEMA), so unprojected columns
@@ -217,13 +227,15 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
       }
       override def pushedFilters(): Array[SFilter] = pushed
       override def supportCompletePushDown(a: Aggregation): Boolean =
-        pushed.isEmpty && GraftStreamSource.planAggregation(
-          dir, tableSchema, a, asOfSnapshot, asOfTimestamp).isDefined
+        pushed.isEmpty && incrementalFrom.isEmpty &&
+          GraftStreamSource.planAggregation(
+            dir, tableSchema, a, asOfSnapshot, asOfTimestamp).isDefined
       override def pushAggregation(a: Aggregation): Boolean = {
         // complete pushdown only: a partial (per-task) metadata aggregate
         // has no cheaper form than the complete one, so never accept the
-        // partial contract
-        if (pushed.nonEmpty) return false
+        // partial contract; incremental ranges aggregate their own files,
+        // not the snapshot the metadata plan would read
+        if (pushed.nonEmpty || incrementalFrom.nonEmpty) return false
         agg = GraftStreamSource.planAggregation(
           dir, tableSchema, a, asOfSnapshot, asOfTimestamp)
         agg.isDefined
@@ -239,7 +251,8 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
           new GraftAggScan(dir, aggSchema, rows, desc)
         case None =>
           new GraftScan(dir, tableSchema, required, maxCommits, pushed,
-            streamFrom, asOfSnapshot, asOfTimestamp, limit)
+            streamFrom, asOfSnapshot, asOfTimestamp, limit,
+            incrementalFrom, incrementalTo)
       }
     }
   }
@@ -251,9 +264,49 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     streamFrom: Option[String] = None,
     asOfSnapshot: Option[Long] = None,
     asOfTimestamp: Option[Long] = None,
-    pushedLimit: Option[Int] = None) extends Scan
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    pushedLimit: Option[Int] = None,
+    incrementalFrom: Option[Long] = None,
+    incrementalTo: Option[Long] = None) extends Scan
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = schema
+
+  /** Storage-partitioned joins (`SupportsReportPartitioning` +
+    * `HasPartitionKey`): when every identity-partition column is in the
+    * read schema and every file carries an exactly-convertible value, the
+    * scan reports `KeyGroupedPartitioning` over those columns and each
+    * input partition exposes its typed key row — two graft tables
+    * co-partitioned on the join key then join with NO shuffle on either
+    * side (under spark.sql.sources.v2.bucketing.enabled), the plan that
+    * keeps a 100 TB fact-fact join from moving 100 TB twice. Reported
+    * keys and key-row order are both [[spjKeyCols]], so they always agree.
+    */
+  private lazy val spjKeyCols: List[String] = if (incrementalFrom.isDefined) Nil else {
+    val snaps = SnapshotLog.load(new Configuration(), dir)
+    resolve(snaps).toList.flatMap { snap =>
+      val cols = snap.partitionCols.filter(c => schema.exists(_.name == c))
+      val ok = cols.nonEmpty && snap.files.nonEmpty &&
+        snap.files.forall(f => cols.forall(c =>
+          f.partitionValues.get(c).exists(v => GraftStreamSource
+            .partitionKeyValue(schema(schema.fieldIndex(c)).dataType, v).isDefined)))
+      if (ok) cols else Nil
+    }
+  }
+  private[sources] def spjKeyFor(e: graft.table.FileEntry): Array[Any] =
+    spjKeyCols.map(c => GraftStreamSource.partitionKeyValue(
+      schema(schema.fieldIndex(c)).dataType, e.partitionValues(c)).get).toArray
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjKeyCols.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val snaps = SnapshotLog.load(new Configuration(), dir)
+      val groups = resolve(snaps).map(_.files
+        .map(f => spjKeyCols.map(f.partitionValues)).distinct.size).getOrElse(0)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        spjKeyCols.map(c => Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression).toArray,
+        math.max(groups, 1))
+    }
 
   /** The snapshot this batch scan reads: the head, or the time-travel
     * target when `snapshot-id` / `as-of-timestamp` was set. */
@@ -329,10 +382,66 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     * lifecycle, which is what an external engine pointed at the directory
     * can safely consume.
     */
+  /** Incremental batch over (start, end]: the appends committed in the
+    * range, mirroring the table API's `readIncremental` contract — unbroken
+    * parent chain (expired intermediates refuse), content-changing commits
+    * refuse (append-only semantics can't represent a retraction), files come
+    * from each appending commit's OWN doc (a later in-range compaction may
+    * have dropped them from the end snapshot's list), and no delete can
+    * apply (in-range MOR commits refuse; earlier deletes only touch earlier
+    * files). O(range) metadata planning — the CDC-batch shape at 100 TB.
+    */
+  private def incrementalPartitions(from: Long,
+      snaps: Seq[graft.table.Snapshot]): Array[InputPartition] = {
+    val to = incrementalTo.getOrElse(snaps.last.snapshotId)
+    require(from < to, s"need start-snapshot-id < end, got ($from, $to]")
+    require(snaps.exists(_.snapshotId == to),
+      s"end-snapshot-id $to is not retained in $dir")
+    require(from == 0L || snaps.exists(_.snapshotId == from),
+      s"start-snapshot-id $from is not retained in $dir (expired?)")
+    val range = snaps.filter(s => s.snapshotId > from && s.snapshotId <= to)
+    val ids = range.map(_.snapshotId).toSet
+    range.foreach { s =>
+      require(s.parentId match {
+        case None => from == 0L
+        case Some(p) => p == from || ids.contains(p)
+      }, s"snapshot ${s.snapshotId}'s parent is not live in ($from, $to] of " +
+        s"$dir — intermediate commits were expired")
+    }
+    val bad = range.filterNot(s => GraftStreamSource.RowAdding(s.operation) ||
+      GraftStreamSource.Skippable(s.operation))
+    require(bad.isEmpty,
+      s"incremental read over ($from, $to] crosses content-changing commit(s) " +
+        bad.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ") +
+        s" in $dir — append-only incremental semantics cannot represent them")
+    val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
+    val dataRoot = SnapshotLog.dataPath(dir).toString
+    range.filter(s => GraftStreamSource.RowAdding(s.operation)).flatMap { s =>
+      s.files.filter(e => e.writtenAt == s.snapshotId &&
+          GraftStreamSource.fileMayMatch(e, fullSchema, effectiveFilters)).map { e =>
+        val writeSchema = DataType.fromJson(s.schemas(e.writtenAt.toString))
+          .asInstanceOf[StructType]
+        val dataShape = shape(StructType(fullSchema.fields.filterNot(f =>
+          e.partitionValues.contains(f.name))))
+        require(shape(writeSchema) == dataShape ||
+            shape(writeSchema) == shape(fullSchema),
+          s"graft incremental read: ${e.path} in $dir was written under an " +
+            "evolved schema — use the table API (readIncremental) for " +
+            "evolution replay")
+        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
+          schema.json, e.rowCount, e.writtenAt)
+      }
+    }.toArray[InputPartition]
+  }
+
   override def toBatch(): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val snaps = SnapshotLog.load(new Configuration(), dir)
       require(snaps.nonEmpty, s"no graft table at $dir")
+      incrementalFrom match {
+        case Some(from) => return incrementalPartitions(from, snaps)
+        case None => ()
+      }
       val head = resolve(snaps).get
       val shape = (st: StructType) => st.fields.map(f => (f.name, f.dataType)).toSet
       val dataRoot = SnapshotLog.dataPath(dir).toString
@@ -383,7 +492,8 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
           GraftDeleteSpec(s"$dataRoot/${d.path}", d.keyCols, d.appliedAt,
             d.perRowAppliedAt, d.positional))
         GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
-          schema.json, e.rowCount, e.writtenAt, applicable, keySchemaJson)
+          schema.json, e.rowCount, e.writtenAt, applicable, keySchemaJson,
+          if (spjKeyCols.isEmpty) Array.empty else spjKeyFor(e))
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -712,7 +822,13 @@ private[sources] case class GraftInputPartition(
     rowCount: Long,
     writtenAt: Long = 0L,
     deletes: List[GraftDeleteSpec] = Nil,
-    keySchemaJson: String = "") extends InputPartition
+    keySchemaJson: String = "",
+    spjKey: Array[Any] = Array.empty) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // only consulted when the scan reported KeyGroupedPartitioning, which
+  // fills spjKey for every partition it plans (same column order)
+  override def partitionKey(): InternalRow = new GenericInternalRow(spjKey)
+}
 
 /** Executor-level parse-once cache for equality-delete files. Delete files
   * are immutable once committed (content-addressed paths under the data dir
@@ -1352,14 +1468,11 @@ object GraftStreamSource {
     if (!groupCols.forall(c => files.forall(_.partitionValues.contains(c))))
       return None
     def groupKey(c: String, raw: String): Option[Any] =
-      schema(schema.fieldIndex(c)).dataType match {
-        case StringType => Some(UTF8String.fromString(raw))
-        case dt => parse(dt, raw)
-      }
+      partitionKeyValue(schema(schema.fieldIndex(c)).dataType, raw)
     val groups: Seq[(Array[Any], List[graft.table.FileEntry])] =
       if (groupCols.isEmpty) Seq((Array.empty[Any], files))
       else files.groupBy(f => groupCols.map(f.partitionValues)).toSeq
-        .sortBy(_._1.mkString(" ")).map { case (raws, fs) =>
+        .sortBy(_._1.mkString("\u0000")).map { case (raws, fs) =>
           (groupCols.zip(raws).map { case (c, raw) =>
             groupKey(c, raw).getOrElse(return None)
           }.toArray, fs)
@@ -1376,6 +1489,25 @@ object GraftStreamSource {
       .mkString(", ")
     Some((StructType(fields), rows, desc))
   }
+
+  /** A recorded partition value as the CATALYST value of the column's type
+    * (UTF8String for strings, boxed numerics, days-int for dates) — the
+    * currency of grouped metadata aggregates and storage-partitioned join
+    * keys. None = the type (or this raw string) can't round-trip exactly,
+    * which refuses whatever optimization asked.
+    */
+  private[sources] def partitionKeyValue(dt: DataType, raw: String): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case StringType => UTF8String.fromString(raw)
+      case ByteType => raw.toByte
+      case ShortType => raw.toShort
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case FloatType => raw.toFloat
+      case DoubleType => raw.toDouble
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case BooleanType => raw.toBoolean
+    }).toOption
 
   /** Same classification as the table's incremental readers. */
   private[sources] val RowAdding = Set("append", "add-files")

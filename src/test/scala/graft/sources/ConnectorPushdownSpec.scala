@@ -201,6 +201,77 @@ class ConnectorPushdownSpec extends SparkSpec {
     assert(sb2.build().toBatch().planInputPartitions().length == files.size)
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    import spark.implicits._
+    val (dirA, _) = mkPartitioned("spj-a")
+    val dfB = (1 to 8).map(i =>
+      (i * 100L, s"${('a' + i % 4).toChar}")).toDF("b_id", "cat")
+    val dirB = scratchDir("spj-b") + "/t"
+    val tB = GraftTable.create(spark, dirB, dfB.schema, partitionCols = Seq("cat"))
+    tB.append(dfB)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format("graft").load(dirA)
+      val b = spark.read.format("graft").load(dirB)
+      val j = a.join(b, Seq("cat"))
+      val n = j.count()
+      assert(n == 200, s"each cat: 25 fact x 2 build rows -> 200, got $n")
+      val agg = j.agg(sum("id").as("s"), sum("b_id").as("sb")).collect().head
+      assert(agg.getLong(0) == 2 * 5050L) // every fact row matched twice
+      assert(agg.getLong(1) == 25L * (100L to 800L by 100L).sum)
+      val p = {
+        val d = a.join(b, Seq("cat")).groupBy("cat").agg(count(lit(1)).as("n"))
+        d.collect()
+        d.queryExecution.executedPlan.toString
+      }
+      assert(!p.contains("Exchange"),
+        s"co-partitioned join must not shuffle either side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("incremental batch read returns exactly the range's appends") {
+    import spark.implicits._
+    val df0 = (1 to 90).map(i => (i.toLong, i * 3.0)).toDF("id", "v")
+    val dir = scratchDir("incr") + "/t"
+    val t = GraftTable.create(spark, dir, df0.schema)
+    t.append(df0.filter(col("id") <= 30))
+    val s1 = t.latest.snapshotId
+    t.append(df0.filter(col("id") > 30 && col("id") <= 60))
+    val s2 = t.latest.snapshotId
+    t.append(df0.filter(col("id") > 60))
+    val mid = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(dir)
+    assert(mid.count() == 30)
+    assert(mid.agg(min("id"), max("id")).collect().head.toSeq == Seq(31L, 60L))
+    // open end = everything after s1
+    val tail = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString).load(dir)
+    assert(tail.count() == 60)
+    // compaction in range is skippable, its rows already counted once
+    graft.maintenance.Maintenance.rewriteDataFiles(t, minInputFiles = 2)
+    assert(spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString).load(dir).count() == 60)
+    // a row-removing commit in range refuses
+    graft.dml.Dml.delete(t, col("id") === 5L)
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("start-snapshot-id", s1.toString).load(dir).count()
+    }
+    // but a range ending before it still reads
+    assert(spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(dir).count() == 30)
+  }
+
   test("dynamic partition pruning fires end-to-end on a dim join") {
     import spark.implicits._
     val (dir, _) = mkPartitioned("dpp")
