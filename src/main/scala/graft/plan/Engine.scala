@@ -64,18 +64,26 @@ class SparkSqlEngine(spark: SparkSession, maxResultRows: Int = 200) extends Engi
     * compare.
     */
   private val boundSnapshots =
-    scala.collection.mutable.Map[String, graft.table.Snapshot]()
+    scala.collection.mutable.Map[String, (String, graft.table.Snapshot)]()
 
   /** Register `t` as temp view `viewName` with pruned SQL reads. The view is
     * re-resolved to the table's LATEST snapshot before every statement.
+    * The bound key carries the TABLE DIR as well as the snapshot: two
+    * different tables can hold structurally equal heads (freshly created,
+    * same schema, same-millisecond commit), and skipping the rebind on
+    * content equality alone would leave the view reading the OLD table's
+    * files while graftViews points at the new one.
     */
   def registerGraftTable(viewName: String, t: graft.table.GraftTable): Unit = {
     val vn = viewName.toLowerCase
     graftViews(vn) = t
     val cur = t.latest
-    if (!boundSnapshots.get(vn).exists(b => (b eq cur) || b == cur)) {
+    val unchanged = boundSnapshots.get(vn).exists { case (dir, b) =>
+      dir == t.tableDir && ((b eq cur) || b == cur)
+    }
+    if (!unchanged) {
       t.readSnapshot(cur).createOrReplaceTempView(viewName)
-      boundSnapshots(vn) = cur
+      boundSnapshots(vn) = (t.tableDir, cur)
     }
   }
 

@@ -718,7 +718,15 @@ private[sources] class GraftStreamingWrite(dir: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val t = graft.table.GraftTable.load(spark, dir)
-    t.commitStreamingEpoch(s"$stagingRoot/$epochId", epochId)
+    // Publish ONLY the files the output commit coordinator's winning
+    // attempts named in their commit messages. The staging dir may hold
+    // zombie-attempt leftovers whose abort never ran — commitStreamingEpoch
+    // deletes the whole epoch dir after the fence-checked commit, so those
+    // never reach the table.
+    val staged = messages.toSeq.collect {
+      case GraftStagedFile(path, rows) if rows > 0L => path
+    }
+    t.commitStreamingEpoch(s"$stagingRoot/$epochId", epochId, staged)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -836,59 +844,87 @@ private[sources] case class GraftInputPartition(
   * identifies the parsed tuple→bound map; without this, a scan re-reads
   * every applicable delete file per input partition — O(data files × delete
   * files) read amplification on a heavily-deleted table (Iceberg caches the
-  * parsed delete sets the same way). Bounded LRU caps executor memory;
+  * parsed delete sets the same way).
+  *
+  * Concurrency: per-key SINGLE-FLIGHT (a CompletableFuture per in-progress
+  * parse) — exactly one task parses a given delete file while others wait on
+  * that future, and tasks on UNRELATED files never serialize (an object-wide
+  * lock here stalled every delete lookup executor-wide behind one fat
+  * parse). Eviction is bounded by total cached TUPLES, not entry count — 64
+  * fat maps can exhaust an executor while 64 is meaningless for small ones.
   * `parses` counts actual file parses (cache misses) for tests.
   */
 private[sources] object GraftDeleteCache {
-  private val MaxEntries = 64
-  private type Key = (String, List[String], Boolean, Long)
-  private val cache =
-    new java.util.LinkedHashMap[Key, java.util.HashMap[List[Any], java.lang.Long]](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: JMap.Entry[Key, java.util.HashMap[List[Any], java.lang.Long]]): Boolean =
-        size() > MaxEntries
-    }
+  /** ~4M cached delete tuples ≈ low hundreds of MB worst case — bounded
+    * regardless of how fat individual delete files are.
+    */
+  private val MaxTuples = 4L * 1000 * 1000
   val parses = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  // parse happens INSIDE the lock: concurrent tasks hitting the same delete
-  // file single-flight (exactly one parse, the rest wait for the map) —
-  // delete files are small, and serializing the rare parse beats 32 tasks
-  // re-reading the same file
-  def get(d: GraftDeleteSpec,
-      keySchema: StructType): java.util.HashMap[List[Any], java.lang.Long] =
-    synchronized {
-      val key = (d.path, d.keyCols, d.perRowAppliedAt, d.appliedAt)
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val m = parse(d, keySchema)
-        cache.put(key, m)
-        m
+  // access-ordered LRU of key → (parsed value, tuple count); guarded by its
+  // own monitor, held only for O(1) map ops — never across a parse
+  private val lru =
+    new java.util.LinkedHashMap[AnyRef, (AnyRef, Long)](16, 0.75f, true)
+  private var cachedTuples = 0L
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    AnyRef, java.util.concurrent.CompletableFuture[AnyRef]]()
+
+  private def cached(key: AnyRef): AnyRef =
+    lru.synchronized { val hit = lru.get(key); if (hit == null) null else hit._1 }
+
+  private def admit(key: AnyRef, value: AnyRef, tuples: Long): Unit =
+    lru.synchronized {
+      if (!lru.containsKey(key)) {
+        lru.put(key, (value, tuples))
+        cachedTuples += tuples
+        val it = lru.entrySet().iterator()
+        // evict eldest first; never the entry just admitted (it is in use)
+        while (cachedTuples > MaxTuples && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { cachedTuples -= e.getValue._2; it.remove() }
+        }
       }
     }
+
+  private def lookup[V <: AnyRef](key: AnyRef, doParse: () => (V, Long)): V = {
+    val hit = cached(key)
+    if (hit != null) return hit.asInstanceOf[V]
+    val fresh = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val prior = inflight.putIfAbsent(key, fresh)
+    if (prior != null) return prior.join().asInstanceOf[V]
+    try {
+      val v = cached(key) match { // the race we lost may have completed
+        case null =>
+          val (parsed, tuples) = doParse()
+          admit(key, parsed, tuples)
+          parsed
+        case x => x.asInstanceOf[V]
+      }
+      fresh.complete(v)
+      v
+    } catch {
+      case t: Throwable => fresh.completeExceptionally(t); throw t
+    } finally inflight.remove(key, fresh)
+  }
+
+  def get(d: GraftDeleteSpec,
+      keySchema: StructType): java.util.HashMap[List[Any], java.lang.Long] =
+    lookup((d.path, d.keyCols, d.perRowAppliedAt, d.appliedAt), () => {
+      val m = parse(d, keySchema)
+      (m, m.size().toLong)
+    })
 
   // Positional delete-vector half: (dv path) → per-file-name position sets.
   // One parse serves every data-file partition the vector touches.
-  private val posCache =
-    new java.util.LinkedHashMap[String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: JMap.Entry[String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]): Boolean =
-        size() > MaxEntries
-    }
-
   def getPositional(d: GraftDeleteSpec)
       : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
-    synchronized {
-      val hit = posCache.get(d.path)
-      if (hit != null) hit
-      else {
-        val m = parsePositional(d)
-        posCache.put(d.path, m)
-        m
-      }
-    }
+    lookup(("pos", d.path), () => {
+      val m = parsePositional(d)
+      var n = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) n += it.next().size()
+      (m, n)
+    })
 
   private def parsePositional(d: GraftDeleteSpec)
       : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {

@@ -336,17 +336,25 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val logical = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val dvRoot = SnapshotLog.dataPath(tableDir).toString
     val (dvs, eqs) = snap.deletes.partition(_.positional)
-    // Positional delete vectors: ONE broadcast anti-join on (part-file name,
-    // row position) for ALL vectors. No applicability bound and no key
+    // Positional delete vectors: ONE anti-join on (part-file name, row
+    // position) for ALL vectors. No applicability bound and no key
     // resolution: a position addresses one immutable file's row forever, a
     // row (re-)inserted after the delete lives in a file no vector can
     // reference, and renames/widenings never touch a position. Vector rows
     // naming files this snapshot no longer has simply match nothing.
+    // DV size is O(deleted rows) and UNBOUNDED — a single fat MOR DELETE at
+    // the 100 TB scale this path targets can dwarf executor memory — so the
+    // broadcast is forced only while the recorded vector bytes stay under a
+    // threshold; past it the anti-join shuffles (Catalyst/AQE still free to
+    // broadcast if runtime stats say the side is small after all).
     val afterDv = if (dvs.isEmpty) data else {
       val dvDf = dvs.map(d => spark.read.parquet(s"$dvRoot/${d.path}")
           .select(col(WrittenAtCol), col(GraftTable.PosCol)))
         .reduce(_.unionByName(_))
-      data.alias("_gf_data").join(broadcast(dvDf).alias("_gf_dv"),
+      val dvBytes = dvs.map(_.sizeBytes.max(0L)).sum
+      val dvSide =
+        if (dvBytes <= GraftTable.DvBroadcastMaxBytes) broadcast(dvDf) else dvDf
+      data.alias("_gf_data").join(dvSide.alias("_gf_dv"),
         col(s"_gf_data.$WrittenAtCol") === col(s"_gf_dv.$WrittenAtCol") &&
           col(s"_gf_data.$posName") === col(s"_gf_dv.${GraftTable.PosCol}"),
         "left_anti")
@@ -1478,11 +1486,17 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     * append is NOT idempotent relative to a state they read (e.g. a CDC
     * follower applying a delta derived from the offset at that head).
     */
+  /** `preCommit` runs INSIDE every CAS attempt, before the snapshot is
+    * built — a caller-supplied fence (e.g. the streaming epoch's
+    * `stream-batch-id` re-check) that can abort the commit by throwing even
+    * after the data files are staged; staged files are removed on abort.
+    */
   def append(df: DataFrame, sortWithinPartitionsCols: Seq[String] = Nil,
       extraSummary: Map[String, String] = Map.empty,
-      basedOn: Option[Snapshot] = None): Snapshot =
+      basedOn: Option[Snapshot] = None,
+      preCommit: Option[Snapshot] => Unit = _ => ()): Snapshot =
     commitData(df, "append", parentFiles = true, sortWithinPartitionsCols,
-      extraSummary, basedOn)
+      extraSummary, basedOn, preCommit)
 
   /** Publish one DSv2 STREAMING epoch's staged part files as an exactly-once
     * append — the driver half of `df.writeStream.format("graft")`
@@ -1504,7 +1518,9 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     *    ORDERED BY all apply exactly as for a batch append, at the cost of
     *    one extra materialization of the epoch (not the table).
     */
-  def commitStreamingEpoch(stagingDir: String, epochId: Long): Option[Snapshot] = {
+  def commitStreamingEpoch(stagingDir: String, epochId: Long,
+      stagedPaths: Seq[String]): Option[Snapshot] = {
+    final case class EpochDone() extends RuntimeException
     val staging = new org.apache.hadoop.fs.Path(stagingDir)
     def fence: Option[Long] = snapshotsList.flatMap(s =>
       s.summary.get("stream-batch-id") ++
@@ -1513,16 +1529,35 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     def cleanup(): Unit = scala.util.Try(hfs.delete(staging, true))
     if (fence.exists(_ >= epochId)) { cleanup(); return None }
     val parentSnap = latest
-    val staged = if (hfs.exists(staging)) listParquetFiles(staging) else Nil
+    // Publish ONLY the files named by the winning task attempts' commit
+    // messages — never a directory listing. The epoch dir may also hold
+    // files from zombie attempts whose abort never ran (executor crash
+    // after the parquet close, before the commit coordinator answered):
+    // listing would publish those alongside the retry's file (duplicated
+    // rows), and a footer-less torn leftover would fail the footer harvest
+    // on every replay and wedge the stream. cleanup() removes the whole
+    // epoch dir afterwards, zombies included. A message-named file that is
+    // MISSING means the coordinator accepted a task whose output vanished —
+    // refuse loudly rather than silently drop its rows.
+    val staged = stagedPaths.map(new org.apache.hadoop.fs.Path(_))
+    staged.foreach(f => require(hfs.exists(f),
+      s"streaming epoch $epochId: committed task file $f is missing from staging"))
     if (parentSnap.partitionCols.nonEmpty && staged.nonEmpty) {
-      val df = spark.read.parquet(stagingDir)
+      val df = spark.read.parquet(staged.map(_.toString): _*)
       val aligned = df.select(DataType.fromJson(parentSnap.schemaJson)
         .asInstanceOf[StructType].fieldNames.filter(df.columns.contains)
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      val snap = append(aligned,
-        extraSummary = Map("stream-batch-id" -> epochId.toString))
-      cleanup()
-      return Some(snap)
+      // The fence re-check must sit INSIDE the CAS retry (as on the rename
+      // path below): two racing replays of the same epoch — e.g. a zombie
+      // driver beside its restarted successor — would otherwise BOTH pass
+      // the entry check and both commit, duplicating the epoch.
+      try {
+        val snap = append(aligned,
+          extraSummary = Map("stream-batch-id" -> epochId.toString),
+          preCommit = _ => if (fence.exists(_ >= epochId)) throw EpochDone())
+        cleanup()
+        return Some(snap)
+      } catch { case _: EpochDone => cleanup(); return None }
     }
     // direct publish: harvest footers at the staging site (a corrupt file
     // refuses before any move), drop provably-empty part files
@@ -1541,7 +1576,6 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
       hfs.setTimes(dest, System.currentTimeMillis(), -1)
       FileEntry(name, Map.empty, rows, hfs.getFileStatus(dest).getLen, 0L, st)
     }
-    final case class EpochDone() extends RuntimeException
     try {
       val snap = commitWithRetry { p0 =>
         val p = p0.getOrElse(throw new IllegalStateException(
@@ -2060,7 +2094,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
 
   private def commitData(df: DataFrame, operation: String, parentFiles: Boolean,
       sortCols: Seq[String] = Nil, extraSummary: Map[String, String] = Map.empty,
-      basedOn: Option[Snapshot] = None): Snapshot = {
+      basedOn: Option[Snapshot] = None,
+      preCommit: Option[Snapshot] => Unit = _ => ()): Snapshot = {
     val writeShape = shapeOf(df.schema)
     // Fail a genuinely mis-shaped write BEFORE any data lands; the in-retry
     // check below then only ever fires for a true evolution race.
@@ -2074,7 +2109,16 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val written = writeDataFiles(df,
       snapshotsList.lastOption.map(_.snapshotId + 1).getOrElse(1L), sortCols)
     val commitT0 = System.nanoTime()
+    // On ANY commit abort (preCommit fence, basedOn pin, evolution race) the
+    // staged files were never published — delete them instead of leaving
+    // orphans for the grace-period GC to find days later.
+    def dropWritten(): Unit = {
+      val dataRoot = SnapshotLog.dataPath(tableDir)
+      written.foreach(e => scala.util.Try(
+        hfs.delete(new org.apache.hadoop.fs.Path(dataRoot, e.path), false)))
+    }
     try commitWithRetry { parent =>
+      preCommit(parent)
       basedOn.foreach { pinned =>
         if (parent.map(_.snapshotId).getOrElse(0L) != pinned.snapshotId)
           throw new java.util.ConcurrentModificationException(
@@ -2111,6 +2155,8 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
         schemasFor(files,
           parent.map(_.schemas).getOrElse(Map.empty) + (id.toString -> schemaJson)),
         parent.map(_.chain).getOrElse(Nil), deletes)
+    } catch {
+      case e: Throwable => dropWritten(); throw e
     } finally lastCommitNanos = System.nanoTime() - commitT0
   }
 
@@ -2419,6 +2465,14 @@ object GraftTable {
     * exactly (`_gf_file` string part-file name, `_gf_pos` long row index).
     */
   private[graft] val PosCol = "_gf_pos"
+
+  /** Ceiling on the RECORDED bytes of positional delete vectors forced into
+    * a broadcast by the MOR read path; larger unions fall back to a shuffled
+    * anti-join (64 MB of snappy parquet ≈ a few hundred MB of in-memory
+    * (string, long) hash relation — near Spark's own 8 GB broadcast wall
+    * once driver+executor copies are counted).
+    */
+  private[table] val DvBroadcastMaxBytes = 64L * 1024 * 1024
 
   /** Directory under `data/` holding equality-delete files. */
   private[table] val DeletesDir = "_deletes"

@@ -86,6 +86,76 @@ class GraftStreamingSinkSpec extends SparkSpec {
       .filter(col("ds") === "2024-06-02").count() == 20)
   }
 
+  test("epoch commit publishes ONLY message-named files — zombie staging files never land") {
+    import spark.implicits._
+    val root = scratchDir("stream-sink-zombie")
+    val dir = s"$root/t"
+    val winner = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "user", "v")
+    val t = GraftTable.create(spark, dir, winner.schema)
+    val epochDir = s"$dir/data/_streaming/q1/0"
+    winner.coalesce(1).write.parquet(s"$root/stage")
+    val staged = new java.io.File(s"$root/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(epochDir).mkdirs()
+    val winnerPath = s"$epochDir/part-0-1.parquet"
+    java.nio.file.Files.copy(staged.toPath, java.nio.file.Paths.get(winnerPath))
+    // zombie attempt's duplicate: closed parquet, same rows, abort never ran
+    java.nio.file.Files.copy(staged.toPath,
+      java.nio.file.Paths.get(s"$epochDir/part-0-0.parquet"))
+    // torn leftover: an unclosed write — no parquet footer at all
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$epochDir/part-1-2.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31, 0x00))
+    // a directory listing would double rows (zombie) then wedge on the torn
+    // footer; message-named publish lands exactly the winner's rows
+    val snap = t.commitStreamingEpoch(epochDir, 0L, Seq(winnerPath))
+    assert(snap.nonEmpty)
+    assert(t.readLatest().count() == 2)
+    assert(t.readLatest().agg(sum("id")).head.getLong(0) == 3L)
+    // the whole epoch dir is gone afterwards, zombies included
+    assert(!new java.io.File(epochDir).exists())
+  }
+
+  test("epoch commit refuses when a message-named file is missing") {
+    import spark.implicits._
+    val root = scratchDir("stream-sink-missing")
+    val dir = s"$root/t"
+    val df = Seq((1L, "a", 1.0)).toDF("id", "user", "v")
+    val t = GraftTable.create(spark, dir, df.schema)
+    val epochDir = s"$dir/data/_streaming/q1/0"
+    new java.io.File(epochDir).mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      t.commitStreamingEpoch(epochDir, 0L, Seq(s"$epochDir/part-0-9.parquet"))
+    }
+    assert(ex.getMessage.contains("missing from staging"))
+  }
+
+  test("partitioned epoch commit reads only message-named files and fences in-commit") {
+    import spark.implicits._
+    val root = scratchDir("stream-sink-zombie-part")
+    val dir = s"$root/t"
+    val df = Seq((1L, "2024-06-01", 1.0), (2L, "2024-06-02", 2.0))
+      .toDF("id", "ds", "v")
+    val t = GraftTable.create(spark, dir, df.schema, partitionCols = Seq("ds"))
+    val epochDir = s"$dir/data/_streaming/q2/0"
+    df.coalesce(1).write.parquet(s"$root/stage")
+    val staged = new java.io.File(s"$root/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(epochDir).mkdirs()
+    val winnerPath = s"$epochDir/part-0-1.parquet"
+    java.nio.file.Files.copy(staged.toPath, java.nio.file.Paths.get(winnerPath))
+    java.nio.file.Files.copy(staged.toPath,
+      java.nio.file.Paths.get(s"$epochDir/part-0-0.parquet"))
+    assert(t.commitStreamingEpoch(epochDir, 0L, Seq(winnerPath)).nonEmpty)
+    assert(t.readLatest().count() == 2)
+    // replay of the SAME epoch (fence already advanced): skipped, no commit
+    new java.io.File(epochDir).mkdirs()
+    java.nio.file.Files.copy(staged.toPath, java.nio.file.Paths.get(winnerPath))
+    assert(t.commitStreamingEpoch(epochDir, 0L, Seq(winnerPath)).isEmpty)
+    assert(t.readLatest().count() == 2)
+    assert(t.snapshotsList.count(_.summary.contains("stream-batch-id")) == 1)
+  }
+
   test("streaming sink refuses a schema that does not match the table") {
     import spark.implicits._
     val root = scratchDir("stream-sink-badschema")
