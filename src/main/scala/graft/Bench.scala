@@ -151,9 +151,20 @@ object Bench {
           graft.table.GraftTable.PartitionTransformsProp -> "bucket(16,user_id)=ub",
           // the reference's write config (blob-dfs_bench.py:84-87)
           graft.table.GraftTable.TargetFileSizeProp -> "134217728"))
+      // UNTIMED JVM warm-up first (executor pool, codegen caches, memory
+      // manager, heap growth): a 1/100-scale throwaway append under the
+      // same layout. The small anchor below exists to be µs/row-comparable
+      // with the warm 100M write — timing it as the first write in a cold
+      // JVM skewed it 10x (r16 read 2.42 µs/row vs 0.23 warm).
+      val dirWarm = new java.io.File(dir.getPath + "_warm")
+      if (dirWarm.exists()) rmDir(dirWarm)
+      val tWarm = mkTable(dirWarm)
+      tWarm.append(txData(math.max(scaleRows / 100, 10L), 16),
+        sortWithinPartitionsCols = Seq("ts"))
+      rmDir(dirWarm)
       // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
       // 10M ref_phases table is ds-only, so its µs/row is not comparable to
-      // this section's 16-bucket layout) — also serves as the warm-up
+      // this section's 16-bucket layout)
       val dirSmall = new java.io.File(dir.getPath + "_small")
       if (dirSmall.exists()) rmDir(dirSmall)
       val tSmall = mkTable(dirSmall)

@@ -231,7 +231,7 @@ object Dml {
     * scan itself runs only over metadata-pruned candidate files; files the
     * snapshot's stats exclude are untouched without being opened.
     */
-  private def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
+  private[graft] def planFiles(t: GraftTable, pred: Column): (Seq[FileEntry], Seq[FileEntry], Snapshot) = {
     val planned = t.latest
     val (candidates, _) = planningCandidates(t, planned, pred)
     // tagged at the scan: plain input_file_name() over the read is ambiguous

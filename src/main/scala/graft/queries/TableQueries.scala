@@ -1186,6 +1186,96 @@ object TableQueries {
       checksum(t.readLatest())
         .withColumn("n_orphans_removed",
           lit(removed.count(_.contains("orphan.parquet")).toLong))
+    }),
+
+    // The Spark TableCatalog plugin (graft.sources.GraftCatalog): STOCK
+    // spark.sql over three-part names with NO pre-router — the reference's
+    // catalog-configured Spark surface (framework.yaml:39-74 sets
+    // spark.sql.catalog.<name>; blob-dfs_bench.py:104-106 appends via
+    // DataFrameWriterV2). The full open-CRUD chain: CREATE NAMESPACE/TABLE,
+    // writeTo().append(), SQL UPDATE (Spark's group-based COW rewrite over
+    // SupportsRowLevelOperations), SQL DELETE (the metadata-delete fast path
+    // into Dml.delete), SQL MERGE (matched update + not-matched insert),
+    // checksum read back through the catalog scan.
+    "spark_open_crud" -> ((s, dir) => {
+      val wh = scratch("open_crud_wh")
+      s.conf.set("spark.sql.catalog.gcrud", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcrud.warehouse", wh)
+      s.sql("CREATE NAMESPACE gcrud.sales")
+      s.sql("""CREATE TABLE gcrud.sales.orders_crud (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderstatus STRING)""")
+      Tables.orders(s, dir).filter(col("o_orderkey") < 400)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .writeTo("gcrud.sales.orders_crud").append()
+      s.sql("""UPDATE gcrud.sales.orders_crud
+        SET o_totalprice = o_totalprice + 100.0
+        WHERE o_orderstatus = 'F' AND o_orderkey < 200""")
+      s.sql("""DELETE FROM gcrud.sales.orders_crud
+        WHERE o_orderstatus = 'O' AND o_orderkey >= 300""")
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey").between(100, 500))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .createOrReplaceTempView("open_crud_src")
+      s.sql("""MERGE INTO gcrud.sales.orders_crud t USING open_crud_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 50.0
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice,
+          o_orderstatus) VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice,
+          s.o_orderstatus)""")
+      s.sql("""SELECT COUNT(*) AS row_count,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        SUM(o_orderkey) AS sum_key
+        FROM gcrud.sales.orders_crud""")
+    }),
+
+    // Connector reads of COMPLEX types (array / struct over primitives):
+    // an embeddings-shaped table (vec_id, array<float> embedding, a struct
+    // column) reads back through format("graft") — nested decode in both
+    // reader backends, with pruning/projection intact. Interop touchpoint:
+    // nested-type coverage in the spec's optional matrix
+    // (ICEBERG-Interoperability-Test-Spec.md:44).
+    "t_connector_nested" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"),
+          struct(col("label").as("label2"),
+            size(col("embedding")).as("dim")).as("meta"))
+      val t = GraftTable.create(s, scratch("connector_nested"), base.schema)
+      t.append(base.filter(col("vec_id") < 1000))
+      t.append(base.filter(col("vec_id") >= 1000))
+      s.read.format("graft").load(t.tableDir)
+        .agg(count(lit(1)).as("row_count"),
+          sum(size(col("embedding")).cast("long")).as("sum_dims"),
+          sum(col("meta.label2").cast("long")).as("sum_label"),
+          sum(when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L))
+            .as("n_pos_first"))
+    }),
+
+    // Connector-side schema-evolution replay: an ALTERed table (rename +
+    // widen + add-with-default) stays readable via format("graft") — each
+    // old file carries a planning-time column mapping (physical name,
+    // write-time type cast, default constant) instead of refusing. The
+    // interop shape: an external engine pointed at the directory keeps
+    // reading across evolution (framework.yaml:290-365).
+    "t_connector_evolved" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("connector_evolved"), base.schema)
+      t.append(base)
+      t.renameColumn("o_orderstatus", "status")
+      t.widenColumn("okey", "BIGINT")
+      t.addColumn("src", "STRING", "legacy")
+      t.append(Tables.orders(s, dir)
+        .filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"),
+          col("o_orderstatus").as("status"), lit("new").as("src")))
+      s.read.format("graft").load(t.tableDir)
+        .agg(count(lit(1)).as("row_count"),
+          sum(col("okey")).as("sum_key"),
+          dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
+          sum(when(col("src") === "legacy", 1L).otherwise(0L)).as("n_legacy"),
+          min(col("status")).as("min_status"))
     })
   )
 
@@ -1564,6 +1654,46 @@ object TableQueries {
       """SELECT COUNT(*) AS row_count,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(1 AS BIGINT) AS n_orphans_removed
-         FROM lineitem WHERE l_orderkey < 500"""
+         FROM lineitem WHERE l_orderkey < 500""",
+    "spark_open_crud" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey < 400),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey < 200
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus FROM base),
+         del AS (
+           SELECT * FROM upd WHERE NOT (o_orderstatus = 'O' AND o_orderkey >= 300)),
+         src AS (
+           SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey BETWEEN 100 AND 500),
+         merged AS (
+           SELECT d.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+               THEN d.o_totalprice + 50.0 ELSE d.o_totalprice END AS o_totalprice
+           FROM del d LEFT JOIN src s ON d.o_orderkey = s.o_orderkey
+           UNION ALL
+           SELECT s.o_orderkey, s.o_totalprice
+           FROM src s LEFT JOIN del d ON s.o_orderkey = d.o_orderkey
+           WHERE d.o_orderkey IS NULL)
+         SELECT COUNT(*) AS row_count,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         FROM merged""",
+    "t_connector_nested" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims,
+           CAST(SUM(label) AS BIGINT) AS sum_label,
+           CAST(SUM(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_first
+         FROM embeddings WHERE vec_id < 2000""",
+    "t_connector_evolved" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+           MIN(o_orderstatus) AS min_status
+         FROM orders WHERE o_orderkey < 600"""
   )
 }

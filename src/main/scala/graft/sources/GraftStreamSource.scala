@@ -121,9 +121,23 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
 }
 
 private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = tableSchema
+
+  /** `_file` — the absolute path of the data file each row came from (the
+    * Iceberg `_file` metadata column): constant per input partition, served
+    * without touching file bytes, and the metadata attribute Spark's
+    * group-based row-level plans project on (see GraftCowOperation).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftStreamSource.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "absolute path of the row's data file"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -169,9 +183,9 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     tableSchema.fields.foreach { f =>
-      require(GraftStreamSource.readable(f.dataType),
-        s"graft streaming source: column ${f.name} has unsupported type " +
-          s"${f.dataType.simpleString} (primitive columns only)")
+      require(GraftStreamSource.readableComplex(f.dataType),
+        s"graft source: column ${f.name} has unsupported type " +
+          s"${f.dataType.simpleString} (primitives plus array/struct over them)")
     }
     val maxCommits = Option(options.get("max-commits-per-trigger")).map(_.toInt)
     val streamFrom = Option(options.get("stream-from"))
@@ -218,9 +232,11 @@ private[sources] class GraftStreamTable(dir: String, tableSchema: StructType)
       private var limit: Option[Int] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         // keep the table's field order; Spark's requiredSchema is already a
-        // subset of the logical schema
+        // subset of the logical schema — plus the `_file` metadata column
+        // when the query (or a row-level plan) asked for it
         required = StructType(tableSchema.fields.filter(f =>
-          requiredSchema.fieldNames.contains(f.name)))
+          requiredSchema.fieldNames.contains(f.name)) ++
+          requiredSchema.fields.filter(_.name == GraftStreamSource.FileMetaCol))
       override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
         pushed = filters.filter(GraftStreamSource.prunable(_, tableSchema))
         filters // all residual: file-skipping only, rows re-checked above
@@ -266,10 +282,22 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
     asOfTimestamp: Option[Long] = None,
     pushedLimit: Option[Int] = None,
     incrementalFrom: Option[Long] = None,
-    incrementalTo: Option[Long] = None) extends Scan
+    incrementalTo: Option[Long] = None,
+    onPlanned: Option[(graft.table.Snapshot, Seq[graft.table.FileEntry]) => Unit] = None)
+    extends Scan
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = schema
+
+  /** `_file` support: when the read schema asks for the metadata column,
+    * each partition carries its absolute path as a constant value — the
+    * reader serves it like a hive partition column, no file bytes touched.
+    */
+  private def withFileCol(e: graft.table.FileEntry,
+      filePath: String): Map[String, String] =
+    if (schema.fieldNames.contains(GraftStreamSource.FileMetaCol))
+      e.partitionValues + (GraftStreamSource.FileMetaCol -> filePath)
+    else e.partitionValues
 
   /** Storage-partitioned joins (`SupportsReportPartitioning` +
     * `HasPartitionKey`): when every identity-partition column is in the
@@ -428,7 +456,8 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
           s"graft incremental read: ${e.path} in $dir was written under an " +
             "evolved schema — use the table API (readIncremental) for " +
             "evolution replay")
-        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
+        GraftInputPartition(s"$dataRoot/${e.path}",
+          withFileCol(e, s"$dataRoot/${e.path}"),
           schema.json, e.rowCount, e.writtenAt)
       }
     }.toArray[InputPartition]
@@ -474,16 +503,25 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
           surviving.takeWhile { e => val need = acc < n; acc += e.rowCount; need }
         case _ => surviving
       }
+      // COW row-level operations record exactly which files this scan chose
+      // (post filter pruning) so the write side replaces those and ONLY
+      // those; see GraftCowOperation in GraftCatalog.scala
+      onPlanned.foreach(_(head, chosen))
       chosen.map { e =>
-        // drift detection runs against the FULL logical schema — the pruned
-        // read schema is a projection, not the table's shape
+        // evolution replay: files written under an older schema carry a
+        // per-file column mapping (rename → physical name, widen → cast,
+        // add-with-default → constant) computed here from the snapshot's
+        // own evolution chain — the connector-level form of the table API's
+        // replay. Shape comparison runs against the FULL logical schema —
+        // the pruned read schema is a projection, not the table's shape.
         val writeSchema = DataType.fromJson(head.schemas(e.writtenAt.toString))
           .asInstanceOf[StructType]
         val dataShape = shape(StructType(fullSchema.fields.filterNot(f =>
           e.partitionValues.contains(f.name))))
-        require(shape(writeSchema) == dataShape || shape(writeSchema) == shape(fullSchema),
-          s"graft batch read: ${e.path} in $dir was written under an evolved " +
-            "schema — use the table API (readLatest) for evolution replay")
+        val evolution: List[GraftColMap] =
+          if (shape(writeSchema) == dataShape ||
+              shape(writeSchema) == shape(fullSchema)) Nil
+          else GraftStreamSource.evolutionMapping(head, e, fullSchema, dir)
         // a delete applies iff committed strictly after this file's write;
         // consolidated (per-row-bound) files can't be pruned at planning —
         // each tuple carries its own bound, checked in the reader
@@ -491,9 +529,10 @@ private[sources] class GraftScan(dir: String, fullSchema: StructType,
           d.perRowAppliedAt || d.appliedAt > e.writtenAt).map(d =>
           GraftDeleteSpec(s"$dataRoot/${d.path}", d.keyCols, d.appliedAt,
             d.perRowAppliedAt, d.positional))
-        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
+        GraftInputPartition(s"$dataRoot/${e.path}",
+          withFileCol(e, s"$dataRoot/${e.path}"),
           schema.json, e.rowCount, e.writtenAt, applicable, keySchemaJson,
-          if (spjKeyCols.isEmpty) Array.empty else spjKeyFor(e))
+          if (spjKeyCols.isEmpty) Array.empty else spjKeyFor(e), evolution)
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -672,8 +711,12 @@ private[sources] class GraftMicroBatchStream(dir: String,
           "evolution point with the old schema, then restart the query")
       s.files.filter(e => e.writtenAt == s.snapshotId &&
           GraftStreamSource.fileMayMatch(e, fullSchema, pushedFilters)).map { e =>
-        GraftInputPartition(s"$dataRoot/${e.path}", e.partitionValues,
-          schema.json, e.rowCount)
+        val pv =
+          if (schema.fieldNames.contains(GraftStreamSource.FileMetaCol))
+            e.partitionValues +
+              (GraftStreamSource.FileMetaCol -> s"$dataRoot/${e.path}")
+          else e.partitionValues
+        GraftInputPartition(s"$dataRoot/${e.path}", pv, schema.json, e.rowCount)
       }
     }.toArray[InputPartition]
   }
@@ -776,6 +819,12 @@ private[sources] class GraftStreamingDataWriter(filePath: String, schemaJson: St
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
   private var rows = 0L
 
+  /** Row-level plans (`DataAndMetadataWritingSparkTask`) hand the metadata
+    * projection separately — this writer has no use for it.
+    */
+  override def write(metadata: InternalRow, record: InternalRow): Unit =
+    write(record)
+
   override def write(r: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
@@ -823,6 +872,18 @@ private[sources] case class GraftDeleteSpec(
     perRowAppliedAt: Boolean,
     positional: Boolean = false)
 
+/** One current-schema column's resolution against an EVOLVED file:
+  * `phys = Some(name)` reads the file column it was written as (with
+  * `physTypeJson` its write-time type — a widen casts up to the current
+  * type); `phys = None` means the column post-dates the file (added later):
+  * the reader serves `default` (or NULL) as a constant.
+  */
+private[sources] case class GraftColMap(
+    current: String,
+    phys: Option[String],
+    physTypeJson: String,
+    default: Option[String])
+
 private[sources] case class GraftInputPartition(
     filePath: String,
     partitionValues: Map[String, String],
@@ -831,7 +892,8 @@ private[sources] case class GraftInputPartition(
     writtenAt: Long = 0L,
     deletes: List[GraftDeleteSpec] = Nil,
     keySchemaJson: String = "",
-    spjKey: Array[Any] = Array.empty) extends InputPartition
+    spjKey: Array[Any] = Array.empty,
+    evolution: List[GraftColMap] = Nil) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   // only consulted when the scan reported KeyGroupedPartitioning, which
   // fills spjKey for every partition it plans (same column order)
@@ -1042,8 +1104,39 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     p.deletes.exists(_.keyCols.contains(f.name)) &&
       !schema.fieldNames.contains(f.name))
   private val readFields: Array[StructField] = schema.fields ++ extraKeyFields
-  private val dataFields = readFields
-    .filterNot(f => p.partitionValues.contains(f.name)).map(_.name)
+
+  // Per-readField resolution, folding in the partition's evolution mapping
+  // (see [[GraftColMap]]): a field is either a CONSTANT (hive partition
+  // value, or a column this file predates → its declared default/NULL) or a
+  // FILE column under its write-time physical name and type (a widen casts
+  // up on emit).
+  private val evolByName: Map[String, GraftColMap] =
+    p.evolution.map(c => c.current -> c).toMap
+  private val constFlag = new Array[Boolean](readFields.length)
+  private val constValue = new Array[Any](readFields.length)
+  private val physName = new Array[String](readFields.length)
+  private val physType = new Array[DataType](readFields.length)
+  readFields.zipWithIndex.foreach { case (f, i) =>
+    p.partitionValues.get(f.name) match {
+      case Some(v) =>
+        constFlag(i) = true
+        constValue(i) = GraftStreamSource.castPartitionValue(v, f.dataType)
+      case None => evolByName.get(f.name) match {
+        case Some(c) if c.phys.isEmpty =>
+          constFlag(i) = true
+          constValue(i) = c.default
+            .map(d => GraftStreamSource.castPartitionValue(d, f.dataType)).orNull
+        case Some(c) =>
+          physName(i) = c.phys.get
+          physType(i) = DataType.fromJson(c.physTypeJson)
+        case None =>
+          physName(i) = f.name
+          physType(i) = f.dataType
+      }
+    }
+  }
+  private val dataFields: Array[String] = readFields.indices
+    .filterNot(i => constFlag(i)).map(i => physName(i)).toArray
 
   // metadata-only path: no data field requested, count known, no deletes
   private val metadataRows: Long =
@@ -1081,32 +1174,39 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
   }
 
   /** Spark's vectorized parquet decode, row-cursored. Batch layout is
-    * [dataFields in request order, partition constants in partFields
-    * order]; `batchPos` maps readFields positions onto it once. */
+    * [dataFields (physical names) in request order, constants in
+    * constFields order]; `batchPos` maps readFields positions onto it once.
+    * Constant columns (hive partition values AND evolved defaults) ride
+    * `initBatch`'s constant vectors; widened columns decode in their
+    * physical type and cast up inside the emit projection. */
   private final class VectorizedBackend extends Backend {
-    private val partFields: Array[StructField] =
-      readFields.filter(f => p.partitionValues.contains(f.name))
-    private val partRow = new GenericInternalRow(partFields.length)
-    partFields.zipWithIndex.foreach { case (f, i) =>
-      partRow.update(i,
-        GraftStreamSource.castPartitionValue(p.partitionValues(f.name), f.dataType))
-    }
+    private val constIdx: Array[Int] =
+      readFields.indices.filter(i => constFlag(i)).toArray
+    private val constFields: Array[StructField] = constIdx.map(i => readFields(i))
+    private val constRow = new GenericInternalRow(constFields.length)
+    constIdx.zipWithIndex.foreach { case (ri, i) => constRow.update(i, constValue(ri)) }
     private val reader =
       new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
         false, 4096)
     try {
       reader.initialize(p.filePath, java.util.Arrays.asList(dataFields: _*))
-      reader.initBatch(StructType(partFields), partRow)
+      reader.initBatch(StructType(constFields), constRow)
     } catch { case e: Throwable => reader.close(); throw e }
-    private val batchPos: Array[Int] = readFields.map { f =>
-      if (p.partitionValues.contains(f.name))
-        dataFields.length + partFields.indexWhere(_.name == f.name)
-      else dataFields.indexOf(f.name)
-    }
+    private val batchPos: Array[Int] = readFields.indices.map { i =>
+      if (constFlag(i)) dataFields.length + constIdx.indexOf(i)
+      else dataFields.indexOf(physName(i))
+    }.toArray
+    // the type AT the batch position: physical for file columns (a widen
+    // decodes narrow), current for constants
+    private def batchType(i: Int): DataType =
+      if (constFlag(i)) readFields(i).dataType else physType(i)
     private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-        org.apache.spark.sql.catalyst.expressions.BoundReference(
-          batchPos(i), f.dataType, f.nullable)
+        val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+          batchPos(i), batchType(i), f.nullable)
+        if (batchType(i) == f.dataType) ref
+        else org.apache.spark.sql.catalyst.expressions.Cast(ref, f.dataType,
+          Some(java.util.TimeZone.getDefault.getID))
       })
     private var row: InternalRow = _
     // The vectorized reader refuses unsupported encodings (e.g.
@@ -1124,7 +1224,9 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
       if (primed) { primed = false; primedResult } else doAdvance()
     override def valueAt(pos: Int): Any = {
       val i = batchPos(pos)
-      if (row.isNullAt(i)) null else row.get(i, readFields(pos).dataType)
+      if (row.isNullAt(i)) null
+      else GraftStreamSource.widenValue(row.get(i, batchType(pos)),
+        batchType(pos), readFields(pos).dataType)
     }
     override def emit(): InternalRow = proj(row)
     override def close(): Unit = reader.close()
@@ -1164,18 +1266,17 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     private var fieldIdx: Array[Int] = _
     override def advance(): Boolean = { current = reader.read(); current != null }
     override def valueAt(pos: Int): Any = {
-      val f = readFields(pos)
-      p.partitionValues.get(f.name) match {
-        case Some(v) => GraftStreamSource.castPartitionValue(v, f.dataType)
-        case None =>
-          if (fieldIdx == null) {
-            val names = current.getType.getFields.asScala.map(_.getName).zipWithIndex.toMap
-            fieldIdx = readFields.map(fd => names.getOrElse(fd.name, -1))
-          }
-          val idx = fieldIdx(pos)
-          if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
-          else GraftStreamSource.readValue(current, idx, f.dataType)
+      if (constFlag(pos)) return constValue(pos)
+      if (fieldIdx == null) {
+        val names = current.getType.getFields.asScala.map(_.getName).zipWithIndex.toMap
+        fieldIdx = readFields.indices
+          .map(i => if (constFlag(i)) -1 else names.getOrElse(physName(i), -1)).toArray
       }
+      val idx = fieldIdx(pos)
+      if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+      else GraftStreamSource.widenValue(
+        GraftStreamSource.readValue(current, idx, physType(pos)),
+        physType(pos), readFields(pos).dataType)
     }
     override def emit(): InternalRow = {
       val row = new GenericInternalRow(schema.length)
@@ -1245,14 +1346,11 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
     }
 
   // metadata-count rows never touch the backend (no file open at all): in
-  // this path every scan-schema field is a partition column, constant for
-  // the whole file
+  // this path every scan-schema field is a constant for the whole file
+  // (partition value or evolved default)
   private lazy val metadataRow: InternalRow = {
     val row = new GenericInternalRow(schema.length)
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      row.update(i,
-        GraftStreamSource.castPartitionValue(p.partitionValues(f.name), f.dataType))
-    }
+    schema.indices.foreach(i => row.update(i, constValue(i)))
     row
   }
   override def get(): InternalRow =
@@ -1262,6 +1360,92 @@ private[sources] class GraftPartitionReader(p: GraftInputPartition)
 }
 
 object GraftStreamSource {
+
+  /** Name of the `_file` metadata column (the Iceberg `_file` analog). */
+  private[sources] val FileMetaCol = "_file"
+
+  /** Physical-to-current widenings the connector reader can replay in
+    * place: exactly the numeric up-casts the table's widenColumn writes and
+    * this format's physical types can represent.
+    */
+  private[sources] def widenOk(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (IntegerType, DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Widen a decoded physical value into the current column type. */
+  private[sources] def widenValue(v: Any, from: DataType, to: DataType): Any =
+    if (v == null || from == to) v
+    else (from, to) match {
+      case (IntegerType, LongType) => v.asInstanceOf[Int].toLong
+      case (IntegerType, DoubleType) => v.asInstanceOf[Int].toDouble
+      case (LongType, DoubleType) => v.asInstanceOf[Long].toDouble
+      case (FloatType, DoubleType) => v.asInstanceOf[Float].toDouble
+      case _ => throw new IllegalStateException(
+        s"graft read: cannot widen $from to $to")
+    }
+
+  /** The connector-level evolution replay plan for one data file written
+    * under an older schema: simulate the snapshot's evolution chain from the
+    * file's epoch forward (the SAME op log the table API's readSnapshot
+    * folds over a DataFrame — `GraftTable.applyEvolution`), tracking for
+    * every CURRENT column its physical source name and write-time type, or
+    * the declared default for columns the file predates. Columns whose
+    * replay this reader cannot express (non-numeric widen, a type the
+    * physical format never wrote) refuse loudly — never silently null.
+    */
+  private[sources] def evolutionMapping(snap: graft.table.Snapshot,
+      e: graft.table.FileEntry, fullSchema: StructType,
+      dir: String): List[GraftColMap] = {
+    implicit val fmts: org.json4s.Formats = SnapshotLog.formats
+    val writeSchema = DataType.fromJson(snap.schemas(e.writtenAt.toString))
+      .asInstanceOf[StructType]
+    val chainIds = snap.chain.map(_.snapshotId).sorted
+    val epoch = chainIds.foldLeft(0L)((acc, id) => if (id <= e.writtenAt) id else acc)
+    val ops = snap.chain
+      .filter(st => st.snapshotId > epoch && st.snapshotId <= snap.snapshotId)
+      .flatMap(_.ops)
+    // currentName → provenance, replayed op by op
+    case class Col(name: String, phys: Option[(String, DataType)],
+        default: Option[String])
+    var cols: Vector[Col] = writeSchema.fields.toVector
+      .map(f => Col(f.name, Some((f.name, f.dataType)), None))
+    ops.foreach { op =>
+      val m = org.json4s.jackson.JsonMethods.parse(op).extract[Map[String, String]]
+      m.getOrElse("op", "?") match {
+        case "add" =>
+          if (!cols.exists(_.name == m("name")))
+            cols :+= Col(m("name"), None, m.get("default"))
+        case "rename" =>
+          cols = cols.map(c => if (c.name == m("from")) c.copy(name = m("to")) else c)
+        case "widen" => () // the current type in fullSchema drives the cast
+        case "drop" => cols = cols.filterNot(_.name == m("name"))
+        case other => throw new IllegalArgumentException(
+          s"bad evolution op in $dir: $op")
+      }
+    }
+    fullSchema.fields.toList.flatMap { f =>
+      if (e.partitionValues.contains(f.name)) None
+      else cols.find(_.name == f.name) match {
+        case Some(Col(_, Some((pn, pt)), _)) =>
+          require(widenOk(pt, f.dataType),
+            s"graft read: ${e.path} in $dir stores ${f.name} as " +
+              s"${pt.simpleString} which cannot replay to " +
+              s"${f.dataType.simpleString} — use the table API (readLatest)")
+          if (pn == f.name && pt == f.dataType) None
+          else Some(GraftColMap(f.name, Some(pn), pt.json, None))
+        case Some(Col(_, None, d)) => Some(GraftColMap(f.name, None, "", d))
+        case None => throw new IllegalStateException(
+          s"graft read: column ${f.name} of $dir has no provenance in " +
+            s"${e.path}'s evolution chain — use the table API (readLatest)")
+      }
+    }
+  }
 
   private[sources] def tableSchema(dir: String): StructType = {
     val snaps = SnapshotLog.load(new Configuration(), dir)
@@ -1557,6 +1741,19 @@ object GraftStreamSource {
     case _ => false
   }
 
+  /** Scan-side type support: primitives plus arbitrarily nested ARRAY /
+    * STRUCT over them (the table API writes these through Spark's standard
+    * 3-level parquet layout; both reader backends decode them — the
+    * vectorized reader natively, the group fallback via
+    * [[readComplexValue]]). Maps stay out of scope, as in the table's own
+    * physical format.
+    */
+  private[sources] def readableComplex(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => readableComplex(e)
+    case st: StructType => st.fields.forall(f => readableComplex(f.dataType))
+    case other => readable(other)
+  }
+
   /** Parquet message type for the streaming sink's staged files — the same
     * physical conventions the table's batch writes pin (TIMESTAMP_MICROS
     * int64, date int32, UTF8 binary), so stats harvest and every reader
@@ -1598,7 +1795,47 @@ object GraftStreamSource {
     // table writes pin TIMESTAMP_MICROS (int64) — exactly InternalRow's form
     case TimestampType | TimestampNTZType => g.getLong(idx, 0)
     case DateType => g.getInteger(idx, 0)
+    case nested @ (_: ArrayType | _: StructType) =>
+      readComplexValue(g.getGroup(idx, 0), nested)
     case other => throw new IllegalStateException(s"unreadable type $other")
+  }
+
+  /** Decode a nested parquet group into Catalyst internal form. Arrays use
+    * Spark's standard 3-level layout (`optional group c (LIST) { repeated
+    * group list { <element> } }`); structs are plain nested groups read by
+    * FIELD NAME, so old files missing a later-added struct member read it
+    * back as null.
+    */
+  private[sources] def readComplexValue(g: org.apache.parquet.example.data.Group,
+      dt: DataType): Any = dt match {
+    case ArrayType(elem, _) =>
+      // `g` is the LIST-annotated group; its single repeated field holds one
+      // wrapper group per element, each wrapping the element value (or
+      // nothing, for a null element)
+      val n = g.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val wrapper = g.getGroup(0, i)
+        out(i) =
+          if (wrapper.getFieldRepetitionCount(0) == 0) null
+          else readValue(wrapper, 0, elem)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case st: StructType =>
+      val names = g.getType.getFields.asScala.map(_.getName).zipWithIndex.toMap
+      val row = new GenericInternalRow(st.length)
+      var i = 0
+      while (i < st.length) {
+        val idx = names.getOrElse(st(i).name, -1)
+        row.update(i,
+          if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+          else readValue(g, idx, st(i).dataType))
+        i += 1
+      }
+      row
+    case other => throw new IllegalStateException(s"unreadable nested type $other")
   }
 
   private[sources] def castPartitionValue(v: String, dt: DataType): Any = {

@@ -1947,19 +1947,53 @@ class GraftTable(val spark: SparkSession, val tableDir: String) {
     val delDir = new org.apache.hadoop.fs.Path(dataRoot, DeletesDir)
     val stage = new org.apache.hadoop.fs.Path(dataRoot,
       s".stage-del-${java.util.UUID.randomUUID().toString.take(8)}")
-    // ONE delete file per commit: a delete batch is keys, not data — small
-    // relative to the table by construction — and a single file keeps the
-    // read-side anti-join union exactly as wide as the number of
-    // un-materialized delete COMMITS.
-    keys.coalesce(1).write.mode("errorifexists").parquet(stage.toString)
+    // ONE delete file per commit by default: a delete batch is keys, not
+    // data — small relative to the table by construction — and a single
+    // file keeps the read-side anti-join union exactly as wide as the
+    // number of un-materialized delete COMMITS. But a MOR UPDATE/MERGE
+    // matching a large fraction of the table produces an UNBOUNDED vector,
+    // and funneling it through one task is the write-side ceiling at 100 TB
+    // (Iceberg shards position deletes per partition for the same reason):
+    // above an estimated-size threshold, shard the write — positional
+    // vectors cluster by their target file name (each shard's tuples stay
+    // file-coherent for the reader's per-file position sets), key batches
+    // by their own hash. The read side already unions per-commit files, so
+    // a multi-file delete commit costs nothing extra to apply.
+    // Catalyst's sizeInBytes is a BigInt and join-heavy plans can estimate
+    // absurdly high (1e20 observed on the consolidation merge) — anything
+    // past ~1 PB is an estimate artifact, never a real delete batch (a DV
+    // is bounded by table row count: even an all-rows vector on a 100 TB
+    // table is ~5e13 bytes). Untrusted estimates keep the single-file
+    // shape; NEVER narrow the BigInt before the comparison (a wrapped
+    // toLong/toInt here once produced a 2-billion-partition shuffle).
+    val estBytes = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val saneCeiling = BigInt("1000000000000000") // 1e15
+    val staged0 =
+      if (estBytes <= GraftTable.DeleteShardBytes || estBytes > saneCeiling)
+        keys.coalesce(1)
+      else {
+        // explicit shard count (estimate / ceiling, capped at 64): AQE
+        // would otherwise coalesce a keyed repartition back to one task
+        val shards =
+          ((estBytes / GraftTable.DeleteShardBytes) + 1).min(BigInt(64)).toInt
+        val shardKey =
+          if (keys.columns.contains(GraftTable.WrittenAtCol)) GraftTable.WrittenAtCol
+          else keys.columns.head
+        keys.repartition(shards, col(shardKey))
+      }
+    staged0.write.mode("errorifexists").parquet(stage.toString)
     hfs.mkdirs(delDir)
     val staged = listParquetFiles(stage)
-    val entries = staged.map { s =>
-      val dest = new org.apache.hadoop.fs.Path(delDir, s.getName)
-      require(hfs.rename(s, dest), s"could not publish delete file $s to $dest")
-      val st = hfs.getFileStatus(dest)
-      val (rows, _) = footerMeta(dest)
-      DeleteEntry(s"$DeletesDir/${s.getName}", Nil, rows, st.getLen, 0L)
+    val entries = staged.flatMap { s =>
+      val (rows, _) = footerMeta(s)
+      // a sharded write can leave empty hash shards — nothing to publish
+      if (rows == 0L) None
+      else {
+        val dest = new org.apache.hadoop.fs.Path(delDir, s.getName)
+        require(hfs.rename(s, dest), s"could not publish delete file $s to $dest")
+        val st = hfs.getFileStatus(dest)
+        Some(DeleteEntry(s"$DeletesDir/${s.getName}", Nil, rows, st.getLen, 0L))
+      }
     }
     hfs.delete(stage, true)
     entries
@@ -2538,6 +2572,16 @@ object GraftTable {
     * (advisory = target × [[ShuffleCompressionFactorProp]]).
     */
   val TargetFileSizeProp = "write.target-file-size-bytes"
+
+  /** Estimated-size ceiling for a single-file delete-vector write; above
+    * it, [[GraftTable.writeDeleteFile]] shards the vector across tasks
+    * (one file per shard) instead of funneling through `coalesce(1)`.
+    * Overridable via system property only so a spec can exercise the
+    * sharded path without materializing 64 MB of keys.
+    */
+  private[table] def DeleteShardBytes: Long =
+    sys.props.get("graft.test.delete-shard-bytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
   val ShuffleCompressionFactorProp = "write.shuffle-compression-factor"
 
   /** Property: semicolon-separated partition transforms,
@@ -2554,10 +2598,10 @@ object GraftTable {
     """(\w+)\((?:(\d+)\s*,\s*)?([\w.]+)\)=([\w.]+)""".r
 
   /** One recorded partition transform (`fn(src)=pc` / `fn(arg,src)=pc`). */
-  private[table] case class TransformDef(
+  private[graft] case class TransformDef(
       fn: String, arg: Option[Int], src: String, pc: String)
 
-  private[table] def parseTransforms(props: Map[String, String]): Seq[TransformDef] =
+  private[graft] def parseTransforms(props: Map[String, String]): Seq[TransformDef] =
     props.get(PartitionTransformsProp).map(_.split(";").toSeq.flatMap {
       case PartitionTransformRe(fn, arg, src, pc) =>
         Some(TransformDef(fn, Option(arg).map(_.toInt), src, pc))
