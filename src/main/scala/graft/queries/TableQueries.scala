@@ -1276,6 +1276,71 @@ object TableQueries {
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
           sum(when(col("src") === "legacy", 1L).otherwise(0L)).as("n_legacy"),
           min(col("status")).as("min_status"))
+    }),
+
+    // Catalog-routed schema evolution + time travel, all through STOCK
+    // spark.sql: ALTER TABLE ADD/RENAME/ALTER COLUMN TYPE land on the
+    // table's evolution chain (TableChange -> add/rename/widen), old rows
+    // replay under the new shape, INSERT INTO SELECT resolves the evolved
+    // schema, and VERSION AS OF reads back the pre-evolution snapshot
+    // through TableCatalog.loadTable(ident, version). The interop plan's
+    // evolve-then-read-across-engines shape (framework.yaml:290-365), here
+    // with Spark itself as the "other engine".
+    "spark_open_evolution" -> ((s, dir) => {
+      val wh = scratch("open_evo_wh")
+      s.conf.set("spark.sql.catalog.gcevo", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcevo.warehouse", wh)
+      s.sql("CREATE NAMESPACE gcevo.lab")
+      s.sql("""CREATE TABLE gcevo.lab.orders_evo (
+        okey INT, o_totalprice DOUBLE, o_orderstatus STRING)""")
+      Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .writeTo("gcevo.lab.orders_evo").append()
+      val v1 = GraftTable.load(s, s"$wh/lab/orders_evo").latest.snapshotId
+      s.sql("ALTER TABLE gcevo.lab.orders_evo RENAME COLUMN o_orderstatus TO status")
+      s.sql("ALTER TABLE gcevo.lab.orders_evo ALTER COLUMN okey TYPE BIGINT")
+      s.sql("ALTER TABLE gcevo.lab.orders_evo ADD COLUMN src STRING")
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderkey").as("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView("open_evo_src")
+      s.sql("""INSERT INTO gcevo.lab.orders_evo
+        SELECT o_orderkey, o_totalprice, status, 'new' FROM open_evo_src""")
+      s.sql(s"""SELECT
+          (SELECT COUNT(*) FROM gcevo.lab.orders_evo) AS row_count,
+          (SELECT SUM(okey) FROM gcevo.lab.orders_evo) AS sum_key,
+          (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             FROM gcevo.lab.orders_evo) AS sum_price,
+          (SELECT COUNT(*) FROM gcevo.lab.orders_evo WHERE src IS NULL) AS n_legacy,
+          (SELECT MIN(status) FROM gcevo.lab.orders_evo) AS min_status,
+          (SELECT COUNT(*) FROM gcevo.lab.orders_evo VERSION AS OF $v1) AS n_at_v1""")
+    }),
+
+    // CTAS through the catalog: stock `CREATE TABLE cat.ns.t AS SELECT`
+    // resolves this catalog's createTable + the native DSv2 batch write in
+    // one statement (Spark's non-atomic CTAS exec for a plain TableCatalog),
+    // then a second INSERT INTO SELECT appends an increment — the
+    // derived-table materialization shape every warehouse user expects.
+    "spark_open_ctas" -> ((s, dir) => {
+      val wh = scratch("open_ctas_wh")
+      s.conf.set("spark.sql.catalog.gcts", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcts.warehouse", wh)
+      s.sql("CREATE NAMESPACE gcts.marts")
+      Tables.orders(s, dir).createOrReplaceTempView("open_ctas_orders")
+      s.sql("""CREATE TABLE gcts.marts.status_daily AS
+        SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM open_ctas_orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus""")
+      s.sql("""INSERT INTO gcts.marts.status_daily
+        SELECT concat('x_', o_orderstatus), COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM open_ctas_orders
+        WHERE o_orderkey >= 2000 AND o_orderkey < 4000 GROUP BY o_orderstatus""")
+      s.sql("""SELECT status, n_orders,
+          CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM gcts.marts.status_daily ORDER BY status""")
     })
   )
 
@@ -1694,6 +1759,27 @@ object TableQueries {
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            CAST(SUM(CASE WHEN o_orderkey < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
            MIN(o_orderstatus) AS min_status
-         FROM orders WHERE o_orderkey < 600"""
+         FROM orders WHERE o_orderkey < 600""",
+    "spark_open_evolution" ->
+      """SELECT COUNT(*) AS row_count,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+           MIN(o_orderstatus) AS min_status,
+           CAST(SUM(CASE WHEN o_orderkey < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_v1
+         FROM orders WHERE o_orderkey < 600""",
+    "spark_open_ctas" ->
+      """SELECT status, n_orders,
+           CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM (
+           SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'x_' || o_orderstatus, COUNT(*),
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+           GROUP BY o_orderstatus)
+         ORDER BY status"""
   )
 }

@@ -140,4 +140,49 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[Exception](spark.sql("SELECT * FROM gc4.ops.t").collect())
     }
   }
+
+  test("CTAS and INSERT INTO SELECT through the catalog") {
+    withCatalog("gc5") {
+      spark.sql("CREATE NAMESPACE gc5.marts")
+      spark.sql("""CREATE TABLE gc5.marts.sq AS
+        SELECT id, id * id AS sq FROM RANGE(10)""")
+      assert(spark.table("gc5.marts.sq").count() == 10)
+      spark.sql("INSERT INTO gc5.marts.sq SELECT id, -1 FROM RANGE(10, 13)")
+      assert(spark.sql("SELECT SUM(sq) FROM gc5.marts.sq").head.getLong(0) ==
+        (0 until 10).map(i => i * i).sum - 3)
+      // CTAS staged through the native DSv2 write: the table is a real
+      // graft table with a snapshot log, not a path of loose files
+      val t = GraftTable.load(spark,
+        s"${spark.conf.get("spark.sql.catalog.gc5.warehouse")}/marts/sq")
+      assert(t.snapshotsList.map(_.operation).count(_ == "append") == 2)
+    }
+  }
+
+  test("readStream.table follows appends through the catalog") {
+    withCatalog("gc6") {
+      import spark.implicits._
+      spark.sql("CREATE NAMESPACE gc6.live")
+      spark.sql("CREATE TABLE gc6.live.ev (id BIGINT, v DOUBLE)")
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").writeTo("gc6.live.ev").append()
+      val out = scratchDir("gc6-out")
+      val q = spark.readStream.table("gc6.live.ev")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp")
+        .option("path", s"$out/data")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      Seq((3L, 3.0)).toDF("id", "v").writeTo("gc6.live.ev").append()
+      val q2 = spark.readStream.table("gc6.live.ev")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp")
+        .option("path", s"$out/data")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(60000)
+      val got = spark.read.parquet(s"$out/data")
+      assert(got.count() == 3 &&
+        got.agg(sum("v")).head.getDouble(0) == 6.0)
+    }
+  }
 }
