@@ -1341,6 +1341,34 @@ object TableQueries {
       s.sql("""SELECT status, n_orders,
           CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total
         FROM gcts.marts.status_daily ORDER BY status""")
+    }),
+
+    // Inspection/metadata tables through the catalog: `cat.ns.t.partitions`
+    // / `.snapshots` / `.files` resolve as four-part names (Iceberg's
+    // metadata-table convention — the bulk-insert notebook reads
+    // `t.snapshots` the same way, bulk_insert_sales_events.sql:14-17),
+    // planned as a LocalTableScan over snapshot metadata: zero tasks, no
+    // data file opened.
+    "spark_open_meta" -> ((s, dir) => {
+      val wh = scratch("open_meta_wh")
+      s.conf.set("spark.sql.catalog.gcm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcm.warehouse", wh)
+      s.sql("CREATE NAMESPACE gcm.ops")
+      s.sql("""CREATE TABLE gcm.ops.orders_meta (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)""")
+      Tables.orders(s, dir).filter(col("o_orderkey") < 700)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .writeTo("gcm.ops.orders_meta").append()
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") >= 700 && col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .writeTo("gcm.ops.orders_meta").append()
+      s.sql("""SELECT p.partition, p.total_rows,
+          (SELECT COUNT(*) FROM gcm.ops.orders_meta.snapshots
+             WHERE operation = 'append') AS n_appends,
+          (SELECT SUM(row_count) FROM gcm.ops.orders_meta.files) AS n_rows_files
+        FROM gcm.ops.orders_meta.partitions p ORDER BY p.partition""")
     })
   )
 
@@ -1780,6 +1808,13 @@ object TableQueries {
              SUM(CAST(o_totalprice AS DECIMAL(18,2)))
            FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
            GROUP BY o_orderstatus)
-         ORDER BY status"""
+         ORDER BY status""",
+    "spark_open_meta" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+           COUNT(*) AS total_rows,
+           CAST(2 AS BIGINT) AS n_appends,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000) AS n_rows_files
+         FROM orders WHERE o_orderkey < 1000
+         GROUP BY o_orderstatus ORDER BY 1"""
   )
 }

@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -151,18 +151,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (Seq(catalogName) ++ ident.namespace() :+ ident.name()).mkString(".")
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val dir = svc.loadTable(ns1(ident.namespace()), ident.name()).tableDir
-    GraftCatalogTable(dir, identString(ident))
+    if (tableExists(ident)) {
+      val dir = svc.loadTable(ns1(ident.namespace()), ident.name()).tableDir
+      GraftCatalogTable(dir, identString(ident))
+    } else metadataTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
   }
 
-  /** `VERSION AS OF <snapshot-id>` through three-part SQL names. */
+  /** `cat.ns.t.snapshots` and friends: Spark resolves a four-part name as
+    * `Identifier(["ns","t"], "snapshots")` — when the inner two-part name
+    * is a real table and the trailing part a known inspection suffix, serve
+    * that metadata frame as a read-only table (the Iceberg metadata-table
+    * convention). An actual table named like a suffix always wins — this
+    * path only runs when `tableExists` said no.
+    */
+  private def metadataTableFor(ident: Identifier): Option[Table] =
+    if (ident.namespace.length != 2) None
+    else {
+      val inner = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+      val frame = GraftCatalog.MetaFrames.get(ident.name().toLowerCase)
+      if (frame.isEmpty || !tableExists(inner)) None
+      else {
+        val dir = svc.loadTable(ns1(inner.namespace()), inner.name()).tableDir
+        Some(new GraftMetadataTable(dir, identString(ident), frame.get))
+      }
+    }
+
+  /** `VERSION AS OF <snapshot-id | 'tag'>` through three-part SQL names
+    * (same precedence as the engine's travel rewrite: digits = snapshot id,
+    * then tag names; branch reads stay on the table API — a branch's file
+    * set is not a main-line snapshot pin).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"graft VERSION AS OF takes a snapshot id, got '$version'")
     val dir = svc.loadTable(ns1(ident.namespace()), ident.name()).tableDir
-    GraftCatalogTable(dir, identString(ident), pinnedSnapshot = Some(version.toLong))
+    val t = GraftTable.load(spark, dir)
+    val id =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else t.tags.getOrElse(version, throw new IllegalArgumentException(
+        s"graft VERSION AS OF '$version': not a snapshot id or tag of ${ident.name}"))
+    GraftCatalogTable(dir, identString(ident), pinnedSnapshot = Some(id))
   }
 
   /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds. */
@@ -256,7 +283,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+/** A read-only inspection table (`cat.ns.t.snapshots` etc.): the frame is
+  * O(files)/O(snapshots) driver-side metadata — no data file is opened — so
+  * it serves through a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * (Spark plans a LocalTableScan; no tasks launch), the same materialization
+  * cost the frames already have everywhere else they're used.
+  */
+private[sources] class GraftMetadataTable(dir: String, identName: String,
+    frame: GraftTable => DataFrame) extends Table with SupportsRead {
+  private def df: DataFrame = frame(GraftTable.load(SparkSession.active, dir))
+  override def name(): String = identName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          private val snap = df
+          override def readSchema(): StructType = snap.schema
+          override def rows(): Array[InternalRow] =
+            snap.queryExecution.executedPlan.executeCollect().map(_.copy())
+          override def description(): String = s"GraftMetadataScan($identName)"
+        }
+    }
+}
+
 object GraftCatalog {
+
+  /** The inspection suffixes `loadTable` resolves for `cat.ns.t.<suffix>`
+    * (the same set the SQL engine's `<view>.<suffix>` sugar serves).
+    */
+  private[sources] val MetaFrames: Map[String, GraftTable => DataFrame] = Map(
+    "snapshots" -> (_.snapshots()),
+    "files" -> (_.files()),
+    "delete_files" -> (_.deleteFiles()),
+    "partitions" -> (_.partitions()),
+    "refs" -> (_.refs()),
+    "history" -> (_.history()),
+    "all_files" -> (_.allFiles()),
+    "properties" -> (_.propertiesTable()),
+    "column_stats" -> (_.columnStatsTable()),
+    "metadata_log_entries" -> (_.metadataLogTable()))
   /** Map Spark's `Transform[]` partitioning onto the table layout: identity
     * transforms are partition columns as-is; time/bucket/truncate transforms
     * derive a partition column (named `src_<fn>`) recorded in the

@@ -158,6 +158,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables and tag travel through four-part / VERSION AS OF names") {
+    withCatalog("gc7") {
+      import spark.implicits._
+      spark.sql("CREATE NAMESPACE gc7.ops")
+      spark.sql("CREATE TABLE gc7.ops.t (k BIGINT, region STRING) PARTITIONED BY (region)")
+      Seq((1L, "emea"), (2L, "emea"), (3L, "apac")).toDF("k", "region")
+        .writeTo("gc7.ops.t").append()
+      Seq((4L, "apac")).toDF("k", "region").writeTo("gc7.ops.t").append()
+
+      val snaps = spark.sql(
+        "SELECT snapshot_id, operation FROM gc7.ops.t.snapshots ORDER BY snapshot_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(snaps.map(_._2).toSeq == Seq("create", "append", "append"))
+      assert(spark.sql("SELECT SUM(row_count) FROM gc7.ops.t.files")
+        .head.getLong(0) == 4L)
+      val parts = spark.sql(
+        "SELECT partition, total_rows FROM gc7.ops.t.partitions ORDER BY partition")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(parts == Seq(("region=apac", 2L), ("region=emea", 2L)))
+      // metadata table plans as a local scan — zero tasks, no data file read
+      val plan = spark.sql("SELECT * FROM gc7.ops.t.history")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") || plan.contains("GraftMetadataScan"), plan)
+
+      // tag travel: VERSION AS OF 'name' resolves through the catalog
+      val firstAppend = snaps(1)._1
+      val t = GraftTable.load(spark,
+        s"${spark.conf.get("spark.sql.catalog.gc7.warehouse")}/ops/t")
+      t.createTag("audit", firstAppend)
+      assert(spark.sql("SELECT COUNT(*) FROM gc7.ops.t VERSION AS OF 'audit'")
+        .head.getLong(0) == 3L)
+      assert(spark.sql("SELECT type FROM gc7.ops.t.refs").head.getString(0) == "tag")
+    }
+  }
+
   test("readStream.table follows appends through the catalog") {
     withCatalog("gc6") {
       import spark.implicits._
