@@ -284,6 +284,50 @@ object Dml {
     t.commitRewrite(rewritten, untouched, "delete", basedOn = Some(planned))
   }
 
+  /** `write.delete.representation` routing for merge-on-read DML:
+    * `equality` (default) keys on identifier columns, `positional` writes
+    * delete vectors. Any other value is refused loudly — a typo silently
+    * falling back to equality would change DML semantics on a non-unique
+    * key.
+    */
+  def positionalRepresentation(t: GraftTable): Boolean =
+    t.properties.get(GraftTable.DeleteRepresentationProp)
+      .map(_.toLowerCase) match {
+      case Some("positional") => true
+      case Some("equality") | None => false
+      case Some(other) => throw new UnsupportedOperationException(
+        s"${GraftTable.DeleteRepresentationProp}='$other' (equality or positional)")
+    }
+
+  private def morMode(t: GraftTable, prop: String): Boolean =
+    t.properties.get(prop).map(_.toLowerCase).contains("merge-on-read")
+
+  private def identifierCols(t: GraftTable, modeProp: String): Seq[String] =
+    t.properties.get(GraftTable.IdentifierColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$modeProp=merge-on-read needs ${GraftTable.IdentifierColumnsProp} on " +
+          s"${t.tableDir} (or ${GraftTable.DeleteRepresentationProp}=positional)"))
+
+  /** DELETE routed by the table's `write.delete.mode` /
+    * `write.delete.representation` properties — the single entry point every
+    * SQL route (pre-router and Spark catalog alike) goes through, so a
+    * table declared merge-on-read gets its O(matched) read-only plan from
+    * any door, never a silent COW rewrite.
+    */
+  def deleteAuto(t: GraftTable, pred: Column): Snapshot =
+    if (!morMode(t, GraftTable.DeleteModeProp)) delete(t, pred)
+    else if (positionalRepresentation(t)) deleteMorPositional(t, pred)
+    else deleteMor(t, pred, identifierCols(t, GraftTable.DeleteModeProp))
+
+  /** UPDATE routed by `write.update.mode` — see [[deleteAuto]]. */
+  def updateAuto(t: GraftTable, pred: Column,
+      assignments: Map[String, Column]): Snapshot =
+    if (!morMode(t, GraftTable.UpdateModeProp)) update(t, pred, assignments)
+    else if (positionalRepresentation(t)) updateMorPositional(t, pred, assignments)
+    else updateMor(t, pred, assignments, identifierCols(t, GraftTable.UpdateModeProp))
+
   /** Merge-on-read DELETE by explicit keys (the Iceberg v2 equality-delete
     * write, the Flink-CDC delete shape): `keys`' columns name table columns;
     * each tuple deletes every live row equal on all of them (null-safe).

@@ -51,55 +51,23 @@ object SqlDml {
           val pred = u.condition.map(strip).getOrElse(lit(true))
           // Iceberg's write.update.mode: merge-on-read replaces the matched
           // rows via ONE equality-delete + append on the declared identifier
-          // columns — zero data files rewrite (the same property pattern as
-          // write.delete.mode below)
-          if (t.properties.get(graft.table.GraftTable.UpdateModeProp)
-              .map(_.toLowerCase).contains("merge-on-read")) {
-            // write.delete.representation=positional: a delete VECTOR +
-            // append names the matched rows by (file, position) — no
-            // identifier columns needed, nothing over-deleted on a
-            // non-unique key
-            if (positionalRepresentation(t))
-              Dml.updateMorPositional(t, pred, assigns)
-            else {
-              val keyCols = t.properties
-                .get(graft.table.GraftTable.IdentifierColumnsProp)
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .filter(_.nonEmpty)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"${graft.table.GraftTable.UpdateModeProp}=merge-on-read needs " +
-                    s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir} " +
-                    s"(or ${graft.table.GraftTable.DeleteRepresentationProp}=positional)"))
-              Dml.updateMor(t, pred, assigns, keyCols)
-            }
-          } else Dml.update(t, pred, assigns)
+          // columns (or a positional delete vector under
+          // write.delete.representation=positional) — zero data files
+          // rewritten. Routing lives in Dml.updateAuto, shared with the
+          // Spark-catalog SQL route.
+          Dml.updateAuto(t, pred, assigns)
           StatementResult(statement, Nil, None)
         }
 
       case d: DeleteFromTable =>
         target(d.table, tables, catalog).map { case (alias, t) =>
-          val props = t.properties
           val pred = dequalify(alias)(d.condition)
           // Iceberg's write.delete.mode: merge-on-read commits an equality-
-          // delete file (read-only plan, O(matched keys)) instead of
-          // rewriting matched data files; the delete key tuple is the
-          // table's declared identifier columns (the identifier-field
-          // analog — equality deletes are undefined without one).
-          if (props.get(graft.table.GraftTable.DeleteModeProp)
-              .map(_.toLowerCase).contains("merge-on-read")) {
-            if (positionalRepresentation(t))
-              Dml.deleteMorPositional(t, pred)
-            else {
-              val keyCols = props.get(graft.table.GraftTable.IdentifierColumnsProp)
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .filter(_.nonEmpty)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"${graft.table.GraftTable.DeleteModeProp}=merge-on-read needs " +
-                    s"${graft.table.GraftTable.IdentifierColumnsProp} on ${t.tableDir} " +
-                    s"(or ${graft.table.GraftTable.DeleteRepresentationProp}=positional)"))
-              Dml.deleteMor(t, pred, keyCols)
-            }
-          } else Dml.delete(t, pred)
+          // delete file or positional delete vector (read-only plan,
+          // O(matched keys)) instead of rewriting matched data files.
+          // Routing lives in Dml.deleteAuto, shared with the Spark-catalog
+          // SQL route.
+          Dml.deleteAuto(t, pred)
           StatementResult(statement, Nil, None)
         }
 

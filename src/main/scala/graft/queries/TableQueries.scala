@@ -1369,6 +1369,41 @@ object TableQueries {
              WHERE operation = 'append') AS n_appends,
           (SELECT SUM(row_count) FROM gcm.ops.orders_meta.files) AS n_rows_files
         FROM gcm.ops.orders_meta.partitions p ORDER BY p.partition""")
+    }),
+
+    // CALL procedures through the catalog's ProcedureCatalog face: stock
+    // Spark 4 parses `CALL cat.system.proc(...)`, binds the named arguments
+    // against the declared parameters, and this engine's Maintenance layer
+    // runs them — the reference's bench maintenance statements verbatim
+    // (blob-dfs_bench.py:141-155). Three 1-file appends → binpack rewrites
+    // 3 into 1; expire_snapshots(retain_last => 2) drops the other 3 of 5
+    // snapshots; ancestors_of walks the remaining 2-deep lineage.
+    "spark_call_procedures" -> ((s, dir) => {
+      val wh = scratch("call_proc_wh")
+      s.conf.set("spark.sql.catalog.gcp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcp.warehouse", wh)
+      s.sql("CREATE NAMESPACE gcp.maint")
+      s.sql("CREATE TABLE gcp.maint.orders_m (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      val src = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      Seq(0L, 700L, 1400L).foreach { lo =>
+        src.filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + 700)
+          .coalesce(1).writeTo("gcp.maint.orders_m").append()
+      }
+      val rw = s.sql(
+        """CALL gcp.system.rewrite_data_files(table => 'maint.orders_m',
+          options => map('min-input-files','2','max-file-size-bytes','536870912'))""")
+        .head()
+      val exp = s.sql(
+        "CALL gcp.system.expire_snapshots(table => 'maint.orders_m', retain_last => 2)")
+        .head()
+      val lineage = s.sql("CALL gcp.system.ancestors_of('maint.orders_m')").count()
+      s.sql(s"""SELECT COUNT(*) AS n_rows,
+          CAST(CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+          CAST(${rw.getLong(0)} AS BIGINT) AS rewritten_files,
+          CAST(${rw.getLong(1)} AS BIGINT) AS added_files,
+          CAST(${exp.getLong(0)} AS BIGINT) AS expired_snapshots,
+          CAST($lineage AS BIGINT) AS lineage_depth
+        FROM gcp.maint.orders_m""")
     })
   )
 
@@ -1815,6 +1850,14 @@ object TableQueries {
            CAST(2 AS BIGINT) AS n_appends,
            (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000) AS n_rows_files
          FROM orders WHERE o_orderkey < 1000
-         GROUP BY o_orderstatus ORDER BY 1"""
+         GROUP BY o_orderstatus ORDER BY 1""",
+    "spark_call_procedures" ->
+      """SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           CAST(3 AS BIGINT) AS rewritten_files,
+           CAST(1 AS BIGINT) AS added_files,
+           CAST(3 AS BIGINT) AS expired_snapshots,
+           CAST(2 AS BIGINT) AS lineage_depth
+         FROM orders WHERE o_orderkey < 2100"""
   )
 }

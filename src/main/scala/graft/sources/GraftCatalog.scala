@@ -8,7 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -62,13 +63,44 @@ import graft.table.{FileEntry, GraftTable, Snapshot, SnapshotLog}
   * engine's pre-router (`plan/SqlDml.scala`), exactly like the reference
   * splits its Spark-SQL and Snowflake-SQL surfaces.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
 
   private def spark: SparkSession = SparkSession.active
   private def svc: CatalogService = new CatalogService(spark, warehouse)
+
+  private[sources] def service: CatalogService = svc
+
+  /** Resolve a procedure's `table => 'ns.t'` argument (a leading catalog
+    * part naming THIS catalog is tolerated, as in the reference's CALLs).
+    */
+  private[sources] def loadGraftTable(identStr: String): GraftTable = {
+    val parts = identStr.replace("`", "").split("\\.").toSeq
+    val (ns, tn) = parts match {
+      case Seq(n, t) => (n, t)
+      case Seq(c, n, t) if c.equalsIgnoreCase(catalogName) => (n, t)
+      case _ => throw new IllegalArgumentException(
+        s"table identifier '$identStr' (need ns.table or $catalogName.ns.table)")
+    }
+    svc.loadTable(ns, tn)
+  }
+
+  // ---- procedures (CALL <cat>.system.<proc>) ----
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().map(_.toLowerCase).sameElements(Array("system")),
+      s"graft procedures live in the system namespace, got " +
+        (ident.namespace() :+ ident.name()).mkString("."))
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new IllegalArgumentException(s"no such procedure: system.${ident.name()}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.map(_.toLowerCase).sameElements(Array("system"))) Array.empty
+    else GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -525,7 +557,9 @@ private[sources] case class GraftCatalogTable(dir: String, identName: String,
       throw new UnsupportedOperationException(
         s"graft DELETE: untranslatable filters ${filters.mkString(", ")}"))
     val t = GraftTable.load(SparkSession.active, dir)
-    graft.dml.Dml.delete(t, pred)
+    // honors write.delete.mode=merge-on-read (equality or positional
+    // representation) exactly like the pre-router's DELETE route
+    graft.dml.Dml.deleteAuto(t, pred)
   }
 
   // ---- group-based copy-on-write row-level operations ----
