@@ -8,7 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -64,7 +65,7 @@ import graft.table.{FileEntry, GraftTable, Snapshot, SnapshotLog}
   * splits its Spark-SQL and Snowflake-SQL surfaces.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -101,6 +102,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (!namespace.map(_.toLowerCase).sameElements(Array("system"))) Array.empty
     else GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+
+  // ---- functions (SELECT <cat>.system.<fn>(...)) ----
+
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    if (!ident.namespace().map(_.toLowerCase).sameElements(Array("system")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.map(_.toLowerCase).sameElements(Array("system"))) Array.empty
+    else GraftFunctions.names.map(Identifier.of(Array("system"), _)).toArray
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().map(_.toLowerCase).sameElements(Array("system")) &&
+      GraftFunctions.load(ident.name()).isDefined
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
