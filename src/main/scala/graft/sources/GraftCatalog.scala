@@ -306,8 +306,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (t.schema.fieldNames.contains(name)) t.dropColumn(name)
         else if (dc.ifExists == null || !dc.ifExists.booleanValue())
           throw new IllegalArgumentException(s"no column $name in ${ident.name}")
-      case un: TableChange.UpdateColumnNullability => () // advisory only here
-      case uc: TableChange.UpdateColumnComment => ()     // comments not persisted
+      case un: TableChange.UpdateColumnNullability =>
+        // every graft column is nullable: DROP NOT NULL is already
+        // satisfied; SET NOT NULL cannot be enforced by the format, so
+        // refuse loudly rather than let it silently mean nothing (Spark's
+        // own analysis also blocks it on the SQL route)
+        if (!un.nullable()) throw new UnsupportedOperationException(
+          s"graft ALTER TABLE: NOT NULL is not enforced by the table " +
+            s"format; cannot alter ${top(un.fieldNames)} on ${ident.name}")
+      case uc: TableChange.UpdateColumnComment =>
+        // durable as a table property — round-trips through
+        // SHOW TBLPROPERTIES and DESCRIBE (schema() re-attaches it)
+        val cn = top(uc.fieldNames)
+        require(t.schema.fieldNames.contains(cn),
+          s"no column $cn in ${ident.name}")
+        t.setProperties(Map(s"${GraftCatalog.ColumnCommentPrefix}$cn" ->
+          Option(uc.newComment).filter(_.nonEmpty)))
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}")
     }
@@ -326,10 +340,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val newNs = ns1(newIdent.namespace())
     if (!svc.namespaceExists(newNs))
       throw new NoSuchNamespaceException(newIdent.namespace())
-    val from = java.nio.file.Paths.get(warehouse, ns1(oldIdent.namespace()),
-      oldIdent.name())
-    val to = java.nio.file.Paths.get(warehouse, newNs, newIdent.name())
-    java.nio.file.Files.move(from, to)
+    // through the Hadoop filesystem of the warehouse path (NOT java.nio):
+    // a non-local fs.defaultFS or a `file:`-scheme warehouse must rename
+    // exactly like every other table/catalog operation reaches storage
+    val from = new org.apache.hadoop.fs.Path(warehouse,
+      s"${ns1(oldIdent.namespace())}/${oldIdent.name()}")
+    val to = new org.apache.hadoop.fs.Path(warehouse, s"$newNs/${newIdent.name()}")
+    val fs = from.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"RENAME ${identString(oldIdent)} -> ${identString(newIdent)}: " +
+          s"filesystem rename($from, $to) returned false")
   }
 }
 
@@ -360,6 +381,14 @@ private[sources] class GraftMetadataTable(dir: String, identName: String,
 }
 
 object GraftCatalog {
+
+  /** Column comments persist as `comment.<column>` table properties (the
+    * snapshot schema JSON is physical layout, not annotation), so they
+    * survive catalog restarts and round-trip through SHOW TBLPROPERTIES;
+    * `GraftCatalogTable.schemaFor` re-attaches them as StructField metadata
+    * so DESCRIBE shows them too.
+    */
+  val ColumnCommentPrefix = "comment."
 
   /** The inspection suffixes `loadTable` resolves for `cat.ns.t.<suffix>`
     * (the same set the SQL engine's `<view>.<suffix>` sugar serves).
@@ -596,7 +625,16 @@ private[sources] object GraftCatalogTable {
     require(snaps.nonEmpty, s"no graft table at $dir")
     val snap = GraftStreamSource.resolveSnapshot(snaps, dir,
       pinnedSnapshot, pinnedTimestamp).get
-    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val st = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // re-attach persisted column comments (comment.<col> properties) so
+    // DESCRIBE through the catalog shows what ALTER COLUMN ... COMMENT set
+    val comments = GraftTable.load(SparkSession.active, dir).properties
+      .collect { case (k, v) if k.startsWith(GraftCatalog.ColumnCommentPrefix) =>
+        k.stripPrefix(GraftCatalog.ColumnCommentPrefix) -> v
+      }
+    if (comments.isEmpty) st
+    else StructType(st.fields.map(f =>
+      comments.get(f.name).map(f.withComment).getOrElse(f)))
   }
 }
 

@@ -193,6 +193,52 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("RENAME TABLE goes through the Hadoop filesystem (file:-scheme warehouse)") {
+    val wh = s"file:${scratchDir("cat-rename")}"
+    spark.conf.set("spark.sql.catalog.gcr.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gcr", "graft.sources.GraftCatalog")
+    try {
+      spark.sql("CREATE NAMESPACE gcr.a")
+      spark.sql("CREATE NAMESPACE gcr.b")
+      spark.sql("CREATE TABLE gcr.a.src (id BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gcr.a.src SELECT id, id * 0.5 FROM RANGE(8)")
+      // cross-namespace rename (RENAME TO is catalog-relative): java.nio
+      // would choke on the file: scheme; the Hadoop FS route must move
+      // data + snapshot log intact
+      spark.sql("ALTER TABLE gcr.a.src RENAME TO b.dst")
+      assert(spark.sql("SELECT COUNT(*), SUM(v) FROM gcr.b.dst").head.getLong(0) == 8L)
+      assert(spark.sql("SHOW TABLES IN gcr.a").collect().isEmpty)
+      intercept[Exception](spark.table("gcr.a.src").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcr")
+      spark.conf.unset("spark.sql.catalog.gcr.warehouse")
+    }
+  }
+
+  test("ALTER COLUMN COMMENT persists; nullability change refuses loudly") {
+    withCatalog("gc8") {
+      spark.sql("CREATE NAMESPACE gc8.meta")
+      spark.sql("CREATE TABLE gc8.meta.t (id BIGINT, v DOUBLE)")
+      spark.sql("ALTER TABLE gc8.meta.t ALTER COLUMN v COMMENT 'gross amount'")
+      // durable: round-trips through SHOW TBLPROPERTIES ...
+      val props = spark.sql("SHOW TBLPROPERTIES gc8.meta.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("comment.v").contains("gross amount"), props)
+      // ... and through DESCRIBE (schemaFor re-attaches field metadata)
+      val desc = spark.sql("DESCRIBE TABLE gc8.meta.t").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(desc.get("v").contains("gross amount"), desc)
+      // NOT NULL is not enforceable: loud refusal (Spark's analysis or the
+      // catalog — either way the statement fails rather than no-ops) ...
+      val ex = intercept[Exception](
+        spark.sql("ALTER TABLE gc8.meta.t ALTER COLUMN v SET NOT NULL"))
+      assert(ex.getMessage.toLowerCase.contains("nullab") ||
+        ex.getMessage.toLowerCase.contains("not null"), ex.getMessage)
+      // ... while DROP NOT NULL is already satisfied (all columns nullable)
+      spark.sql("ALTER TABLE gc8.meta.t ALTER COLUMN v DROP NOT NULL")
+    }
+  }
+
   test("readStream.table follows appends through the catalog") {
     withCatalog("gc6") {
       import spark.implicits._
