@@ -1318,11 +1318,14 @@ object TableQueries {
           (SELECT COUNT(*) FROM gcevo.lab.orders_evo VERSION AS OF $v1) AS n_at_v1""")
     }),
 
-    // CTAS through the catalog: stock `CREATE TABLE cat.ns.t AS SELECT`
-    // resolves this catalog's createTable + the native DSv2 batch write in
-    // one statement (Spark's non-atomic CTAS exec for a plain TableCatalog),
-    // then a second INSERT INTO SELECT appends an increment — the
-    // derived-table materialization shape every warehouse user expects.
+    // CTAS + RTAS through the catalog: stock `CREATE TABLE cat.ns.t AS
+    // SELECT` stages the table via StagingTableCatalog and the native DSv2
+    // batch write, committing with an atomic swap (a mid-write failure
+    // leaves NO table — GraftStagedCtasSpec pins that); INSERT INTO SELECT
+    // appends an increment; `REPLACE TABLE ... AS SELECT` stage-swaps the
+    // content wholesale while the old table stays readable until the
+    // instant of the swap. The pre-replace aggregate rides along as
+    // literals so the oracle checks both generations.
     "spark_open_ctas" -> ((s, dir) => {
       val wh = scratch("open_ctas_wh")
       s.conf.set("spark.sql.catalog.gcts", "graft.sources.GraftCatalog")
@@ -1338,8 +1341,18 @@ object TableQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         FROM open_ctas_orders
         WHERE o_orderkey >= 2000 AND o_orderkey < 4000 GROUP BY o_orderstatus""")
-      s.sql("""SELECT status, n_orders,
-          CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total
+      val pre = s.sql(
+        "SELECT COUNT(*) AS n, SUM(n_orders) AS so FROM gcts.marts.status_daily")
+        .head()
+      s.sql("""REPLACE TABLE gcts.marts.status_daily AS
+        SELECT concat('y_', o_orderstatus) AS status, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM open_ctas_orders
+        WHERE o_orderkey >= 4000 AND o_orderkey < 6000 GROUP BY o_orderstatus""")
+      s.sql(s"""SELECT status, n_orders,
+          CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total,
+          CAST(${pre.getLong(0)} AS BIGINT) AS pre_replace_rows,
+          CAST(${pre.getLong(1)} AS BIGINT) AS pre_replace_orders
         FROM gcts.marts.status_daily ORDER BY status""")
     }),
 
@@ -1832,16 +1845,21 @@ object TableQueries {
            CAST(SUM(CASE WHEN o_orderkey < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_v1
          FROM orders WHERE o_orderkey < 600""",
     "spark_open_ctas" ->
-      """SELECT status, n_orders,
-           CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total
-         FROM (
-           SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      """WITH pre AS (
+           SELECT o_orderstatus AS status, COUNT(*) AS n_orders
            FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus
            UNION ALL
-           SELECT 'x_' || o_orderstatus, COUNT(*),
-             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           SELECT 'x_' || o_orderstatus, COUNT(*)
            FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+           GROUP BY o_orderstatus)
+         SELECT status, n_orders,
+           CAST(CAST(total AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           (SELECT COUNT(*) FROM pre) AS pre_replace_rows,
+           (SELECT CAST(SUM(n_orders) AS BIGINT) FROM pre) AS pre_replace_orders
+         FROM (
+           SELECT 'y_' || o_orderstatus AS status, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 6000
            GROUP BY o_orderstatus)
          ORDER BY status""",
     "spark_open_meta" ->

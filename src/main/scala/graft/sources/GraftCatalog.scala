@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
@@ -65,7 +65,7 @@ import graft.table.{FileEntry, GraftTable, Snapshot, SnapshotLog}
   * splits its Spark-SQL and Snowflake-SQL surfaces.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -328,6 +328,88 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  //
+  // CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT /
+  // writeTo().create()/replace()/createOrReplace() stage the new table as a
+  // REAL graft table under `<warehouse>/_staging/<uuid>` (invisible to
+  // listNamespaces — underscore prefix), write into it through the same
+  // native DSv2 batch write as any other table, and only on write success
+  // swap it into place with filesystem renames. A mid-write failure aborts
+  // to a staging delete: the target name never holds a partial table, and a
+  // REPLACE target stays fully readable until the instant of the swap.
+
+  private def stagingModeFor(ident: Identifier, mustExist: Boolean,
+      mustNotExist: Boolean): Unit = {
+    val ns = ns1(ident.namespace())
+    if (!svc.namespaceExists(ns)) throw new NoSuchNamespaceException(ident.namespace())
+    if (mustNotExist && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (mustExist && !tableExists(ident)) throw new NoSuchTableException(ident)
+  }
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      mode: GraftStagedTable.Mode): StagedTable = {
+    val (partCols, transformsProp) = GraftCatalog.mapPartitioning(partitions)
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
+    require(!properties.containsKey(TableCatalog.PROP_LOCATION),
+      s"graft staged CREATE/REPLACE does not take LOCATION (stage-and-swap " +
+        s"owns the table path); use plain CREATE TABLE ... LOCATION instead")
+    val props = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+    } ++ transformsProp.map(GraftTable.PartitionTransformsProp -> _)
+    val stagingDir = s"$warehouse/_staging/${java.util.UUID.randomUUID()}"
+    val created = GraftTable.create(spark, stagingDir, schema, partCols)
+    if (props.nonEmpty)
+      created.setProperties(props.map { case (k, v) => k -> Some(v) })
+    new GraftStagedTable(this, stagingDir, warehouse, ident,
+      identString(ident), mode)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    stagingModeFor(ident, mustExist = false, mustNotExist = true)
+    stage(ident, schema, partitions, properties, GraftStagedTable.Create)
+  }
+
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable =
+    stageCreate(ident, GraftCatalog.columnsToStructType(columns),
+      partitions, properties)
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    stagingModeFor(ident, mustExist = true, mustNotExist = false)
+    stage(ident, schema, partitions, properties, GraftStagedTable.Replace)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable =
+    stageReplace(ident, GraftCatalog.columnsToStructType(columns),
+      partitions, properties)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    stagingModeFor(ident, mustExist = false, mustNotExist = false)
+    stage(ident, schema, partitions, properties, GraftStagedTable.CreateOrReplace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable =
+    stageCreateOrReplace(ident, GraftCatalog.columnsToStructType(columns),
+      partitions, properties)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
     else { svc.dropTable(ns1(ident.namespace()), ident.name()); true }
@@ -389,6 +471,17 @@ object GraftCatalog {
     * so DESCRIBE shows them too.
     */
   val ColumnCommentPrefix = "comment."
+
+  /** DSv2 `Column[]` → `StructType` for the staged-create faces (Spark's
+    * own CatalogV2Util equivalent is private[sql]). Comments become field
+    * comments; defaults are refused like everywhere else they're unsupported.
+    */
+  private[sources] def columnsToStructType(columns: Array[V2Column]): StructType =
+    StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).map(f.withComment).getOrElse(f)
+    })
 
   /** The inspection suffixes `loadTable` resolves for `cat.ns.t.<suffix>`
     * (the same set the SQL engine's `<view>.<suffix>` sugar serves).
@@ -709,6 +802,81 @@ private[sources] class GraftCowOperation(dir: String, info: RowLevelOperationInf
     }
 
   override def description(): String = s"GraftCowOperation($dir, ${command()})"
+}
+
+/** A staged table for atomic CTAS/RTAS: a REAL graft table living under
+  * `<warehouse>/_staging/<uuid>` that Spark writes into through the normal
+  * native batch write; `commitStagedChanges` swaps it to the target name
+  * with filesystem renames (REPLACE parks the old table in a trash path
+  * first and restores it if the swap fails); `abortStagedChanges` deletes
+  * the staging directory. The target name never holds a partial table —
+  * snapshot-log file paths are table-relative, so the rename carries the
+  * whole table intact (same invariant RENAME TABLE relies on).
+  */
+private[sources] class GraftStagedTable(catalog: GraftCatalog,
+    stagingDir: String, warehouse: String, ident: Identifier,
+    identName: String, mode: GraftStagedTable.Mode)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with StagedTable {
+
+  private val inner = GraftCatalogTable(stagingDir, identName)
+
+  override def name(): String = identName
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): JMap[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  private def fs = new org.apache.hadoop.fs.Path(warehouse)
+    .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  private def stagingPath = new org.apache.hadoop.fs.Path(stagingDir)
+  private def renameOrThrow(from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to)) throw new IllegalStateException(
+      s"staged commit of $identName: rename($from, $to) returned false")
+
+  override def commitStagedChanges(): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(warehouse,
+      s"${ident.namespace()(0)}/${ident.name()}")
+    mode match {
+      case GraftStagedTable.Create =>
+        if (fs.exists(dst)) {
+          abortStagedChanges()
+          throw new TableAlreadyExistsException(ident)
+        }
+        renameOrThrow(stagingPath, dst)
+      case GraftStagedTable.Replace | GraftStagedTable.CreateOrReplace =>
+        val existed = fs.exists(dst)
+        if (mode == GraftStagedTable.Replace && !existed) {
+          abortStagedChanges()
+          throw new NoSuchTableException(ident)
+        }
+        val trash = new org.apache.hadoop.fs.Path(warehouse,
+          s"_staging/trash-${java.util.UUID.randomUUID()}")
+        if (existed) renameOrThrow(dst, trash)
+        try renameOrThrow(stagingPath, dst)
+        catch { case e: Throwable =>
+          // restore the parked original so a failed swap loses nothing
+          if (existed) fs.rename(trash, dst)
+          throw e
+        }
+        if (existed) fs.delete(trash, true)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    scala.util.Try(fs.delete(stagingPath, true))
+    ()
+  }
+}
+
+private[sources] object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
 }
 
 /** Shared staging machinery for native DSv2 batch writes: every task stages
