@@ -5,14 +5,12 @@ import org.apache.spark.sql.SparkSession
 object DevRun {
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(
-      SparkSession.builder().master("local[8]"), "8").getOrCreate()
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark,
-        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-      df.show(20, truncate = false)
-      println(f"[devrun] $name took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val dir = "/root/testdata/sf0.1"
+    for (t <- Seq("documents", "embeddings", "orders", "lineitem", "events")) {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      println(s"[devrun] $t rows=${df.count()} scanParts=${df.rdd.getNumPartitions}")
     }
     spark.stop()
   }

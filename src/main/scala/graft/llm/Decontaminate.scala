@@ -70,7 +70,7 @@ object Decontaminate {
     val benchGrams = benchmark
       .select(explode(grams(col("text"))).as("gram")).distinct()
       .withColumn("_hit", lit(1))
-    corpus
+    Tables.spread(corpus)
       .select(col("doc_id"), explode_outer(grams(col("text"))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy("doc_id")
@@ -103,7 +103,8 @@ object Decontaminate {
     * 8-byte `ngram_hash` (the decontamination precedent); string grams
     * keep this entry oracle-checkable.
     */
-  def noveltyReport(corpus: DataFrame, n: Int = 5): DataFrame = {
+  def noveltyReport(corpus0: DataFrame, n: Int = 5): DataFrame = {
+    val corpus = Tables.spread(corpus0)
     val g = corpus.select(col("doc_id"),
       explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
     val novel = g.groupBy("gram").agg(min("doc_id").as("first_doc"))

@@ -46,7 +46,7 @@ object LangModel {
     */
   def bigrams(docs: DataFrame): DataFrame = {
     val arr = concat(array(lit("<s>")), words(col("text")), array(lit("</s>")))
-    docs.select(col("doc_id"), arr.as("a"))
+    graft.queries.Tables.spread(docs).select(col("doc_id"), arr.as("a"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("a")) - 2),
           i => struct(element_at(col("a"), i + 1).as("w1"),

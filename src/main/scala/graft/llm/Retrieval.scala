@@ -43,7 +43,10 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = K1, b: Double = B)
       : DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms, "query terms must be distinct")
-    val withTf = docs.select(
+    // per-term token scans are the map cost; spread is safe here — dl and
+    // the tf/df columns are integer-valued doubles, so their sums are exact
+    // regardless of partition fold order
+    val withTf = graft.queries.Tables.spread(docs).select(
       col("doc_id") +: size(words(col("text"))).cast("double").as("dl") +:
         terms.map(t => size(filter(words(col("text")), w => w === lit(t)))
           .cast("double").as(s"tf_$t")): _*)

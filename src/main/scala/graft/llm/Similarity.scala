@@ -84,7 +84,9 @@ object Similarity {
     * 100 TB exactly as for the float path.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qc = quantizedVectors(corpus)
+    // spread (Tables.spread): the per-pair integer dot products stream over
+    // the corpus side — a single-split local scan would run them on one core
+    val qc = quantizedVectors(Tables.spread(corpus, "vec_id"))
     val qq = quantizedVectors(queries)
       .select(col("vec_id").as("qid"), col("scale_r").as("qs"), col("q").as("qv"))
     val pairs = qq.crossJoin(qc).filter(col("vec_id") =!= col("qid"))
@@ -105,7 +107,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val pairs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(corpus.select(col("vec_id"), col("embedding")))
+      .crossJoin(Tables.spread(corpus, "vec_id").select(col("vec_id"), col("embedding")))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
       .filter(!isnan(col("sim"))) // zero vectors would rank first (NaN = greatest)
@@ -257,8 +259,12 @@ object Similarity {
       .select(col("qid"), col("qe"), col("cell"))
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val centroids = meanCentroids(corpus)
+  def ivfTopK(corpus0: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    // spread only the probe-join side; the centroid build keeps the source
+    // partitioning so its double `avg` fold order stays bit-reproducible
+    // (multi-partition partial-merge order is not deterministic run-to-run)
+    val corpus = Tables.spread(corpus0, "vec_id")
+    val centroids = meanCentroids(corpus0)
     // Assign each query to its nProbe nearest cells — map-only over the
     // literal centroid array (no exchange on the query side).
     val probes = probeCells(queries, centroids, nProbe)
@@ -321,7 +327,9 @@ object Similarity {
       // intermediate rounds checkpoint (lineage cut); the FINAL assignment
       // keeps its plan so consumers compose and plan audits see the shape
       if (round < iters) {
-        assigned = assigned.localCheckpoint()
+        // lazy: the next round's centroid collect materializes it — one job
+        // instead of an eager-checkpoint job plus the collect
+        assigned = assigned.localCheckpoint(eager = false)
         centroids = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
@@ -352,8 +360,11 @@ object Similarity {
     }
   }
 
-  def semanticDedup(corpus: DataFrame, threshold: Double): DataFrame = {
-    val assigned = assignNearest(corpus, meanCentroids(corpus))
+  def semanticDedup(corpus0: DataFrame, threshold: Double): DataFrame = {
+    // assignment/verify spread; centroid avg keeps the source partitioning
+    // (deterministic fold order — see ivfTopK)
+    val corpus = Tables.spread(corpus0, "vec_id")
+    val assigned = assignNearest(corpus, meanCentroids(corpus0))
       .select(col("cell"), col("vec_id"), col("embedding"))
     val prior = assigned.select(col("cell"), col("vec_id").as("prior_id"),
       col("embedding").as("pe"))
@@ -373,7 +384,7 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+    val bucketed = Tables.spread(corpus, "vec_id").select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), bits, dim).as("bucket"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       lshBucket(col("embedding"), bits, dim).as("bucket"))
@@ -398,8 +409,9 @@ object Similarity {
     * candidates. The benchmark side is MBs against a 100 TB corpus, so its
     * bucketed form broadcasts.
     */
-  def embeddingContamination(emb: DataFrame, threshold: Double,
+  def embeddingContamination(emb0: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.spread(emb0, "vec_id")
     val corpus = emb.filter(pmod(col("vec_id"), lit(17L)) =!= 0L)
     val bench = emb.filter(pmod(col("vec_id"), lit(17L)) === 0L)
     val ct = lshTables(corpus.select(col("vec_id"), col("embedding")),
@@ -424,7 +436,9 @@ object Similarity {
     * shape that survives at corpus scale.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    // a-side spread: it is the streamed side of the all-pairs verify below
+    val a = Tables.spread(corpus, "vec_id")
+      .select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
@@ -438,8 +452,9 @@ object Similarity {
     * of the multi-table hashes; pairs dedupe across tables before the cosine
     * verify so each candidate is scored once.
     */
-  def embeddingNearDupsLsh(corpus: DataFrame, threshold: Double,
+  def embeddingNearDupsLsh(corpus0: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val corpus = Tables.spread(corpus0, "vec_id")
     val bucketed = lshTables(corpus.select(col("vec_id"), col("embedding")),
       "embedding", tables, bits, dim)
     val a = bucketed.select(col("table_id"), col("bucket"), col("vec_id").as("id_a"))

@@ -95,7 +95,7 @@ object TextAnalysis {
     * operators; `minLen` drops short function words.
     */
   private def tokens(docs: DataFrame, minLen: Int): DataFrame =
-    docs.select(col("doc_id"),
+    Tables.spread(docs).select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) >= minLen)
 
@@ -115,7 +115,7 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val ws = filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
-    docs.select(col("doc_id"),
+    Tables.spread(docs).select(col("doc_id"),
         size(ws).cast("bigint").as("n_words"),
         size(array_distinct(ws)).cast("bigint").as("n_distinct_words"),
         call_function("top_ngram_count", ws, lit(1)).as("top_word_count"),

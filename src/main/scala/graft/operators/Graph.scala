@@ -48,16 +48,24 @@ object Graph {
     val e0 = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst"))
     val e = (if (edgesDistinct) e0 else e0.distinct())
-      .repartition(col("src")).localCheckpoint()
-    val srcs = e.select(col("src").as("node")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = false)
+    // src-partitioned input: the degree agg and its join add no edge shuffle.
+    // deg doubles as the NODE SET (one row per src) — deriving srcs from it
+    // retires the separate edge-wide distinct the old shape re-ran in every
+    // round; the lazy checkpoint materializes under the dangling probe below
+    // and every round reuses the cached blocks.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = false)
+    val srcs = deg.select(col("src").as("node"))
     val dangling = e.select(col("dst").as("node")).distinct()
       .join(srcs, Seq("node"), "left_anti").limit(1).collect()
     require(dangling.isEmpty,
       s"pageRank: dangling node ${dangling.head.getLong(0)} has in-edges but " +
         "no out-edges; feed an undirected graph as both directions")
-    // src-partitioned input: the degree agg and its join add no edge shuffle
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, Seq("src")).localCheckpoint()
+    // EAGER: all `iters` round joins reference withDeg inside the single
+    // final job — a lazy cache would race them into recomputing this join
+    // per round instead of reading the blocks once.
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
     var ranks = srcs.withColumn("rank", lit(Scale))
     for (round <- 1 to iters) {
       val contribs = withDeg
@@ -69,9 +77,13 @@ object Graph {
         .select(col("node"),
           (lit(Scale * 15L / 100L) +
             expr("(17 * coalesce(insum, 0L)) div 20")).as("rank"))
-      // intermediate rounds checkpoint (lineage cut); the final round keeps
-      // its plan so consumers compose and plan audits see the round's shape
-      if (round < iters) ranks = ranks.localCheckpoint()
+      // intermediate rounds checkpoint LAZILY (lineage still cut at the RDD
+      // — Catalyst plans stay one-round deep) but materialize together under
+      // the consumer's single action: ranks are exact integers, so fold
+      // order never matters, and one job of O(iters) stages beats one eager
+      // job per round. The final round keeps its plan so consumers compose
+      // and plan audits see the round's shape.
+      if (round < iters) ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

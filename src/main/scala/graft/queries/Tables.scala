@@ -73,6 +73,22 @@ object Tables {
     normalizeTs(raw.filter(col("ts") >= bound(startUtc) && col("ts") < bound(endUtc)))
   }
 
+  /** Scale-adaptive parallelism floor for CPU-heavy per-row map stages
+    * (shingling, MinHash/SimHash signatures, LSH projections, per-doc regex
+    * metrics). A local test file arrives as ONE scan split, so the expensive
+    * map work would serialize on a single core while the rest of the machine
+    * idles; a production corpus scan already has far more splits than cores,
+    * where this is the identity — no shuffle is ever added at scale (guide
+    * §2: derive partitioning from input size, never a constant tuned for
+    * either local mode or the cluster). Hash-partitioning on `key` keeps
+    * row placement deterministic (no round-robin, no rand()) so retries and
+    * reruns see identical layouts and fold orders.
+    */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+  }
+
   /** Config every SparkSession in this project needs. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
