@@ -152,14 +152,17 @@ object Bench {
           // the reference's write config (blob-dfs_bench.py:84-87)
           graft.table.GraftTable.TargetFileSizeProp -> "134217728"))
       // UNTIMED JVM warm-up first (executor pool, codegen caches, memory
-      // manager, heap growth): a 1/100-scale throwaway append under the
+      // manager, heap growth): a 1/20-scale throwaway append under the
       // same layout. The small anchor below exists to be µs/row-comparable
       // with the warm 100M write — timing it as the first write in a cold
-      // JVM skewed it 10x (r16 read 2.42 µs/row vs 0.23 warm).
+      // JVM skewed it 10x (r16 read 2.42 µs/row vs 0.23 warm). r21: raised
+      // from 1/100 to 1/20 — at 1/100 the warm-up left most of the write
+      // path's C2 compilation to land ON the timed small anchor, which read
+      // ~3x the big write's µs/row on code that scales linearly.
       val dirWarm = new java.io.File(dir.getPath + "_warm")
       if (dirWarm.exists()) rmDir(dirWarm)
       val tWarm = mkTable(dirWarm)
-      tWarm.append(txData(math.max(scaleRows / 100, 10L), 16),
+      tWarm.append(txData(math.max(scaleRows / 20, 10L), 32),
         sortWithinPartitionsCols = Seq("ts"))
       rmDir(dirWarm)
       // like-for-like µs/row anchor at 1/10 rows under the SAME layout (the
