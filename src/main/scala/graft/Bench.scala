@@ -266,6 +266,13 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // Post-scale heap settle: the 100M section leaves the (machine-sized)
+    // heap full of garbage, and without an explicit collect the first few
+    // alphabetical sweep entries absorb the concurrent GC instead of their
+    // own cost (r21: a2–a8 read 2–3x their steady-state on an otherwise
+    // quiet run; the same entries re-timed later in the run were normal).
+    if (runSweep && scaleJson != "null") { System.gc(); calibrate(); () }
+
     val results = (if (runSweep) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>

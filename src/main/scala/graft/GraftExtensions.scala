@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, NgramStrings, SimHash64, TopNgramCount, XxHash64Array}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, NGramHash, NgramStrings, SimHash64, TopNgramCount, XxHash64Array, ZorderBucket}
 
 /** Session extensions: registers the engine's native functions so they are
   * usable from SQL and `expr(...)` in any session configured with
@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "top_ngram_count(array<string>, n) takes 2 arguments")
         TopNgramCount(exprs.head, intLit(exprs(1), "top_ngram_count window"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_bucket"),
+      new ExpressionInfo(classOf[ZorderBucket].getName, "zorder_bucket"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "zorder_bucket(v, sorted_bounds) takes 2 arguments")
+        ZorderBucket(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

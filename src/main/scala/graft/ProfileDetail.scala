@@ -23,12 +23,15 @@ object ProfileDetail {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskTimeMs = 0L
+    val heavy = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskTimeMs += s.stageInfo.taskMetrics.executorRunTime
+        heavy.add((s.stageInfo.taskMetrics.executorRunTime, s.stageInfo.numTasks,
+          s.stageInfo.name.take(160)))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -52,13 +55,19 @@ object ProfileDetail {
     args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
-        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L
+        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; heavy.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val cal = calibrate()
         Thread.sleep(300) // listener events are async; let the bus drain
         println(f"$name%-28s run$i wall=$wall%7.2fs jobs=$jobs%4d stages=$stages%5d tasks=$tasks%6d taskTime=${taskTimeMs / 1000.0}%8.1fs cal=$cal%.3f")
+        if (i == 2 && sys.env.get("PROFILE_STAGES").contains("1")) {
+          import scala.jdk.CollectionConverters._
+          heavy.asScala.toSeq.sortBy(-_._1).take(8).foreach { case (ms, n, nm) =>
+            println(f"    stage ${ms / 1000.0}%7.1fs tasks=$n%4d  $nm")
+          }
+        }
       }
     }
     spark.stop()

@@ -50,8 +50,14 @@ object Sampling {
     * row membership bit-reproducible across engines (pow is not
     * correctly-rounded everywhere; sqrt is) — the oracle-checked setting.
     */
-  def temperatureMix(docs: DataFrame, sourceCol: String, alpha: Double): DataFrame = {
+  def temperatureMix(docs0: DataFrame, sourceCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    // Materialize the input ONCE: the per-source count below is an eager
+    // collect, so without the checkpoint the caller's whole upstream chain
+    // (in prepareCorpus: spread + quality regexes + dedup window) executes
+    // twice — once under the counts, once under the returned filter. At
+    // 100 TB that is a full extra corpus pass for a tiny O(sources) agg.
+    val docs = docs0.localCheckpoint(eager = true)
     val counts = docs.groupBy(sourceCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMix on an empty corpus")

@@ -191,9 +191,14 @@ object TableQueries {
       Dml.deleteMorKeys(src,
         base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
       graft.streaming.TableFollow.follow(src, dst, Seq("o_orderkey"))
-      val diff = dst.readLatest().exceptAll(src.readLatest()).count() +
-        src.readLatest().exceptAll(dst.readLatest()).count()
-      dst.readLatest().agg(
+      // materialize both MOR reads once: each exceptAll direction (and the
+      // final agg) would otherwise re-run the delete-reconciliation joins —
+      // 4 extra passes for a diff that reads each side once
+      val dstRows = dst.readLatest().localCheckpoint(eager = true)
+      val srcRows = src.readLatest().localCheckpoint(eager = true)
+      val diff = dstRows.exceptAll(srcRows).count() +
+        srcRows.exceptAll(dstRows).count()
+      dstRows.agg(
           count(lit(1)).as("row_count"),
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
@@ -228,10 +233,13 @@ object TableQueries {
       Dml.deleteMorKeys(src,
         base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
       cycle()
+      // materialized once for the same reason as t_follow_cdc's diff: both
+      // exceptAll directions and the final projection reuse the blocks
       val recomputed = src.readLatest().groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_val"))
-      val view = dst.readLatest()
+        .localCheckpoint(eager = true)
+      val view = dst.readLatest().localCheckpoint(eager = true)
       val ivmDiff = view.exceptAll(recomputed).count() +
         recomputed.exceptAll(view).count()
       view.select(col("o_orderpriority"), col("n_rows"),
