@@ -23,17 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap sized to the machine (the local[N] JVM is driver AND all executors):
-// at 8g the 100M-row scale section was execution-memory-bound — tasks
-// spilled sort/shuffle buffers and GC dominated (write_append measured
-// 77.9 s at 8g vs 24.9 s at 32g on a quiet machine, rewrite_data_files
-// 66.1 s vs 26.9 s). 32g of the 128 GiB sandbox is the local analog of
-// sizing executor memory to the node (optimization guide §5); override
-// with SPARK_DRIVER_MEM. -Xms matches -Xmx so the first timed write does
-// not pay the heap-growth stalls.
+// Heap sized by measurement (the local[N] JVM is driver AND all executors):
+// 8g left the 100M-row scale section execution-memory-bound (spill + GC),
+// but the r21 32g pin was WORSE than 16g everywhere at local[32] — G1 on a
+// pre-committed 32g heap sized a huge young gen and 32 allocation-heavy
+// cores hit multi-second collection pauses (r22 bisect: the 13-entry sweep
+// cluster ran 38.8 s at 16g vs 83.0 s at 32g, and back-to-back scale-only
+// runs measured write_append 29.8 s vs 32.0, rewrite_data_files 34.8 vs
+// 50.0, read_agg 3.18 vs 4.74 — plans/r22/bisect_heap_*.json,
+// ab_scale_*.json). 16g is the measured optimum for this bench; override
+// with SPARK_DRIVER_MEM (a real cluster sizes executor memory to the node
+// instead — guide §5). -Xms matches -Xmx so the first timed write does not
+// pay heap-growth stalls.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -6,16 +6,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 // Temporary dev runner — not committed logic; decomposes prepareCorpus cost.
 object DevRun {
   def main(args: Array[String]): Unit = {
-    val b0 = SparkSession.builder().master("local[32]")
+    // env/arg-driven like Bench and ProfileDetail — no machine constants
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
     sys.env.get("DEV_PAGE").foreach(p => b0.config("spark.buffer.pageSize", p))
-    val spark = graft.queries.Tables.configure(b0, "32").getOrCreate()
+    val spark = graft.queries.Tables.configure(b0, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var taskMs = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         taskMs += s.stageInfo.taskMetrics.executorRunTime
     })
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     def t0[A](tag: String)(f: => A): A = {
       taskMs = 0
       val s = System.nanoTime(); val r = f; Thread.sleep(200)

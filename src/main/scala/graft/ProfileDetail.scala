@@ -24,14 +24,22 @@ object ProfileDetail {
     @volatile var tasks = 0
     @volatile var taskTimeMs = 0L
     val heavy = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val cs = Option(j.properties).map(p =>
+          Option(p.getProperty("callSite.short")).getOrElse("") + " " +
+            Option(p.getProperty("spark.job.description")).getOrElse("")).getOrElse("")
+        j.stageIds.foreach(id => stageJob.put(id, cs))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskTimeMs += s.stageInfo.taskMetrics.executorRunTime
         heavy.add((s.stageInfo.taskMetrics.executorRunTime, s.stageInfo.numTasks,
-          s.stageInfo.name.take(160)))
+          (s.stageInfo.name.take(60) + " || job: " +
+            stageJob.getOrDefault(s.stageInfo.stageId, "?")).take(300)))
       }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -57,21 +57,16 @@ object Pipeline {
   def prepareCorpusV2(docs: DataFrame, spanK: Int = 8, maxDupFrac: Double = 0.5,
       epochSeed: Long = 7L, testPct: Int = 10, valPct: Int = 5,
       hashedSpans: Boolean = true): DataFrame = {
-    // Materialize the mixed corpus ONCE (the connectedComponents pattern,
-    // Dedup.scala): the span stage consumes it twice (gram explode + owner
-    // agg) and the decon join a third time — unmaterialized, each consumer
-    // re-runs the dedup window, quality filter, and mix from the raw scan
-    // (exchange reuse does not collapse them), which at 100 TB is two extra
-    // full corpus passes. The checkpoint blocks are released by Spark's
-    // ContextCleaner once the returned frame is no longer referenced; a
-    // long-lived driver that calls this repeatedly and HOLDS the results
-    // should drop them promptly (no explicit unpersist hook is exposed —
-    // the frame's lineage roots at the checkpoint).
-    // EAGER on purpose: mixed has three consumers that land in one final
-    // job — a lazy checkpoint would race them into recomputing the whole
-    // dedup+filter+mix chain per consumer (measured 30+ s of duplicated
-    // task time at sf0.1) instead of reading the cached blocks.
-    val mixed = prepareCorpus(docs).localCheckpoint(eager = true)
+    // ONE materialized corpus copy, not two (VERDICT r21 #2): temperatureMix
+    // inside prepareCorpus already eagerly checkpoints the dedup+filter
+    // output (its per-source counts collect needs the blocks), and `mixed`
+    // is only a map-side hash filter over those cached blocks — so the span
+    // stage's two consumers and the decon join re-run just that filter per
+    // reference instead of pinning a SECOND full copy of the corpus in
+    // executor storage back-to-back with the first. The checkpoint blocks
+    // are released by Spark's ContextCleaner once the returned frame is no
+    // longer referenced.
+    val mixed = prepareCorpus(docs)
     // default = the 100 TB span keying (8-byte rolling-hash grams, ~6x
     // narrower shuffles); string grams only where a SQL oracle must recompute
     // the spans (SpanDedupSpec proves the two keyings produce equal stats)

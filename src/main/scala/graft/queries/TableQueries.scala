@@ -191,13 +191,22 @@ object TableQueries {
       Dml.deleteMorKeys(src,
         base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
       graft.streaming.TableFollow.follow(src, dst, Seq("o_orderkey"))
-      // materialize both MOR reads once: each exceptAll direction (and the
-      // final agg) would otherwise re-run the delete-reconciliation joins —
-      // 4 extra passes for a diff that reads each side once
+      // Symmetric multiset diff in ONE aggregation pass (VERDICT r21 #4):
+      // union the sides under a +1/-1 tag, group by every column, and sum
+      // |net| — exceptAll keeps max(0, cnt_a − cnt_b) copies per distinct
+      // row, so the two directions sum to Σ|cnt_a − cnt_b| exactly. The
+      // two-direction exceptAll form aggregated each side twice and joined
+      // twice (4 sort-aggregate passes); this reads each side once. dst is
+      // still checkpointed (the final agg re-reads it); src is now read
+      // once, so its checkpoint would be pure overhead.
       val dstRows = dst.readLatest().localCheckpoint(eager = true)
-      val srcRows = src.readLatest().localCheckpoint(eager = true)
-      val diff = dstRows.exceptAll(srcRows).count() +
-        srcRows.exceptAll(dstRows).count()
+      val srcRows = src.readLatest()
+      val keyCols = dstRows.columns.map(col).toSeq
+      val diff = dstRows.withColumn("_side", lit(1L))
+        .unionByName(srcRows.withColumn("_side", lit(-1L)))
+        .groupBy(keyCols: _*).agg(sum(col("_side")).as("_net"))
+        .agg(coalesce(sum(abs(col("_net"))), lit(0L)).as("d"))
+        .first().getLong(0)
       dstRows.agg(
           count(lit(1)).as("row_count"),
           dbl(sum(dec(col("o_totalprice")))).as("sum_price"),
@@ -233,15 +242,19 @@ object TableQueries {
       Dml.deleteMorKeys(src,
         base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
       cycle()
-      // materialized once for the same reason as t_follow_cdc's diff: both
-      // exceptAll directions and the final projection reuse the blocks
+      // same one-pass symmetric diff as t_follow_cdc (VERDICT r21 #4); the
+      // view stays checkpointed (the final projection re-reads it), the
+      // recomputation is read once so it no longer checkpoints
       val recomputed = src.readLatest().groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_val"))
-        .localCheckpoint(eager = true)
       val view = dst.readLatest().localCheckpoint(eager = true)
-      val ivmDiff = view.exceptAll(recomputed).count() +
-        recomputed.exceptAll(view).count()
+      val ivmKeys = view.columns.map(col).toSeq
+      val ivmDiff = view.withColumn("_side", lit(1L))
+        .unionByName(recomputed.withColumn("_side", lit(-1L)))
+        .groupBy(ivmKeys: _*).agg(sum(col("_side")).as("_net"))
+        .agg(coalesce(sum(abs(col("_net"))), lit(0L)).as("d"))
+        .first().getLong(0)
       view.select(col("o_orderpriority"), col("n_rows"),
           dbl(col("sum_val")).as("sum_price"))
         .withColumn("ivm_diff", lit(ivmDiff))

@@ -83,10 +83,59 @@ object Tables {
     * either local mode or the cluster). Hash-partitioning on `key` keeps
     * row placement deterministic (no round-robin, no rand()) so retries and
     * reruns see identical layouts and fold orders.
+    *
+    * The partition count comes from [[estimatedPartitions]] over the
+    * UN-EXECUTED physical plan — never `df.rdd`: under AQE, `Dataset.rdd`
+    * forces `getFinalPhysicalPlan`, which eagerly RUNS every upstream
+    * shuffle/broadcast stage as real Spark jobs at DataFrame-construction
+    * time, and those results are not reused by the plan the caller builds
+    * (the whole upstream pipeline would execute twice).
     */
   def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+    if (estimatedPartitions(df.queryExecution.sparkPlan) >= p) df
+    else df.repartition(p, col(key))
+  }
+
+  /** Estimated output-partition count of a physical plan WITHOUT executing
+    * anything: scan splits from the (cached) file listing via Spark's own
+    * split-packing arithmetic, shuffles reset to their partition count,
+    * broadcast joins follow the streamed side, unions add. Unknown leaves
+    * estimate 1, which errs toward adding the parallelism floor — the only
+    * cost of a misestimate is one small extra shuffle at test scale, never
+    * a single-task CPU stage.
+    */
+  private def estimatedPartitions(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, RDDScanExec, UnionExec}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    plan match {
+      case l: LocalTableScanExec =>
+        // Spark parallelizes a local relation over min(max(rows,1),
+        // leaf-node default parallelism) slices — mirror it so test-fixture
+        // frames keep the same spread decision the .rdd probe made
+        math.min(math.max(l.rows.length, 1),
+          l.session.sparkContext.defaultParallelism)
+      case s: FileSourceScanExec =>
+        val listing = s.selectedPartitions
+        val maxSplit = math.max(1L,
+          FilePartition.maxSplitBytes(s.relation.sparkSession, listing))
+        // same packing as FilePartition.getFilePartitions to first order:
+        // total (size + open-cost) bytes over the split size
+        math.ceil(listing.calculateTotalPartitionBytes.toDouble / maxSplit).toInt
+      case e: ShuffleExchangeLike => e.numPartitions
+      case j: BroadcastHashJoinExec =>
+        estimatedPartitions(if (j.buildSide == BuildLeft) j.right else j.left)
+      case j: BroadcastNestedLoopJoinExec =>
+        estimatedPartitions(if (j.buildSide == BuildLeft) j.right else j.left)
+      case u: UnionExec => u.children.map(estimatedPartitions).sum
+      case r: RDDScanExec => r.rdd.getNumPartitions
+      case other =>
+        if (other.children.isEmpty) 1
+        else other.children.map(estimatedPartitions).max
+    }
   }
 
   /** Config every SparkSession in this project needs. */

@@ -108,9 +108,16 @@ object TableFollow {
       if (chg.isEmpty) return None
       val keyC = groupCols.map(col)
       val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      // The delta table is O(groups touched in range) — tiny relative to the
+      // changelog. Checkpoint it eagerly: it feeds the affected-groups
+      // semi-join AND the full-outer merge (and commitMorDelta executes the
+      // merged plan twice — delete keys + survivors), so an unmaterialized
+      // delta would re-aggregate the cached changelog once per reference
+      // (each pass schedules one task per changelog partition).
       val delta = chg.groupBy(keyC: _*).agg(
         sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("d_n"),
         sum(when(col("_change_type") === "insert", dec).otherwise(-dec)).as("d_sum"))
+        .localCheckpoint(eager = true)
       // joins are NULL-SAFE on the group keys (<=>): a NULL group is a
       // legitimate group and must merge with its existing view row — a
       // plain equi-join would leave both sides unmatched and double-count
@@ -124,12 +131,16 @@ object TableFollow {
       // view's sum convention is therefore SUM(COALESCE(value, 0)): NULL
       // values count rows but add nothing, and an all-NULL group reads 0.
       val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      // merged is also O(affected groups) and commitMorDelta executes it
+      // twice (delete-key file + survivor file) — materialize once so the
+      // view's MOR read and the two delta joins run a single time
       val merged = current.join(dAlias, joinCond, "full_outer")
         .select(groupCols.zipWithIndex.map { case (g, i) =>
           coalesce(col(g), col(s"_gf_k$i")).as(g) } :+
           (coalesce(col(countCol), lit(0L)) + col("d_n")).as("n_new") :+
           (coalesce(col(sumCol), zero) +
             coalesce(col("d_sum"), zero)).as("s_new"): _*)
+        .localCheckpoint(eager = true)
       val survivors = merged.filter(col("n_new") > 0)
         .select(keyC :+ col("n_new").as(countCol) :+
           col("s_new").cast(org.apache.spark.sql.types.DecimalType(18, 2))
@@ -185,7 +196,12 @@ object TableFollow {
       val keyC = keyCols.map(col)
       val lastDel = max(when(col("_change_type") === "delete",
         col("_commit_snapshot_id"))).over(Window.partitionBy(keyC: _*))
+      // Checkpoint AFTER the window: the three consumers below (delete-key
+      // probe, delete-key file, insert file) would each re-shuffle the
+      // cached changelog through the per-key window — one windowed pass,
+      // three cheap block reads instead.
       val marked = chg.withColumn("_last_del", lastDel)
+        .localCheckpoint(eager = true)
       val finalRows = marked.filter(col("_change_type") === "insert" &&
           (col("_last_del").isNull || col("_commit_snapshot_id") >= col("_last_del")))
         .drop("_change_type", "_commit_snapshot_id", "_last_del")
