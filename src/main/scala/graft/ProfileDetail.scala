@@ -23,6 +23,7 @@ object ProfileDetail {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskTimeMs = 0L
+    @volatile var gcMs = 0L
     val heavy = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
@@ -37,6 +38,7 @@ object ProfileDetail {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskTimeMs += s.stageInfo.taskMetrics.executorRunTime
+        gcMs += s.stageInfo.taskMetrics.jvmGCTime
         heavy.add((s.stageInfo.taskMetrics.executorRunTime, s.stageInfo.numTasks,
           (s.stageInfo.name.take(60) + " || job: " +
             stageJob.getOrDefault(s.stageInfo.stageId, "?")).take(300)))
@@ -63,13 +65,13 @@ object ProfileDetail {
     args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
-        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; heavy.clear()
+        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; gcMs = 0L; heavy.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val cal = calibrate()
         Thread.sleep(300) // listener events are async; let the bus drain
-        println(f"$name%-28s run$i wall=$wall%7.2fs jobs=$jobs%4d stages=$stages%5d tasks=$tasks%6d taskTime=${taskTimeMs / 1000.0}%8.1fs cal=$cal%.3f")
+        println(f"$name%-28s run$i wall=$wall%7.2fs jobs=$jobs%4d stages=$stages%5d tasks=$tasks%6d taskTime=${taskTimeMs / 1000.0}%8.1fs gc=${gcMs / 1000.0}%6.1fs cal=$cal%.3f")
         if (i == 2 && sys.env.get("PROFILE_STAGES").contains("1")) {
           import scala.jdk.CollectionConverters._
           heavy.asScala.toSeq.sortBy(-_._1).take(8).foreach { case (ms, n, nm) =>

@@ -152,7 +152,11 @@ object Pipeline {
     // rolled up per (lang, split) — the integration surface a training-data
     // job actually consumes
     "pipeline_corpus_prep_v2" -> ((s, dir) =>
-      prepareCorpusV2(Tables.documents(s, dir), hashedSpans = false)
+      // hashed span keys (the 100 TB default): 8-byte gram rows through the
+      // two span shuffles instead of ~50-byte strings — SpanDedupSpec proves
+      // the stats frames equal, and the (lang, split) rollup is byte-identical
+      // against the string-keyed oracle (r22 A/B at sf0.1)
+      prepareCorpusV2(Tables.documents(s, dir))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
@@ -163,8 +167,7 @@ object Pipeline {
     // embedding table's SemDeDup verdicts — fully oracle-checked (every
     // stage including the centroid build is SQL)
     "pipeline_corpus_prep_v3" -> ((s, dir) =>
-      prepareCorpusV3(Tables.documents(s, dir), Tables.embeddings(s, dir),
-          hashedSpans = false)
+      prepareCorpusV3(Tables.documents(s, dir), Tables.embeddings(s, dir))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
@@ -175,8 +178,7 @@ object Pipeline {
     // every stage including the cell assignment and the cap rank replayed
     // by the oracle
     "pipeline_corpus_prep_v4" -> ((s, dir) =>
-      prepareCorpusV4(Tables.documents(s, dir), Tables.embeddings(s, dir),
-          hashedSpans = false)
+      prepareCorpusV4(Tables.documents(s, dir), Tables.embeddings(s, dir))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),

@@ -364,8 +364,16 @@ object Similarity {
     // assignment/verify spread; centroid avg keeps the source partitioning
     // (deterministic fold order — see ivfTopK)
     val corpus = Tables.spread(corpus0, "vec_id")
+    // Assign ONCE (eager checkpoint): `assigned` feeds both sides of the
+    // cell-local pairwise verify AND the final verdict join — three
+    // references, and the shared exchange underneath reuses only the
+    // SHUFFLE, not the per-row k-cell cosine-argmax fold above it, so each
+    // reference re-ran the assignment pass (the operator's map cost). At
+    // production scale the assignment is a materialized table between
+    // pipeline stages anyway (SemDeDup's own operating shape).
     val assigned = assignNearest(corpus, meanCentroids(corpus0))
       .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true)
     val prior = assigned.select(col("cell"), col("vec_id").as("prior_id"),
       col("embedding").as("pe"))
     val dups = assigned.join(prior, Seq("cell"))

@@ -137,8 +137,12 @@ object StreamOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map(c => col(c).desc): _*)
+      // checkpoint the reduced batch ONCE: commitMorDelta executes it twice
+      // (delete-key file + data file), which re-read and re-windowed the
+      // micro-batch per reference; the reduced form is O(batch keys)
       val lastPerKey = batch.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
+        .localCheckpoint(eager = true)
       t.commitMorDelta(lastPerKey.select(keyCols.map(col): _*), Some(lastPerKey),
         "upsert-mor", extraSummary = Map("stream-batch-id" -> batchId.toString))
     }
@@ -359,14 +363,22 @@ object StreamOps {
       val t = graft.table.GraftTable.create(s, tdir, base.schema)
       t.append(base.filter(col("o_orderkey") < 250))
       t.append(base.filter(col("o_orderkey") >= 250))
-      val q = s.readStream.format("graft").load(tdir)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          graft.queries.Fmt.dbl(
-            sum(graft.queries.Fmt.dec(col("o_totalprice")))).as("total"))
-        .writeStream.format("memory").queryName("stream_table_source")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // same state-store sizing as runAvailableNow: the stateful agg pins
+      // its store count from spark.sql.shuffle.partitions at first run, and
+      // 32 HDFS-backed stores (each a per-batch checkpoint write) is pure
+      // overhead at test scale — on a real cluster the session default stays
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format("graft").load(tdir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.queries.Fmt.dbl(
+              sum(graft.queries.Fmt.dec(col("o_totalprice")))).as("total"))
+          .writeStream.format("memory").queryName("stream_table_source")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("stream_table_source").orderBy("o_orderstatus")
     }),
 
